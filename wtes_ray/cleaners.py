@@ -1,0 +1,85 @@
+"""Scalar string cleaners shared by the oracle and the Ray pipeline.
+
+Re-implements the reference's cleaning semantics (SURVEY.md §2 M18):
+  - bracket stripping across 6 bracket styles + punctuation removal
+    (/root/reference/src/tableExtract/table.py:21-32 ``_clearNameOrRel``),
+  - ``[n]`` citation-ref stripping + NBSP removal (table.py:1214-1215,
+    tableExtractor.py:309-310),
+  - guarded triple appends with the ≤7-char name/relation rules
+    (table.py:35-52 ``_append``, table.py:55-79 ``_notNullAppend``),
+  - person-name cleanup with the ``/``-split (table.py:449-461).
+
+All functions are pure and precompiled — they run inside hot ``map_batches``
+stages, once per cell/name, so the regexes are module-level constants.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Bracket styles stripped from names/relations (table.py:29). The reference
+# pattern for ASCII parens is non-greedy single-char "\(.?\)"; kept verbatim.
+_BRACKETS = re.compile(r"\(.?\)|（.*?）|\{.*?}|\[.*?]|【.*?】|<.*?>")
+# Punctuation stripped from names/relations (table.py:30).
+_PUNCT = re.compile(r"[\s+.!/_,$%^*(+\"']+|[+——！，。？?、~@#￥%……&*（）]+")
+# Citation refs like ``[12]`` stripped from cell text (table.py:1214).
+_CITE_REF = re.compile(r"\[\d+\]")
+
+
+def clear_name_or_rel(s: str) -> str:
+    """Strip brackets and punctuation from a name/relation (table.py:21-32)."""
+    if len(s) == 0 or s.isspace():
+        return ""
+    s = _BRACKETS.sub("", s)
+    return _PUNCT.sub("", s)
+
+
+def clean_cell_text(s: str) -> str:
+    """Cell-text normalization at DOM→cell time: drop ``[n]`` refs and NBSP
+    (table.py:1214-1215)."""
+    return _CITE_REF.sub("", s).replace("\xa0", "")
+
+
+def clean_person_name(s: str) -> str:
+    """Person-name cleanup: brackets, ``/``-split, punctuation
+    (table.py:449-461 ``__clearPersonNameList``)."""
+    s = _BRACKETS.sub("", s)
+    s = s.split("/")[0]
+    return _PUNCT.sub("", s)
+
+
+def append_relation(acc: list, subj: list, rel: str, obj: list) -> None:
+    """Guarded relation-triple append (table.py:35-52 ``_append``).
+
+    ``subj``/``obj`` are ``[name, url]`` pairs; names are cleaned in place,
+    the relation must clean to ≤7 chars and all three parts must be non-empty.
+    """
+    subj[0] = clear_name_or_rel(subj[0])
+    rel = clear_name_or_rel(rel)
+    obj[0] = clear_name_or_rel(obj[0])
+    if len(rel) > 7:
+        return
+    if (len(subj[0]) == 0 or str(subj[0]).isspace() or len(rel) == 0
+            or rel.isspace() or len(obj[0]) == 0 or str(obj[0]).isspace()):
+        return
+    acc.append([subj, rel, obj])
+
+
+def append_entity_triple(acc: list, a: str, b: str, c: str,
+                         is_name: bool = False) -> None:
+    """Guarded entity-triple append (table.py:55-79 ``_notNullAppend``):
+    subject/relation ≤7 chars pre-clean, all parts non-empty; object cleaned
+    (and length-limited) only when it is itself a person name."""
+    if (len(a) == 0 or a.isspace() or len(b) == 0 or b.isspace()
+            or len(c) == 0 or c.isspace()):
+        return
+    if len(a) > 7 or len(b) > 7:
+        return
+    parts = [_BRACKETS.sub("", x) for x in (a, b, c)]
+    parts[0] = _PUNCT.sub("", parts[0])
+    parts[1] = _PUNCT.sub("", parts[1])
+    if is_name:
+        parts[2] = _PUNCT.sub("", parts[2])
+        if len(parts[2]) > 7:
+            return
+    acc.append(parts)

@@ -1,0 +1,292 @@
+"""Minimal DOM built on stdlib ``html.parser``.
+
+From-scratch replacement for the BeautifulSoup/lxml navigation surface the
+reference extractor uses (see /root/reference/src/tableExtract/tableExtractor.py
+and table.py): tag tree with ``children`` / ``attrs`` / ``text``, document-order
+``find`` / ``find_all`` (by tag name and class-regex), sibling and
+``next_element`` navigation, and in-place ``extract`` (node removal).
+
+Only the navigation semantics the extraction core depends on are implemented;
+this is NOT a general HTML5 tree builder. Inputs are the pre-treated HTML
+fragments produced upstream (``\\r\\t\\n`` already stripped, see
+``locate.html_pretreat``), so whitespace-only text nodes between structural
+tags are rare by construction.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator, Optional, Union
+
+# Elements that never take content (HTML void elements).
+VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+Node = Union["Element", "TextNode"]
+
+
+class TextNode:
+    """A text node. ``text`` mirrors bs4 ``NavigableString`` behavior."""
+
+    __slots__ = ("data", "parent")
+
+    def __init__(self, data: str, parent: Optional["Element"] = None):
+        self.data = data
+        self.parent = parent
+
+    @property
+    def text(self) -> str:
+        return self.data
+
+    @property
+    def name(self) -> None:  # bs4: NavigableString.name is None
+        return None
+
+    @property
+    def contents(self) -> list:
+        return []
+
+    def __str__(self) -> str:
+        return self.data
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __repr__(self) -> str:
+        return f"TextNode({self.data!r})"
+
+    # -- sibling navigation (shared with Element) -------------------------
+    @property
+    def next_sibling(self) -> Optional[Node]:
+        return _sibling(self, +1)
+
+    @property
+    def previous_sibling(self) -> Optional[Node]:
+        return _sibling(self, -1)
+
+    def extract(self) -> "TextNode":
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+        return self
+
+
+class Element:
+    """An element node with bs4-Tag-shaped accessors."""
+
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name: str, attrs: Optional[dict] = None,
+                 parent: Optional["Element"] = None):
+        self.name = name
+        self.attrs: dict = attrs or {}
+        self.children: list[Node] = []
+        self.parent = parent
+
+    # -- attribute access ---------------------------------------------------
+    def has_attr(self, key: str) -> bool:
+        return key in self.attrs
+
+    def __getitem__(self, key: str) -> str:
+        return self.attrs[key]
+
+    def get(self, key: str, default=None):
+        return self.attrs.get(key, default)
+
+    @property
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    # -- content ------------------------------------------------------------
+    @property
+    def contents(self) -> list[Node]:
+        return self.children
+
+    @property
+    def text(self) -> str:
+        """Concatenated descendant text (bs4 ``Tag.text`` semantics)."""
+        parts: list[str] = []
+        stack: list[Node] = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, TextNode):
+                parts.append(node.data)
+            else:
+                stack.extend(reversed(node.children))
+        return "".join(parts)
+
+    def append(self, node: Node) -> None:
+        node.parent = self
+        self.children.append(node)
+
+    def extract(self) -> "Element":
+        """Remove this element from its parent (bs4 ``Tag.extract``)."""
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+        return self
+
+    def replace_with_text(self, data: str) -> None:
+        """Replace this element in its parent with a text node."""
+        if self.parent is None:
+            return
+        idx = self.parent.children.index(self)
+        self.parent.children[idx] = TextNode(data, self.parent)
+        self.parent = None
+
+    # -- document-order traversal -------------------------------------------
+    def descendants(self) -> Iterator[Node]:
+        stack: list[Node] = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            yield node
+            if isinstance(node, Element):
+                stack.extend(reversed(node.children))
+
+    @property
+    def next_element(self) -> Optional[Node]:
+        """Next node in document order (first child, else next sibling up-chain)."""
+        if self.children:
+            return self.children[0]
+        node: Optional[Node] = self
+        while node is not None:
+            sib = _sibling(node, +1)
+            if sib is not None:
+                return sib
+            node = node.parent
+        return None
+
+    # bs4 spells this ``.next``
+    @property
+    def next(self) -> Optional[Node]:
+        return self.next_element
+
+    @property
+    def next_sibling(self) -> Optional[Node]:
+        return _sibling(self, +1)
+
+    @property
+    def previous_sibling(self) -> Optional[Node]:
+        return _sibling(self, -1)
+
+    # -- search -------------------------------------------------------------
+    def find_all(self, name: Optional[str] = None, attrs: Optional[dict] = None,
+                 class_=None, href: bool = False, limit: Optional[int] = None,
+                 ) -> list["Element"]:
+        out: list[Element] = []
+        for node in self.descendants():
+            if isinstance(node, Element) and _matches(node, name, attrs, class_, href):
+                out.append(node)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+
+    def find(self, name: Optional[str] = None, attrs: Optional[dict] = None,
+             class_=None, href: bool = False) -> Optional["Element"]:
+        res = self.find_all(name, attrs, class_, href, limit=1)
+        return res[0] if res else None
+
+    def __repr__(self) -> str:
+        return f"<{self.name} {self.attrs}>({len(self.children)} children)"
+
+
+def _sibling(node: Node, step: int) -> Optional[Node]:
+    parent = node.parent
+    if parent is None:
+        return None
+    sibs = parent.children
+    idx = sibs.index(node)
+    j = idx + step
+    if 0 <= j < len(sibs):
+        return sibs[j]
+    return None
+
+
+def _class_matches(el: Element, want) -> bool:
+    raw = el.attrs.get("class")
+    if raw is None:
+        return False
+    if isinstance(want, re.Pattern):
+        if want.search(raw):
+            return True
+        return any(want.search(tok) for tok in raw.split())
+    if isinstance(want, str):
+        return want == raw or want in raw.split()
+    return False
+
+
+def _matches(el: Element, name, attrs, class_, href: bool) -> bool:
+    if name is not None and el.name != name:
+        return False
+    if href and "href" not in el.attrs:
+        return False
+    if class_ is not None and not _class_matches(el, class_):
+        return False
+    if attrs:
+        for k, v in attrs.items():
+            if k == "class":
+                if not _class_matches(el, v):
+                    return False
+            else:
+                got = el.attrs.get(k)
+                if got is None:
+                    return False
+                if isinstance(v, re.Pattern):
+                    if not v.search(got):
+                        return False
+                elif got != v:
+                    return False
+    return True
+
+
+class _TreeBuilder(HTMLParser):
+    """Builds the Element tree. ``convert_charrefs=True`` so ``&nbsp;``
+    arrives as ``\\xa0`` — the downstream cleaners strip it, mirroring the
+    reference (table.py:1215)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("[document]")
+        self.stack: list[Element] = [self.root]
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].append(el)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        # Pop to the matching open tag; ignore stray end tags.
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].name == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].append(TextNode(data))
+
+    def handle_comment(self, data: str) -> None:  # comments dropped at parse
+        pass
+
+
+def parse_html(html: str) -> Element:
+    """Parse an HTML string into a tree rooted at a ``[document]`` element.
+
+    Comments are dropped during parsing (the reference strips them in
+    ``htmlPreTreat``, tableExtractor.py:528)."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root

@@ -1,0 +1,160 @@
+"""Per-document extraction: the pure core shared by the oracle and the Ray
+pipeline UDF.
+
+Re-implements the reference's per-page orchestration
+(/root/reference/src/tableExtract/tableExtractor.py:109-164 ``getTable`` +
+``dealWithTableList``): locate tables (basic-info boxes, ul-list tables,
+heuristic-filtered <table> tags) → span-normalize (extend) → canonicalize to
+ROW direction (flip) → clean → classify → extract entity/relation triples.
+
+Output span-sequence definition (the north rule's per-row invariant — the
+reference has no span concept, its outputs are pickles/JSON, so this ordering
+contract is OURS and is shared verbatim by oracle and pipeline):
+  For each extracted (normal ∧ correct) table, in document order, after
+  clear_table:
+    1. one ``text`` span carrying the table caption (``name``),
+    2. one ``table_cell`` span per cell in row-major order,
+    3. one ``media`` span per cell image src, inline right after its cell.
+  After all tables: one ``media`` span per input span of kind "media",
+  in input offset order. Offsets are assigned 0..n-1 over the final sequence.
+
+Partitioning assumption for the salted mega-doc path (SURVEY.md §4.2): each
+input ``html`` span is a self-contained block-level fragment (a table and its
+caption/title sibling never straddle two spans), so parsing a concatenation
+of chunks equals concatenating per-chunk parses. ``extract_document`` exposes
+(content_spans, tail_media) separately so the salted reassembly can preserve
+exactly this order.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from urllib.parse import unquote
+
+from .lexicons import DEFAULT_LEXICONS, Lexicons
+from .locate import (change_tag_to_table, extract_basic_info_tables,
+                     extract_list_table, get_caption, html_pretreat,
+                     through_heuristic_rule)
+from .tablemodel import Table
+from .wordtype import LexiconTagger, default_tagger
+
+Span = tuple[str, str, str]  # (kind, text, media_ref) — offset assigned later
+
+
+@dataclass
+class DocResult:
+    doc_id: str
+    content_spans: list[Span] = field(default_factory=list)
+    tail_media: list[Span] = field(default_factory=list)
+    entities: list = field(default_factory=list)
+    relations: list = field(default_factory=list)
+    n_tables: int = 0
+    error: str = ""
+
+    @property
+    def spans(self) -> list[tuple[str, str, str, int]]:
+        """Final ordered span sequence with offsets."""
+        seq = self.content_spans + self.tail_media
+        return [(k, t, m, i) for i, (k, t, m) in enumerate(seq)]
+
+    @property
+    def entities_json(self) -> str:
+        return json.dumps(self.entities, ensure_ascii=False)
+
+    @property
+    def relations_json(self) -> str:
+        return json.dumps(self.relations, ensure_ascii=False)
+
+
+def subject_from_doc_id(doc_id: str) -> str:
+    """M2 (tableExtractor.py:98-99): page subject = percent-decoded last URL
+    path segment, or the second-to-last when the last is all digits."""
+    parts = doc_id.split("/")
+    last = unquote(parts[-1])
+    if last.isdigit() and len(parts) >= 2:
+        return unquote(parts[-2])
+    return last
+
+
+def locate_tables(html: str, doc_id: str, lex: Lexicons,
+                  tagger: LexiconTagger) -> list[Table]:
+    """``getTable`` (tableExtractor.py:144-164): pretreat → basic-info boxes →
+    per <table>: ul-list extraction, else heuristic filter → caption →
+    DOM→Table."""
+    root = html_pretreat(html)
+    tables = extract_basic_info_tables(root, lex.site_rule_dict, doc_id)
+    for tag in root.find_all("table"):
+        ul_tables = extract_list_table(tag)
+        if ul_tables:
+            tables.extend(ul_tables)
+        elif through_heuristic_rule(tag, tagger):
+            caption = get_caption(tag)   # NOTE: removes <caption> from tag
+            tables.append(change_tag_to_table(tag, caption))
+    return tables
+
+
+def extract_document(doc_id: str, spans: list[dict],
+                     lex: Lexicons = DEFAULT_LEXICONS,
+                     tagger: LexiconTagger | None = None) -> DocResult:
+    """Extract one interleaved document row ``(doc_id, spans)``.
+
+    ``spans`` is the input span list (dicts with kind/text/media_ref/offset).
+    The html chunks are concatenated in offset order into the page markup
+    (the reference's ``personUrlAndHtml.html`` column, MSSQL.py:26-30);
+    ``media`` input spans pass through to the output tail.
+    """
+    if tagger is None:
+        tagger = default_tagger()
+    res = DocResult(doc_id)
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    html = "".join(s["text"] for s in ordered if s["kind"] == "html")
+    res.tail_media = [("media", "", s["media_ref"]) for s in ordered
+                      if s["kind"] == "media"]
+    subject = subject_from_doc_id(doc_id)
+    tables = locate_tables(html, doc_id, lex, tagger)
+    for table in tables:
+        # per-table pipeline (tableExtractor.py:119-133)
+        table.href_map[subject] = doc_id
+        table.extend_table()
+        table.prefix = subject
+        if not (table.is_normal() and table.is_correct()):
+            continue
+        if table.get_unfold_direction(tagger) == "COL":
+            table = table.flip()
+        table.clear_table()
+        # spans reflect the CLEANED table, before triple extraction mutates
+        # it (extract_entity / extract_property_relationship delete columns)
+        _emit_table_spans(res.content_spans, table)
+        entities, relations = table.extract_entity_relationship(lex)
+        res.entities.extend(entities)
+        res.relations.extend(relations)
+        res.n_tables += 1
+    return res
+
+
+def _emit_table_spans(acc: list[Span], table: Table) -> None:
+    """Emit the span sequence for one extracted table (see module docstring
+    for the ordering contract)."""
+    acc.append(("text", str(table.name), ""))
+    for row in table.rows:
+        for cell in row:
+            acc.append(("table_cell", str(cell.content), ""))
+            for src in cell.img:
+                acc.append(("media", "", src))
+
+
+def extract_document_safe(doc_id: str, spans: list[dict],
+                          lex: Lexicons = DEFAULT_LEXICONS,
+                          tagger: LexiconTagger | None = None) -> DocResult:
+    """Extraction with quarantine semantics: any exception produces an empty
+    result carrying the error string (recorded deviation — the reference's
+    ``@except_output`` silently drops failed records,
+    src/tools/algorithm/exceptionCatch.py:10-35; we keep the row and mark
+    it so failed docs are countable and re-runnable)."""
+    try:
+        return extract_document(doc_id, spans, lex, tagger)
+    except Exception as e:  # noqa: BLE001 — quarantine boundary
+        res = DocResult(doc_id)
+        res.error = f"{type(e).__name__}: {e}"
+        return res

@@ -1,0 +1,285 @@
+"""Table locators: HTML pre-treatment, non-standard table extraction,
+heuristic filtering, caption lookup, DOM→Table conversion.
+
+Re-implements the reference's locator semantics (SURVEY.md §2 M1-M7):
+``htmlPreTreat`` (tableExtractor.py:519-537), basic-info box extraction
+(tableExtractor.py:258-321), ul-list tables (tableExtractor.py:337-386),
+heuristic rules 1-3 (tableExtractor.py:166-256), ``getCaption``
+(tableExtractor.py:453-500) and ``changeTig2Table`` (table.py:1179-1286) —
+on the stdlib DOM from :mod:`wtes_ray.dom`.
+
+These run per-document inside the Ray ``map_batches`` extraction UDF; all
+state (lexicons, site rule, tagger) is passed in, loaded once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .cleaners import clean_cell_text
+from .dom import Element, TextNode, parse_html
+from .lexicons import DEFAULT_SITE_RULE
+from .tablemodel import PERSON_INFO, UNNAMED, Cell, Table
+from .wordtype import LexiconTagger
+
+_TITLE_CLASS = re.compile(r"^.*title.*$")
+
+# Anchor hrefs are absolutized against the reference's site root
+# (table.py:1202: ``'https://baike.baidu.com' + href``).
+HREF_PREFIX = "https://baike.baidu.com"
+
+
+def html_pretreat(html: str) -> Element:
+    """M1 (tableExtractor.py:519-537): strip ``\\r\\t\\n``, parse, drop
+    comments (at parse time), remove <script>/<style>/<article>/<code>."""
+    html = html.replace("\r", "").replace("\t", "").replace("\n", "")
+    root = parse_html(html)
+    for name in ("script", "style", "article", "code"):
+        for el in root.find_all(name):
+            el.extract()
+    return root
+
+
+def _replace_brs(el: Element) -> None:
+    """``<br>`` → "/" inside a basic-info cell (tableExtractor.py:306-308)."""
+    for br in el.find_all("br"):
+        br.replace_with_text("/")
+
+
+def extract_basic_info_tables(root: Element, rule: dict | None,
+                              doc_url: str) -> list[Table]:
+    """M3 (tableExtractor.py:258-321): per-site rule finds nodes whose class
+    matches (default ``basic-info cmn-clearfix``); ``<dt>``/``<dd>`` pairs
+    become an n×2 COL-direction table; ``<br>``→"/", NBSP and ``[n]`` refs
+    stripped; first property ∈ {本名, 中文名} marks a person-info table and
+    maps its subject to the page URL."""
+    rule = rule if rule is not None else DEFAULT_SITE_RULE
+    tables: list[Table] = []
+    class_name = rule.get("class")
+    if not class_name:
+        return tables
+    pattern = re.compile(class_name)
+    for box in root.find_all(attrs={"class": pattern}):
+        dts: list[Element] = []
+        dds: list[Element] = []
+        for dl in box.find_all("dl"):
+            dts.extend(dl.find_all("dt"))
+            dds.extend(dl.find_all("dd"))
+        if len(dts) != len(dds) or not dts:
+            continue
+        rows: list[list[Cell]] = []
+        for dt, dd in zip(dts, dds):
+            row = []
+            for item in (dt, dd):
+                _replace_brs(item)
+                text = clean_cell_text(str(item.text))
+                row.append(Cell(text))
+            rows.append(row)
+        table = Table(rows)
+        table.unfold_direction = "COL"
+        if str(table.rows[0][0].content) in ("本名", "中文名"):
+            table.href_map[str(table.rows[0][1].content)] = doc_url
+            table.table_type = PERSON_INFO
+        tables.append(table)
+    return tables
+
+
+def extract_list_table(tag: Element) -> list[Table]:
+    """M4 (tableExtractor.py:337-386): ``<table>`` whose body is
+    ``class='normal title-td'`` titles + ``<ul>`` lists; each ``<li>``'s
+    ``<span>``s become cells; '▪' bullet spans are skipped. Returns [] when
+    the title/ul counts differ (the caller then falls through to the
+    heuristic path)."""
+    tables: list[Table] = []
+    titles = tag.find_all(class_="normal title-td")
+    uls = tag.find_all("ul")
+    if len(titles) != len(uls):
+        return tables
+    for title, ul in zip(titles, uls):
+        caption = title.text
+        rows: list[list[Cell]] = []
+        for li in ul.children:
+            if not isinstance(li, Element):
+                continue
+            row: list[Cell] = []
+            for span in li.find_all("span"):
+                if span.text == "▪":
+                    continue
+                text = span.text.strip()
+                href = {}
+                for a in span.find_all("a"):
+                    if a.has_attr("href"):
+                        href[a.text] = a["href"]   # NOTE: raw href, no site
+                        # prefix — matches tableExtractor.py:367-371
+                img_src = [img["src"] for img in span.find_all("img")
+                           if img.has_attr("src")]
+                row.append(Cell(text, href=href, img=img_src,
+                                tag_name="span"))
+            rows.append(row)
+        if rows:
+            tables.append(Table(rows, name=str(caption)))
+    return tables
+
+
+def through_heuristic_rule(tag: Element, tagger: LexiconTagger) -> bool:
+    """M5 (tableExtractor.py:166-256): the three heuristic filters. Any
+    navigation error rejects the table (the reference's ``@except_output``
+    swallows the exception and returns a falsy None)."""
+    try:
+        return (_rule1(tag) and _rule2(tag)
+                and _rule3(tag, tagger))
+    except (AttributeError, IndexError, TypeError):
+        return False
+
+
+def _rule1(tag: Element) -> bool:
+    """Structurally ≥2 rows and ≥2 cols (tableExtractor.py:173-190) —
+    mirrors the reference's bs4 walk: first node, skip caption, skip a
+    single-cell row, then check the next row/cell widths."""
+    if len(tag.contents) < 2:
+        return False
+    now = tag.next_element
+    if now.name == "caption":
+        now = now.next_sibling
+    if len(now.contents) == 1:
+        now = now.next_sibling
+    if len(now.next.contents) >= 2 or len(now.contents) >= 2:
+        return True
+    return False
+
+
+def _rule2(tag: Element) -> bool:
+    """Not link/script/image-dense (tableExtractor.py:192-228). The
+    reference's nested-subtable count is always 0 (its descendant probe never
+    matches — tableExtractor.py:202-206), so only the href/script/img density
+    tests are live."""
+    hrefs = tag.find_all("a", href=True)
+    scripts = tag.find_all("script")
+    imgs = tag.find_all("img")
+    thead = tag.find("thead")
+    tbody = tag.find("tbody")
+    if thead and tbody:
+        rows = len(thead.contents) + len(tbody.contents)
+        cols = len(thead.next.contents)
+    else:
+        ul = tag.find("ul")
+        if ul:
+            rows = len(ul.contents) + 1
+            cols = len(ul.contents) - 1
+        else:
+            rows = len(tag.contents)
+            now = tag.contents[0]
+            if now.name == "caption":
+                now = now.next_sibling
+            cols = len(now.contents)
+    if len(hrefs) > rows * cols * 2 or len(scripts) > 1 \
+            or len(imgs) > rows * cols / 2:
+        return False
+    return True
+
+
+def _rule3(tag: Element, tagger: LexiconTagger) -> bool:
+    """A noun occurs in the first 2 rows (tableExtractor.py:230-254);
+    HanLP's ``nature == "n"`` count is replaced by the deterministic lexicon
+    tagger (SURVEY.md §7.0)."""
+    contents = tag.contents
+    if len(contents) < 2:
+        return False
+    for row in contents[0:2]:
+        if row.name == "caption":
+            continue
+        for cell in row.contents:
+            if tagger.has_noun(cell.text):
+                return True
+    return False
+
+
+def _node_text(node) -> str:
+    if isinstance(node, TextNode):
+        return node.data
+    if isinstance(node, Element):
+        return node.text
+    return str(node)
+
+
+def get_caption(tag: Element) -> str:
+    """M6 (tableExtractor.py:453-500): caption = ``<caption>`` (extracted and
+    removed from the table) else walk up to 2 previous siblings looking for a
+    ``class~'title'`` node or a short (<20 chars) single text child."""
+    caption = UNNAMED
+    temp = tag.find("caption")
+    if temp:
+        caption = temp.text
+        for c in tag.find_all("caption"):
+            c.extract()
+        return str(caption)
+    prev = tag.previous_sibling
+    if prev is None:
+        return str(caption)
+    title = prev.find(attrs={"class": _TITLE_CLASS}) \
+        if isinstance(prev, Element) else None
+    if title:
+        if len(title.contents) == 2:
+            caption = _node_text(title.contents[1])
+        elif len(title.contents) == 1:
+            # single-child title returns immediately (tableExtractor.py:476)
+            return str(_node_text(title.contents[0]))
+    else:
+        if len(prev.contents) == 1:
+            child = prev.contents[0]
+            if isinstance(child, TextNode):
+                if 0 < len(child.data) < 20:
+                    caption = child.data
+            else:
+                if 0 < len(child.children) < 20:
+                    caption = child.text
+    prev2 = prev.previous_sibling
+    if prev2 is not None and isinstance(prev2, Element):
+        title = prev2.find(attrs={"class": _TITLE_CLASS})
+        if title:
+            if len(title.contents) == 2:
+                caption = _node_text(title.contents[1])
+            elif len(title.contents) == 1:
+                caption = _node_text(title.contents[0])
+    return str(caption)
+
+
+def _cell_from_tag(tag: Element) -> Cell:
+    """(table.py:1188-1218 ``changeTag2TableItem``)"""
+    href: dict[str, str] = {}
+    for a in tag.find_all("a"):
+        if a.has_attr("href"):
+            href[a.text] = HREF_PREFIX + a["href"]
+    img_src = [img["src"] for img in tag.find_all("img") if img.has_attr("src")]
+    rowspan = colspan = 1
+    if tag.has_attr("rowspan"):
+        rowspan = int(tag["rowspan"])
+    if tag.has_attr("colspan"):
+        colspan = int(tag["colspan"])
+    content = clean_cell_text(tag.text)
+    return Cell(content, rowspan=rowspan, colspan=colspan, href=href,
+                img=img_src, tag_name=tag.name)
+
+
+def change_tag_to_table(tag: Element, caption: str = UNNAMED,
+                        prefix: str | None = None) -> Table:
+    """M7 (table.py:1179-1286): ``<thead>/<tbody>``-aware DOM→Table
+    conversion; per cell collects hrefs (site-prefixed), image srcs,
+    rowspan/colspan and the tag name."""
+    rows: list[list[Cell]] = []
+    thead = tag.find("thead")
+    tbody = tag.find("tbody")
+    if thead and tbody:
+        sections = (thead, tbody)
+    else:
+        sections = (tag,)
+    for section in sections:
+        for row in section.children:
+            if not isinstance(row, Element):
+                continue
+            cells = [_cell_from_tag(c) for c in row.children
+                     if isinstance(c, Element)]
+            rows.append(cells)
+    table = Table(rows, name=str(caption))
+    table.prefix = prefix
+    return table

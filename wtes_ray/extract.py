@@ -10,13 +10,16 @@ ROW direction (flip) → clean → classify → extract entity/relation triples.
 Output span-sequence definition (the north rule's per-row invariant — the
 reference has no span concept, its outputs are pickles/JSON, so this ordering
 contract is OURS and is shared verbatim by oracle and pipeline):
-  For each extracted (normal ∧ correct) table, in document order, after
-  clear_table:
+  Tables are processed in the reference's order (tableExtractor.py:150-164):
+  ALL basic-info-box tables first (in document order), then the ``<table>``
+  tag tables (in document order). For each extracted (normal ∧ correct)
+  table, after clear_table:
     1. one ``text`` span carrying the table caption (``name``),
     2. one ``table_cell`` span per cell in row-major order,
     3. one ``media`` span per cell image src, inline right after its cell.
   After all tables: one ``media`` span per input span of kind "media",
   in input offset order. Offsets are assigned 0..n-1 over the final sequence.
+  Entities and relations follow the same table order.
 
 Partitioning assumption for the salted mega-doc path (SURVEY.md §4.2): each
 input ``html`` span is a self-contained block-level fragment (a table and its
@@ -44,13 +47,32 @@ Span = tuple[str, str, str]  # (kind, text, media_ref) — offset assigned later
 
 @dataclass
 class DocResult:
+    """Per-document extraction output, kept in the ordered groups the salted
+    reassembly needs (basic-info tables precede tag tables globally, so a
+    chunked run must concatenate group-wise — pipeline._reassemble_doc)."""
+
     doc_id: str
-    content_spans: list[Span] = field(default_factory=list)
+    basic_spans: list[Span] = field(default_factory=list)
+    tag_spans: list[Span] = field(default_factory=list)
     tail_media: list[Span] = field(default_factory=list)
-    entities: list = field(default_factory=list)
-    relations: list = field(default_factory=list)
+    basic_entities: list = field(default_factory=list)
+    tag_entities: list = field(default_factory=list)
+    basic_relations: list = field(default_factory=list)
+    tag_relations: list = field(default_factory=list)
     n_tables: int = 0
     error: str = ""
+
+    @property
+    def content_spans(self) -> list[Span]:
+        return self.basic_spans + self.tag_spans
+
+    @property
+    def entities(self) -> list:
+        return self.basic_entities + self.tag_entities
+
+    @property
+    def relations(self) -> list:
+        return self.basic_relations + self.tag_relations
 
     @property
     def spans(self) -> list[tuple[str, str, str, int]]:
@@ -78,12 +100,14 @@ def subject_from_doc_id(doc_id: str) -> str:
 
 
 def locate_tables(html: str, doc_id: str, lex: Lexicons,
-                  tagger: LexiconTagger) -> list[Table]:
+                  tagger: LexiconTagger) -> tuple[list[Table], int]:
     """``getTable`` (tableExtractor.py:144-164): pretreat → basic-info boxes →
     per <table>: ul-list extraction, else heuristic filter → caption →
-    DOM→Table."""
+    DOM→Table. Returns (tables, n_basic) — the first ``n_basic`` tables come
+    from basic-info boxes (the reference prepends them all)."""
     root = html_pretreat(html)
     tables = extract_basic_info_tables(root, lex.site_rule_dict, doc_id)
+    n_basic = len(tables)
     for tag in root.find_all("table"):
         ul_tables = extract_list_table(tag)
         if ul_tables:
@@ -91,7 +115,7 @@ def locate_tables(html: str, doc_id: str, lex: Lexicons,
         elif through_heuristic_rule(tag, tagger):
             caption = get_caption(tag)   # NOTE: removes <caption> from tag
             tables.append(change_tag_to_table(tag, caption))
-    return tables
+    return tables, n_basic
 
 
 def extract_document(doc_id: str, spans: list[dict],
@@ -112,8 +136,12 @@ def extract_document(doc_id: str, spans: list[dict],
     res.tail_media = [("media", "", s["media_ref"]) for s in ordered
                       if s["kind"] == "media"]
     subject = subject_from_doc_id(doc_id)
-    tables = locate_tables(html, doc_id, lex, tagger)
-    for table in tables:
+    tables, n_basic = locate_tables(html, doc_id, lex, tagger)
+    for idx, table in enumerate(tables):
+        is_basic = idx < n_basic
+        span_acc = res.basic_spans if is_basic else res.tag_spans
+        ent_acc = res.basic_entities if is_basic else res.tag_entities
+        rel_acc = res.basic_relations if is_basic else res.tag_relations
         # per-table pipeline (tableExtractor.py:119-133)
         table.href_map[subject] = doc_id
         table.extend_table()
@@ -125,10 +153,10 @@ def extract_document(doc_id: str, spans: list[dict],
         table.clear_table()
         # spans reflect the CLEANED table, before triple extraction mutates
         # it (extract_entity / extract_property_relationship delete columns)
-        _emit_table_spans(res.content_spans, table)
+        _emit_table_spans(span_acc, table)
         entities, relations = table.extract_entity_relationship(lex)
-        res.entities.extend(entities)
-        res.relations.extend(relations)
+        ent_acc.extend(entities)
+        rel_acc.extend(relations)
         res.n_tables += 1
     return res
 

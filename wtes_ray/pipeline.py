@@ -1,0 +1,460 @@
+"""The Ray Data extraction pipeline.
+
+Physical plan (SURVEY.md §7.2, re-expressing tableExtractor.py's queue-polling
+threads as a streaming Dataset pipeline):
+
+    read_parquet(documents)                      # Lance-shaped input table
+      → map_batches(split_and_key)               # stateless: doc_id-hash part
+                                                 # key + salted mega-doc split
+      → map_batches(ExtractChunks, actor pool)   # lexicons/tagger loaded once
+                                                 # per actor (__init__)
+      → groupby("part").map_groups(writer)       # ONE shuffle: co-locates all
+                                                 # chunks of a doc (same hash
+                                                 # key), reassembles salted
+                                                 # giants, writes the partition
+                                                 # parquet + checkpoint
+                                                 # manifest atomically
+      → manifests (tiny) collected on the driver
+
+Scale posture:
+  - the only all-to-all exchange is the partitioned checkpoint write, which a
+    resumable layout needs anyway; P (``num_partitions``) is chosen ≈ 4× total
+    cores and scales with the cluster;
+  - skewed mega-documents are salted at the split stage: their spans are
+    chunked into independent rows that extract in parallel and re-stitch
+    inside the writer group (the chunks of a doc share its hash key, so
+    reassembly is free — no extra shuffle);
+  - resume: completed partitions are read from the manifest dir and dropped
+    at the split stage (vectorized anti-filter), before any extraction work;
+  - downstream triple stages (dedup, fusion) read the checkpoint back instead
+    of re-executing extraction (Datasets are single-consumer; the checkpoint
+    doubles as the branch point).
+
+Downstream wide ops:
+  - relation dedup (D6): per-batch pre-dedup then global groupby on the
+    5-tuple — the partial combine keeps the shuffle small;
+  - entity fusion (J1/A3): groupby(subject) + the pure group-local fusion in
+    :mod:`wtes_ray.fusion`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .extract import extract_document_safe
+from .lexicons import DEFAULT_LEXICONS, Lexicons
+from .schema import DOCUMENTS, EXTRACTED, SPAN_STRUCT, validate
+from .wordtype import LexiconTagger
+
+# chunk-level intermediate schema: EXTRACTED + salting bookkeeping
+CHUNKED = pa.schema(
+    list(EXTRACTED) + [
+        ("chunk", pa.int32()),
+        ("n_chunks", pa.int32()),
+        ("n_tail", pa.int32()),            # trailing media spans in chunk
+        ("n_basic_spans", pa.int32()),     # leading basic-info-table spans
+        ("n_basic_entities", pa.int32()),
+        ("n_basic_relations", pa.int32()),
+    ]
+)
+
+DEFAULT_MAX_SPANS_PER_CHUNK = 64
+
+
+def _part_of(doc_id: str, num_partitions: int) -> int:
+    return zlib.crc32(doc_id.encode("utf-8")) % num_partitions
+
+
+def read_documents(path: str, **kwargs) -> ray.data.Dataset:
+    """Source: the interleaved documents table (S2). Parquet here; swap to
+    ``ray.data.read_lance`` where Lance exists (SURVEY.md §7.0)."""
+    return ray.data.read_parquet(path, columns=["doc_id", "spans"], **kwargs)
+
+
+def split_and_key(batch: pa.Table, *, num_partitions: int,
+                  max_spans_per_chunk: int = DEFAULT_MAX_SPANS_PER_CHUNK,
+                  skip_parts: frozenset[int] | None = None) -> pa.Table:
+    """Stateless pre-pass: assign the doc_id-hash partition key, drop
+    already-completed partitions (resume), and salt giant documents by
+    splitting their span lists into independent chunk rows (SURVEY.md §4.2).
+
+    Common-case rows (≤ max_spans_per_chunk spans) pass through zero-copy;
+    only giants are materialized to Python for slicing.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    parts = np.fromiter((_part_of(d, num_partitions) for d in doc_ids),
+                        dtype=np.int32, count=len(doc_ids))
+    keep = np.ones(len(doc_ids), dtype=bool)
+    if skip_parts:
+        keep = ~np.isin(parts, list(skip_parts))
+    lens = pc.list_value_length(batch.column("spans")).to_numpy(
+        zero_copy_only=False)
+    giant = (lens > max_spans_per_chunk) & keep
+    common = keep & ~giant
+
+    out_tables = []
+    if common.any():
+        idx = np.nonzero(common)[0]
+        sub = batch.take(pa.array(idx))
+        n = len(idx)
+        sub = sub.append_column("part", pa.array(parts[idx], pa.int32()))
+        sub = sub.append_column("chunk", pa.array(np.zeros(n, np.int32)))
+        sub = sub.append_column("n_chunks", pa.array(np.ones(n, np.int32)))
+        out_tables.append(sub)
+    if giant.any():
+        rows = {"doc_id": [], "spans": [], "part": [], "chunk": [],
+                "n_chunks": []}
+        spans_col = batch.column("spans")
+        for i in np.nonzero(giant)[0]:
+            spans = spans_col[int(i)].as_py()
+            spans.sort(key=lambda s: s["offset"])
+            n_chunks = -(-len(spans) // max_spans_per_chunk)
+            for c in range(n_chunks):
+                rows["doc_id"].append(doc_ids[int(i)])
+                rows["spans"].append(
+                    spans[c * max_spans_per_chunk:(c + 1) * max_spans_per_chunk])
+                rows["part"].append(int(parts[int(i)]))
+                rows["chunk"].append(c)
+                rows["n_chunks"].append(n_chunks)
+        out_tables.append(pa.table(
+            {"doc_id": pa.array(rows["doc_id"], pa.string()),
+             "spans": pa.array(rows["spans"], pa.list_(SPAN_STRUCT)),
+             "part": pa.array(rows["part"], pa.int32()),
+             "chunk": pa.array(rows["chunk"], pa.int32()),
+             "n_chunks": pa.array(rows["n_chunks"], pa.int32())}))
+    if not out_tables:
+        empty = batch.slice(0, 0)
+        empty = empty.append_column("part", pa.array([], pa.int32()))
+        empty = empty.append_column("chunk", pa.array([], pa.int32()))
+        empty = empty.append_column("n_chunks", pa.array([], pa.int32()))
+        return empty
+    return pa.concat_tables(out_tables, promote_options="default")
+
+
+class ExtractChunks:
+    """Stateful extraction stage (ST1/ST4): an actor-pool ``map_batches``
+    class UDF — lexicons and the POS tagger are built ONCE per actor here,
+    not per batch (the reference re-reads its lexicon JSONs per cell,
+    table.py:713 et al.; see SURVEY.md §2.3)."""
+
+    def __init__(self, lexicons: Lexicons | None = None):
+        self.lex = lexicons or DEFAULT_LEXICONS
+        self.tagger = LexiconTagger(self.lex)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        parts = batch.column("part").to_pylist()
+        chunks = batch.column("chunk").to_pylist()
+        n_chunks = batch.column("n_chunks").to_pylist()
+
+        out = {name: [] for name in CHUNKED.names}
+        for i, doc_id in enumerate(doc_ids):
+            res = extract_document_safe(doc_id, spans_col[i], self.lex,
+                                        self.tagger)
+            spans = [{"kind": k, "text": t, "media_ref": m, "offset": o}
+                     for k, t, m, o in res.spans]
+            out["doc_id"].append(doc_id)
+            out["part"].append(parts[i])
+            out["spans"].append(spans)
+            out["entities_json"].append(res.entities_json)
+            out["relations_json"].append(res.relations_json)
+            out["n_tables"].append(res.n_tables)
+            out["n_spans"].append(len(spans))
+            out["n_entities"].append(len(res.entities))
+            out["n_relations"].append(len(res.relations))
+            out["error"].append(res.error)
+            out["chunk"].append(chunks[i])
+            out["n_chunks"].append(n_chunks[i])
+            out["n_tail"].append(len(res.tail_media))
+            out["n_basic_spans"].append(len(res.basic_spans))
+            out["n_basic_entities"].append(len(res.basic_entities))
+            out["n_basic_relations"].append(len(res.basic_relations))
+        arrays = [pa.array(out[f.name], f.type) for f in CHUNKED]
+        return pa.Table.from_arrays(arrays, schema=CHUNKED)
+
+
+def _reassemble_doc(rows: list[dict]) -> dict:
+    """Re-stitch a salted giant doc from its chunk rows, preserving the
+    whole-doc ordering contract (extract.py module docstring): ALL basic-info
+    table output (chunk order) precedes ALL tag-table output (chunk order),
+    then the input media tail (chunk order). Same grouping for entities and
+    relations. Offsets reassigned over the final sequence."""
+    rows = sorted(rows, key=lambda r: r["chunk"])
+    basic, tag, tail = [], [], []
+    basic_ents, tag_ents, basic_rels, tag_rels = [], [], [], []
+    n_tables = 0
+    errors = []
+    for r in rows:
+        spans = r["spans"]
+        nb, nt = r["n_basic_spans"], r["n_tail"]
+        cut = len(spans) - nt
+        basic.extend(spans[:nb])
+        tag.extend(spans[nb:cut])
+        tail.extend(spans[cut:])
+        ents = json.loads(r["entities_json"])
+        basic_ents.extend(ents[:r["n_basic_entities"]])
+        tag_ents.extend(ents[r["n_basic_entities"]:])
+        rels = json.loads(r["relations_json"])
+        basic_rels.extend(rels[:r["n_basic_relations"]])
+        tag_rels.extend(rels[r["n_basic_relations"]:])
+        n_tables += r["n_tables"]
+        if r["error"]:
+            errors.append(r["error"])
+    seq = basic + tag + tail
+    for off, s in enumerate(seq):
+        s["offset"] = off
+    entities = basic_ents + tag_ents
+    relations = basic_rels + tag_rels
+    return {
+        "doc_id": rows[0]["doc_id"], "part": rows[0]["part"], "spans": seq,
+        "entities_json": json.dumps(entities, ensure_ascii=False),
+        "relations_json": json.dumps(relations, ensure_ascii=False),
+        "n_tables": n_tables, "n_spans": len(seq),
+        "n_entities": len(entities), "n_relations": len(relations),
+        "error": "; ".join(errors),
+    }
+
+
+def make_partition_writer(out_dir: str):
+    """Returns the ``map_groups`` writer for one hash partition: reassembles
+    salted docs, writes ``part=NNNN/data.parquet`` atomically (tmp + rename)
+    and the checkpoint manifest with lineage + counts (SURVEY.md §4.2
+    checkpoint/resume row). Emits the manifest row."""
+
+    def write_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int32())})
+        part = group.column("part")[0].as_py()
+        rows = group.to_pylist()
+        singles = [r for r in rows if r["n_chunks"] == 1]
+        chunked: dict[str, list[dict]] = {}
+        for r in rows:
+            if r["n_chunks"] > 1:
+                chunked.setdefault(r["doc_id"], []).append(r)
+        finals = [{k: r[k] for k in EXTRACTED.names} for r in singles]
+        finals.extend(_reassemble_doc(ch) for ch in chunked.values())
+        finals.sort(key=lambda r: r["doc_id"])
+
+        table = pa.Table.from_pylist(finals, schema=EXTRACTED)
+        part_dir = os.path.join(out_dir, f"part={part:05d}")
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, f".tmp-part-{part:05d}-{os.getpid()}")
+        import pyarrow.parquet as pq
+        pq.write_table(table, tmp)
+        os.makedirs(part_dir, exist_ok=True)
+        os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+
+        h = hashlib.sha1()
+        for r in finals:
+            h.update(f"{r['doc_id']}:{r['n_spans']}".encode())
+        manifest = {
+            "part": part,
+            "n_docs": len(finals),
+            "n_spans": int(sum(r["n_spans"] for r in finals)),
+            "n_entities": int(sum(r["n_entities"] for r in finals)),
+            "n_relations": int(sum(r["n_relations"] for r in finals)),
+            "n_errors": int(sum(1 for r in finals if r["error"])),
+            "content_hash": h.hexdigest(),
+            "lineage": json.dumps({
+                "doc_id_min": finals[0]["doc_id"] if finals else "",
+                "doc_id_max": finals[-1]["doc_id"] if finals else "",
+                "n_chunk_rows": len(rows),
+            }),
+        }
+        man_dir = os.path.join(out_dir, "_manifests")
+        os.makedirs(man_dir, exist_ok=True)
+        man_tmp = os.path.join(man_dir, f".tmp-{part:05d}-{os.getpid()}")
+        with open(man_tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(man_tmp, os.path.join(man_dir, f"part-{part:05d}.json"))
+        return pa.Table.from_pylist([manifest])
+
+    return write_partition
+
+
+def completed_parts(out_dir: str) -> frozenset[int]:
+    """Partitions already checkpointed (manifest exists ⇒ data file was
+    renamed into place first)."""
+    man_dir = os.path.join(out_dir, "_manifests")
+    if not os.path.isdir(man_dir):
+        return frozenset()
+    parts = set()
+    for name in os.listdir(man_dir):
+        if name.startswith("part-") and name.endswith(".json"):
+            parts.add(int(name[5:-5]))
+    return frozenset(parts)
+
+
+def run_extract_pipeline(input_path: str, out_dir: str, *,
+                         num_partitions: int = 64,
+                         max_spans_per_chunk: int = DEFAULT_MAX_SPANS_PER_CHUNK,
+                         concurrency: int | tuple | None = None,
+                         batch_size: int = 32,
+                         lexicons: Lexicons | None = None,
+                         resume: bool = False) -> dict:
+    """Run the full extraction pipeline; returns the rolled-up manifest
+    summary. Idempotent per partition; ``resume=True`` skips completed
+    partitions before any extraction work."""
+    skip = completed_parts(out_dir) if resume else frozenset()
+    ds = read_documents(input_path)
+    ds = ds.map_batches(
+        split_and_key, batch_format="pyarrow",
+        fn_kwargs={"num_partitions": num_partitions,
+                   "max_spans_per_chunk": max_spans_per_chunk,
+                   "skip_parts": skip})
+    if concurrency is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, n_cpus))
+    ds = ds.map_batches(ExtractChunks, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=concurrency,
+                        num_cpus=1,
+                        fn_constructor_kwargs={"lexicons": lexicons})
+    manifests = ds.groupby("part").map_groups(
+        make_partition_writer(out_dir), batch_format="pyarrow")
+    rows = manifests.take_all()   # tiny: one row per partition
+    summary = {
+        "n_parts": len(rows) + len(skip),
+        "n_parts_skipped": len(skip),
+        "n_docs": sum(r.get("n_docs", 0) for r in rows),
+        "n_spans": sum(r.get("n_spans", 0) for r in rows),
+        "n_entities": sum(r.get("n_entities", 0) for r in rows),
+        "n_relations": sum(r.get("n_relations", 0) for r in rows),
+        "n_errors": sum(r.get("n_errors", 0) for r in rows),
+    }
+    return summary
+
+
+def load_extracted(out_dir: str) -> ray.data.Dataset:
+    """Read the extraction checkpoint back (already reassembled)."""
+    return ray.data.read_parquet(
+        [os.path.join(out_dir, d, "data.parquet")
+         for d in sorted(os.listdir(out_dir)) if d.startswith("part=")])
+
+
+# ---------------------------------------------------------------------------
+# Downstream: entities / relations datasets, dedup, fusion
+# ---------------------------------------------------------------------------
+
+def _explode_entities(batch: pa.Table) -> pa.Table:
+    out = {"doc_id": [], "seq": [], "subject": [], "subject_url": [],
+           "props": []}
+    for doc_id, ej in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("entities_json").to_pylist()):
+        for seq, ent in enumerate(json.loads(ej)):
+            (name, url), props = ent[0], ent[1]
+            out["doc_id"].append(doc_id)
+            out["seq"].append(seq)
+            out["subject"].append(name)
+            out["subject_url"].append(url)
+            out["props"].append(list(props.items()))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.string()),
+        "seq": pa.array(out["seq"], pa.int32()),
+        "subject": pa.array(out["subject"], pa.string()),
+        "subject_url": pa.array(out["subject_url"], pa.string()),
+        "props": pa.array(out["props"], pa.map_(pa.string(), pa.string())),
+    })
+
+
+def entities_dataset(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    """S5-equivalent: structured entity rows instead of JSON blobs."""
+    return extracted.select_columns(["doc_id", "entities_json"]).map_batches(
+        _explode_entities, batch_format="pyarrow")
+
+
+def _explode_relations(batch: pa.Table) -> pa.Table:
+    out = {k: [] for k in ("doc_id", "s_name", "s_url", "rel", "o_name",
+                           "o_url")}
+    for doc_id, rj in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("relations_json").to_pylist()):
+        for (s_name, s_url), rel, (o_name, o_url) in json.loads(rj):
+            out["doc_id"].append(doc_id)
+            out["s_name"].append(s_name)
+            out["s_url"].append(s_url)
+            out["rel"].append(rel)
+            out["o_name"].append(o_name)
+            out["o_url"].append(o_url)
+    return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
+
+
+def relations_dataset(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    return extracted.select_columns(["doc_id", "relations_json"]).map_batches(
+        _explode_relations, batch_format="pyarrow")
+
+
+_REL_KEY = ["s_name", "s_url", "rel", "o_name", "o_url"]
+
+
+def _batch_dedup_relations(batch: pa.Table) -> pa.Table:
+    """Partial combine before the shuffle: keep the first (min doc_id) row
+    per 5-tuple within the batch."""
+    df = batch.to_pandas()
+    df = df.sort_values("doc_id").drop_duplicates(_REL_KEY, keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def dedup_relations(relations: ray.data.Dataset) -> ray.data.Dataset:
+    """D6: exact dedup by the 5-tuple — per-batch pre-dedup then a global
+    groupby keeping the first (min doc_id) occurrence (the reference freely
+    re-creates duplicate Neo4j relationships, peronGraph.py:90-116; dedup is
+    the documented correction)."""
+    pre = relations.map_batches(_batch_dedup_relations, batch_format="pyarrow")
+
+    def first_row(g):
+        return g.sort_values("doc_id").head(1)
+
+    return pre.groupby(_REL_KEY).map_groups(first_row, batch_format="pandas")
+
+
+def build_nodes(entities: ray.data.Dataset) -> ray.data.Dataset:
+    """J1/A3: entity fusion → nodes Dataset (grouped by subject name; the
+    URL-containment matching stays group-local, fusion.py)."""
+    from .fusion import fuse_entity_group
+
+    def fuse_group(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        for r in rows:
+            r["props"] = dict(r["props"])
+        nodes = fuse_entity_group(rows)
+        for n in nodes:
+            n["props"] = list(n["props"].items())
+        if not nodes:
+            return pa.table({
+                "name": pa.array([], pa.string()),
+                "url": pa.array([], pa.string()),
+                "props": pa.array([], pa.map_(pa.string(), pa.string())),
+                "n_sources": pa.array([], pa.int64())})
+        return pa.table({
+            "name": pa.array([n["name"] for n in nodes], pa.string()),
+            "url": pa.array([n["url"] for n in nodes], pa.string()),
+            "props": pa.array([n["props"] for n in nodes],
+                              pa.map_(pa.string(), pa.string())),
+            "n_sources": pa.array([n["n_sources"] for n in nodes],
+                                  pa.int64())})
+
+    return entities.groupby("subject").map_groups(fuse_group,
+                                                  batch_format="pyarrow")
+
+
+def generate_documents_ray(n_docs: int, out_path: str, *, seed: int = 42,
+                           giant_fraction: float = 0.0,
+                           parallelism: int = 32) -> None:
+    """Parallel deterministic input generation for bench-scale inputs (the
+    small-test path is gen.write_documents)."""
+    from .gen import generate_batch
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return generate_batch(batch.column("id").to_pylist(), seed=seed,
+                              giant_fraction=giant_fraction)
+
+    ds = ray.data.range(n_docs, override_num_blocks=parallelism)
+    ds.map_batches(gen, batch_format="pyarrow").write_parquet(out_path)

@@ -40,6 +40,8 @@ EXTRACTED = pa.schema(
         ("relations_json", pa.string()),         # reference-shaped triple list
         ("n_tables", pa.int32()),
         ("n_spans", pa.int32()),
+        ("n_entities", pa.int32()),
+        ("n_relations", pa.int32()),
         ("error", pa.string()),                  # "" = ok; else quarantined
     ]
 )

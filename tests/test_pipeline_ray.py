@@ -1,0 +1,119 @@
+"""Ray pipeline end-to-end tests: pipeline output == single-process oracle,
+dedup/fusion correctness, resume idempotence. Uses the session Ray fixture."""
+import json
+import os
+import shutil
+
+import pytest
+
+from wtes_ray import pipeline as P
+from wtes_ray.extract import extract_document_safe
+from wtes_ray.gen import generate_batch, write_documents
+
+N_DOCS = 30
+
+
+@pytest.fixture(scope="module")
+def docs_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    path = str(d / "docs.parquet")
+    write_documents(path, N_DOCS, giant_fraction=0.05)
+    return path
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session, docs_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "extracted")
+    summary = P.run_extract_pipeline(docs_path, out, num_partitions=4,
+                                     max_spans_per_chunk=8, batch_size=8,
+                                     concurrency=2)
+    return out, summary
+
+
+def _oracle_results():
+    tbl = generate_batch(range(N_DOCS), giant_fraction=0.05)
+    out = {}
+    for row in tbl.to_pylist():
+        r = extract_document_safe(row["doc_id"], row["spans"])
+        out[row["doc_id"]] = r
+    return out
+
+
+def test_pipeline_matches_oracle(extracted):
+    """North-rule gate: per-row span-sequence equality (kind, text,
+    media_ref, order) between the Ray pipeline and the oracle."""
+    out, summary = extracted
+    assert summary["n_docs"] == N_DOCS
+    assert summary["n_errors"] == 0
+    oracle = _oracle_results()
+    rows = P.load_extracted(out).take_all()
+    assert len(rows) == N_DOCS
+    for row in rows:
+        exp = oracle[row["doc_id"]]
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in row["spans"]]
+        assert got == exp.spans, f"spans differ for {row['doc_id']}"
+        assert json.loads(row["entities_json"]) == exp.entities
+        assert json.loads(row["relations_json"]) == exp.relations
+
+
+def test_manifests_written(extracted):
+    out, _ = extracted
+    parts = P.completed_parts(out)
+    assert len(parts) == 4
+    man = json.load(open(os.path.join(out, "_manifests", "part-00000.json")))
+    assert {"part", "n_docs", "n_spans", "content_hash",
+            "lineage"} <= set(man)
+
+
+def test_resume_skips_and_reproduces(ray_session, docs_path, extracted,
+                                     tmp_path):
+    out, _ = extracted
+    dst = str(tmp_path / "resume")
+    shutil.copytree(out, dst)
+    before = {r["doc_id"]: r for r in P.load_extracted(dst).take_all()}
+    shutil.rmtree(os.path.join(dst, "part=00002"))
+    os.remove(os.path.join(dst, "_manifests", "part-00002.json"))
+    s = P.run_extract_pipeline(docs_path, dst, num_partitions=4,
+                               max_spans_per_chunk=8, batch_size=8,
+                               concurrency=2, resume=True)
+    assert s["n_parts_skipped"] == 3
+    after = {r["doc_id"]: r for r in P.load_extracted(dst).take_all()}
+    assert set(after) == set(before)
+    for k in after:
+        assert after[k]["spans"] == before[k]["spans"]
+
+
+def test_relations_dedup(ray_session, extracted):
+    out, _ = extracted
+    rels = P.relations_dataset(P.load_extracted(out))
+    df = rels.to_pandas()
+    dd = P.dedup_relations(
+        P.relations_dataset(P.load_extracted(out))).to_pandas()
+    key = ["s_name", "s_url", "rel", "o_name", "o_url"]
+    exp = df.sort_values("doc_id").drop_duplicates(key, keep="first")
+    assert len(dd) == len(exp)
+    got = dd.sort_values(key).reset_index(drop=True)[key + ["doc_id"]]
+    want = exp.sort_values(key).reset_index(drop=True)[key + ["doc_id"]]
+    assert got.equals(want)
+
+
+def test_nodes_fusion(ray_session, extracted):
+    out, _ = extracted
+    ents = P.entities_dataset(P.load_extracted(out))
+    nodes = P.build_nodes(ents).take_all()
+    assert len(nodes) > 0
+    # driver-side check: group and fuse with the same pure function
+    from wtes_ray.fusion import fuse_entity_group
+    rows = P.entities_dataset(P.load_extracted(out)).take_all()
+    groups = {}
+    for r in rows:
+        r = dict(r)
+        r["props"] = dict(r["props"])
+        groups.setdefault(r["subject"], []).append(r)
+    expect = []
+    for g in groups.values():
+        expect.extend(fuse_entity_group(g))
+    exp_key = {(n["name"], n["url"]): n["props"] for n in expect}
+    got_key = {(n["name"], n["url"]): dict(n["props"]) for n in nodes}
+    assert got_key == exp_key

@@ -1,0 +1,150 @@
+"""Training-data ops tests (wtes_ray.ops.*) — dedup, similarity, text,
+multimodal plumbing."""
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wtes_ray.ops import dedup as D
+from wtes_ray.ops import similarity as S
+from wtes_ray.ops import text as T
+from wtes_ray.ops.multimodal import media_feature_pipeline
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight")
+    rows = []
+    for i in range(20):
+        if i in (5, 6):            # exact duplicates of doc 0
+            text = base
+        elif i == 7:               # near duplicate (one word changed)
+            text = base.replace("dark", "damp")
+        elif i == 0:
+            text = base
+        else:
+            text = f"document number {i} " + " ".join(
+                f"tok{i}_{j}" for j in range(30))
+        rows.append({"doc_id": i, "text": text})
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup(docs_ds):
+    out = D.exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 18            # 20 docs, 3 identical → keep 1
+    assert 0 in set(out["doc_id"])   # min id kept
+    assert not {5, 6} & set(out["doc_id"])
+
+
+def test_minhash_lsh_finds_near_dups(docs_ds):
+    pairs = D.minhash_lsh_pairs(docs_ds, threshold=0.6,
+                                concurrency=1).to_pandas()
+    got = {tuple(p) for p in pairs[["a", "b"]].itertuples(index=False)}
+    # the exact-dup cluster {0,5,6} must all pair up; near-dup 7 joins it
+    assert {(0, 5), (0, 6), (5, 6)} <= got
+    assert any(7 in p for p in got)
+    # unrelated docs don't pair
+    assert all({a, b} <= {0, 5, 6, 7} for a, b in got)
+
+
+def test_simhash_pairs(docs_ds):
+    pairs = D.simhash_pairs(docs_ds, concurrency=1).to_pandas()
+    got = {tuple(p) for p in pairs[["a", "b"]].itertuples(index=False)}
+    assert {(0, 5), (0, 6), (5, 6)} <= got
+    assert all({a, b} <= {0, 5, 6, 7} for a, b in got)
+
+
+def test_verify_pairs_jaccard(docs_ds):
+    pairs = D.minhash_lsh_pairs(docs_ds, threshold=0.6, concurrency=1)
+    verified = D.verify_pairs_jaccard(pairs, docs_ds,
+                                      threshold=0.9).to_pandas()
+    got = {tuple(p) for p in verified[["a", "b"]].itertuples(index=False)}
+    assert {(0, 5), (0, 6), (5, 6)} <= got
+    exact = verified[(verified.a == 0) & (verified.b == 5)]
+    assert float(exact["jaccard"].iloc[0]) == 1.0
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((50, 16))
+    vecs[7] = vecs[3] + 0.01 * rng.standard_normal(16)   # planted near-dup
+    return ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(50, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })), vecs
+
+
+def test_topk_cosine_matches_numpy(emb_ds):
+    ds, vecs = emb_ds
+    q = vecs[3]
+    out = S.topk_cosine(ds, q, k=5).to_pandas()
+    mat = np.stack([np.asarray(v, np.float64) for v in
+                    ds.to_pandas()["embedding"]])
+    qq = q / np.linalg.norm(q)
+    cos = (mat @ qq) / np.linalg.norm(mat, axis=1)
+    exp = np.argsort(-cos)[:5]
+    assert list(out["vec_id"]) == list(exp)
+    assert np.allclose(out["cosine"], cos[exp], atol=1e-9)
+
+
+def test_lsh_topk_includes_self_and_neardup(emb_ds):
+    ds, vecs = emb_ds
+    out = S.lsh_topk_cosine(ds, vecs[3], k=5, probe=2).to_pandas()
+    assert 3 in set(out["vec_id"])           # query's own bucket
+    assert 7 in set(out["vec_id"])           # planted near-dup
+
+
+def test_embedding_neardup_pairs(emb_ds):
+    ds, _ = emb_ds
+    pairs = D.embedding_neardup_pairs(ds, threshold=0.99).to_pandas()
+    assert (3, 7) in {tuple(p) for p in
+                      pairs[["a", "b"]].itertuples(index=False)}
+
+
+def test_text_scorer_and_fingerprints(docs_ds):
+    scored = docs_ds.map_batches(T.TextScorer, batch_format="pandas",
+                                 concurrency=1).to_pandas()
+    assert {"n_tokens", "punct_ratio", "lang_id", "quality"} <= set(scored)
+    row0 = scored[scored.doc_id == 0].iloc[0]
+    assert row0["lang_id"] == "en"
+    assert 0.0 <= row0["quality"] <= 1.0
+
+    fp = T.fingerprints(docs_ds).to_pandas()
+    texts = docs_ds.to_pandas().set_index("doc_id")["text"]
+    for _, r in fp.iterrows():
+        assert r["fp_md5"] == hashlib.md5(
+            texts[r["doc_id"]].encode()).hexdigest()
+    # identical docs share fingerprints
+    assert fp.set_index("doc_id").loc[0, "fp_roll"] == \
+        fp.set_index("doc_id").loc[5, "fp_roll"]
+
+
+def test_token_stats(docs_ds):
+    out = T.token_stats(docs_ds).to_pandas().set_index("doc_id")
+    texts = docs_ds.to_pandas().set_index("doc_id")["text"]
+    for i in (0, 10):
+        assert out.loc[i, "n_tokens"] == len(texts[i].split())
+        assert out.loc[i, "n_chars"] == len(texts[i])
+
+
+def test_multimodal_pipeline(ray_session):
+    import ray.data
+
+    docs = ray.data.from_pandas(pd.DataFrame({"doc_id": range(10)}))
+    out = media_feature_pipeline(docs, concurrency=1).to_pandas()
+    assert len(out) == 10
+    assert out["decoded"].all()
+    assert (out["width"] > 0).all()
+    for f in out["features"]:
+        assert abs(sum(f) - 1.0) < 1e-4   # features rounded to 6 decimals
+    # deterministic across runs
+    out2 = media_feature_pipeline(docs, concurrency=1).to_pandas()
+    assert out.drop(columns=["features"]).equals(
+        out2.drop(columns=["features"]))

@@ -1,0 +1,14 @@
+"""Large-scale training-data operations over Ray Data.
+
+Beyond the reference's operator set (SURVEY.md §2), these are the operations
+a 100 TB training-data pipeline needs as first-class components: text
+analysis (language id, quality scoring, token counting, fingerprinting),
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard verification,
+embedding near-dup), similarity search (brute-force and LSH-bucketed
+cosine top-k), and multimodal column plumbing (opaque binary payloads with
+typed metadata and actor-pool decode stages).
+
+All stages follow the engine's rules: vectorized map_batches bodies,
+actor pools for stateful stages, partial aggregation before any shuffle,
+broadcast small sides, deterministic seeds.
+"""

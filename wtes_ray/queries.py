@@ -1,0 +1,610 @@
+"""Driver-facing query registry: every pipeline exposed through
+``__ray_entry__.queries()`` with its DuckDB oracle SQL where the semantics
+are SQL-expressible (the driver's correctness gate).
+
+Conventions (driver compare: row-count + schema + order-insensitive
+value-hash over columns sorted by name):
+  - aggregate/computed column names MATCH the SQL aliases exactly;
+  - float aggregates are rounded identically on both sides (sums → 2dp,
+    ratios/averages/cosines → 6dp) to kill summation-order ULP drift;
+  - int aggregates are cast to BIGINT in SQL (DuckDB SUM(int)→HUGEINT);
+  - embeddings are cast to DOUBLE[] in SQL so DuckDB's cosine runs in
+    float64 like the numpy side.
+
+Each callable takes ``sf_dir`` and returns a Dataset / pandas DataFrame.
+Ray is initialised by the caller (driver contract — no ray.init here).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Min, Sum
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (groupby / broadcast join / sort / limit / window)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped grouped aggregate over lineitem (vectorized arrow
+    filter + computed columns, hash aggregate, tiny result to pandas)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount", "l_tax",
+                                  "l_shipdate"])
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return (t.append_column("disc_price", disc)
+                 .append_column("charge", charge))
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"))
+    df = agg.to_pandas()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        df[c] = df[c].round(2)
+    for c in ("avg_qty", "avg_price", "avg_disc"):
+        df[c] = df[c].round(6)
+    df["count_order"] = df["count_order"].astype("int64")
+    return df.sort_values(["l_returnflag", "l_linestatus"]) \
+             .reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-shaped: small sides (filtered customers, then qualifying
+    orders) are broadcast via ray.put instead of a shuffle join
+    (ray_guide 'small side → broadcast'); lineitem pre-aggregates revenue
+    per batch before the global groupby."""
+    date = pd.Timestamp("1995-03-15")
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    building = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+        ["c_custkey"].to_pylist())
+
+    orders = pq.read_table(_t(sf_dir, "orders"),
+                           columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                    "o_orderpriority"])
+    orders = orders.filter(
+        pc.less(orders["o_orderdate"], pa.scalar(date, pa.timestamp("us"))))
+    okeys, ocust = orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()
+    odate, oprio = orders["o_orderdate"].to_pylist(), orders["o_orderpriority"].to_pylist()
+    order_info = {k: (d, p) for k, c, d, p in zip(okeys, ocust, odate, oprio)
+                  if c in building}
+    info_ref = ray.put(order_info)
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        info = ray.get(info_ref)
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(date, pa.timestamp("us"))))
+        keys = t["l_orderkey"].to_numpy()
+        mask = np.fromiter((k in info for k in keys), dtype=bool,
+                           count=len(keys))
+        t = t.filter(pa.array(mask))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        sub = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        # per-batch partial combine → shuffle carries one row per (batch, key)
+        return pa.Table.from_pandas(
+            sub.to_pandas().groupby("l_orderkey", as_index=False)
+            ["revenue"].sum(), preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("l_orderkey").aggregate(Sum("revenue",
+                                                 alias_name="revenue"))
+    df = agg.to_pandas()
+    df = df.sort_values(["revenue", "l_orderkey"],
+                        ascending=[False, True]).head(10)
+    info = order_info
+    df["o_orderdate"] = df["l_orderkey"].map(lambda k: info[k][0])
+    df["o_orderpriority"] = df["l_orderkey"].map(lambda k: info[k][1])
+    df["revenue"] = df["revenue"].round(2)
+    return df[["l_orderkey", "revenue", "o_orderdate",
+               "o_orderpriority"]].reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def part_brand_qty(sf_dir: str) -> pd.DataFrame:
+    """Broadcast dimension join: part (small) shipped once via ray.put,
+    looked up per batch; grouped sum of quantities by brand."""
+    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    brand_of = dict(zip(part["p_partkey"].to_pylist(),
+                        part["p_brand"].to_pylist()))
+    ref = ray.put(brand_of)
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity"])
+
+    def add_brand(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        df["p_brand"] = df["l_partkey"].map(lut)
+        return df.groupby("p_brand", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+
+    agg = ds.map_batches(add_brand, batch_format="pandas") \
+            .groupby("p_brand").aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                                          Sum("n", alias_name="n"))
+    df = agg.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("p_brand").reset_index(drop=True)
+
+
+PART_BRAND_SQL = """
+SELECT p_brand, ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def orders_priority_count(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority"])
+    df = ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDERS_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate (streaming-shaped workload, ray_guide):
+    window key computed vectorized in arrow, then grouped."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000))
+        return pa.table({"user_id": t["user_id"],
+                         "hour_bucket": pc.cast(hour, pa.int64()),
+                         "value": t["value"]})
+
+    agg = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["user_id", "hour_bucket"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"))
+    df = agg.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+
+
+EVENTS_HOURLY_SQL = """
+SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY user_id, hour_bucket
+"""
+
+
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min gap) per user: sort-within-group pandas body
+    under ``groupby(user).map_groups`` — the engine's window pattern."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > 1800)).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    df = ds.groupby("user_id").map_groups(
+        sessions, batch_format="pandas").to_pandas()
+    df = df.astype({"n_sessions": "int64", "n_events": "int64"})
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+SESSIONIZE_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+def lang_count(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+    df = ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+LANG_COUNT_SQL = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+
+
+def doc_token_stats(sf_dir: str):
+    from .ops.text import token_stats
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return token_stats(ds)
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_subtokens
+FROM documents
+"""
+
+
+def doc_fingerprints(sf_dir: str):
+    from .ops.text import fingerprints
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return fingerprints(ds).select_columns(["doc_id", "fp_md5"])
+
+
+DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    from .ops.text import TextScorer
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(TextScorer, batch_format="pandas",
+                         concurrency=(1, 8))
+    df = out.to_pandas()[["doc_id", "n_tokens", "punct_ratio", "digit_ratio",
+                          "quality"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+QUALITY_SCORES_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+    ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+          / greatest(length(text), 1), 6) AS punct_ratio,
+    ROUND(len(regexp_extract_all(text, '\d')) * 1.0
+          / greatest(length(text), 1), 6) AS digit_ratio
+  FROM documents)
+SELECT doc_id, n_tokens, punct_ratio, digit_ratio,
+  ROUND(0.5 * (least(n_tokens, 200) / 200.0)
+        + 0.25 * (1 - punct_ratio) + 0.25 * (1 - digit_ratio), 6) AS quality
+FROM base ORDER BY doc_id
+"""
+
+
+def lang_id_scores(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language id (no SQL oracle — lexicon heuristic)."""
+    from .ops.text import TextScorer
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(TextScorer, batch_format="pandas",
+                         concurrency=(1, 8))
+    return out.to_pandas()[["doc_id", "lang_id"]] \
+              .sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family over `documents`
+# ---------------------------------------------------------------------------
+
+def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
+    from .ops.dedup import exact_dedup
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return exact_dedup(ds).to_pandas().sort_values("doc_id") \
+                          .reset_index(drop=True)
+
+
+DEDUP_EXACT_SQL = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def _docs_with_planted_dups(sf_dir: str):
+    """documents ∪ copies of the first 20 docs (doc_id + 1_000_000) so the
+    near-dup operators have guaranteed positives at every sf (the sf tables
+    themselves are all-distinct word soup)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    head = pq.read_table(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).slice(0, 20)
+    dup = pa.table({
+        "doc_id": pc.add(head["doc_id"], pa.scalar(1_000_000)),
+        "text": head["text"]})
+    return ds.union(rd.from_arrow(dup))
+
+
+def minhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    from .ops.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(_docs_with_planted_dups(sf_dir),
+                              threshold=0.8, concurrency=(1, 8))
+    df = pairs.to_pandas()[["a", "b", "est_jaccard"]]
+    df["est_jaccard"] = df["est_jaccard"].round(6)
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def simhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    from .ops.dedup import simhash_pairs
+    pairs = simhash_pairs(_docs_with_planted_dups(sf_dir), max_hamming=2,
+                          concurrency=(1, 8))
+    return pairs.to_pandas()[["a", "b", "hamming"]] \
+                .sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def jaccard_verified_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    from .ops.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+    docs = _docs_with_planted_dups(sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, concurrency=(1, 8))
+    verified = verify_pairs_jaccard(pairs, _docs_with_planted_dups(sf_dir),
+                                    threshold=0.95)
+    df = verified.to_pandas()[["a", "b", "jaccard"]]
+    df["jaccard"] = df["jaccard"].round(6)
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    from .ops.dedup import embedding_neardup_pairs
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    head = pq.read_table(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"]).slice(0, 10)
+    dup = pa.table({"vec_id": pc.add(head["vec_id"], pa.scalar(1_000_000)),
+                    "embedding": head["embedding"]})
+    pairs = embedding_neardup_pairs(ds.union(rd.from_arrow(dup)),
+                                    threshold=0.999)
+    df = pairs.to_pandas()
+    df["cosine"] = df["cosine"].round(4)
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(0)
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def topk_cosine_bruteforce(sf_dir: str) -> pd.DataFrame:
+    from .ops.similarity import topk_cosine
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    df = topk_cosine(ds, _query_vec(sf_dir), k=10).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+TOPK_COSINE_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    (SELECT qe FROM q)), 6) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                (SELECT qe FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def topk_cosine_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate variant (rows-only check: recall < 1 by design)."""
+    from .ops.similarity import lsh_topk_cosine
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    df = lsh_topk_cosine(ds, _query_vec(sf_dir), k=10, probe=2).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+def embedding_label_count(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label"])
+    df = ds.groupby("label").aggregate(Count(alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("label").reset_index(drop=True)
+
+
+EMB_LABEL_SQL = "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDER BY label"
+
+
+# ---------------------------------------------------------------------------
+# Extraction flagship (the engine's reason to exist) — non-SQL, rows-only
+# ---------------------------------------------------------------------------
+
+def _synth_cache_dir(sf_dir: str, n_docs: int) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/wtes_cache/{tag}-{n_docs}"
+
+
+def _synthetic_docs(n_docs: int):
+    from .gen import generate_batch
+    from .pipeline import read_documents  # noqa: F401
+
+    def gen(t: pa.Table) -> pa.Table:
+        return generate_batch(t.column("id").to_pylist(),
+                              giant_fraction=0.02)
+
+    return rd.range(n_docs, override_num_blocks=max(8, n_docs // 32)) \
+             .map_batches(gen, batch_format="pyarrow")
+
+
+def _extract_synthetic(sf_dir: str) -> "rd.Dataset":
+    """Run the flagship extraction over deterministic synthetic interleaved
+    docs (scaled off the sf documents row count), checkpointed under /tmp so
+    the downstream queries reuse it (resume=True skips finished parts)."""
+    from .pipeline import load_extracted, run_extract_pipeline
+    n_docs = max(60, pq.ParquetFile(_t(sf_dir, "documents"))
+                 .metadata.num_rows // 4)
+    cache = _synth_cache_dir(sf_dir, n_docs)
+    docs_path = os.path.join(cache, "docs.parquet")
+    if not os.path.exists(docs_path):
+        os.makedirs(cache, exist_ok=True)
+        _synthetic_docs(n_docs).write_parquet(docs_path)
+    out = os.path.join(cache, "extracted")
+    run_extract_pipeline(docs_path, out, num_partitions=16, resume=True)
+    return load_extracted(out)
+
+
+def extract_spans_synthetic(sf_dir: str) -> pd.DataFrame:
+    """Flagship summary: per-doc table/span/entity/relation counts from the
+    full Ray pipeline over the interleaved (doc_id, spans) input."""
+    ext = _extract_synthetic(sf_dir)
+    df = ext.select_columns(["doc_id", "n_tables", "n_spans", "n_entities",
+                             "n_relations"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def extract_relations_dedup(sf_dir: str) -> pd.DataFrame:
+    """Downstream D6: deduped relation triples from the flagship output."""
+    from .pipeline import dedup_relations, relations_dataset
+    rels = dedup_relations(relations_dataset(_extract_synthetic(sf_dir)))
+    df = rels.to_pandas()
+    return df.sort_values(["s_name", "rel", "o_name"]).reset_index(drop=True)
+
+
+def extract_nodes_fused(sf_dir: str) -> pd.DataFrame:
+    """Downstream J1/A3: fused entity nodes from the flagship output."""
+    from .pipeline import build_nodes, entities_dataset
+    nodes = build_nodes(entities_dataset(_extract_synthetic(sf_dir)))
+    df = nodes.to_pandas()
+    df["props"] = df["props"].map(
+        lambda m: "; ".join(f"{k}={v}" for k, v in sorted(dict(m).items())))
+    return df.sort_values(["name", "url"]).reset_index(drop=True)
+
+
+def extract_flagship_documents(sf_dir: str) -> pd.DataFrame:
+    """Adapter path: run the extractor over the driver's plain-text
+    documents table (each text wrapped as a single html span — FIXTURES.md
+    §4); plain text yields empty span sequences, proving the quarantine-free
+    pass-through."""
+    from .pipeline import ExtractChunks
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def adapt(t: pa.Table) -> pa.Table:
+        ids = [str(d) for d in t.column("doc_id").to_pylist()]
+        spans = [[{"kind": "html", "text": txt or "", "media_ref": "",
+                   "offset": 0}] for txt in t.column("text").to_pylist()]
+        from .schema import SPAN_STRUCT
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "spans": pa.array(spans, pa.list_(SPAN_STRUCT)),
+            "part": pa.array([0] * len(ids), pa.int32()),
+            "chunk": pa.array([0] * len(ids), pa.int32()),
+            "n_chunks": pa.array([1] * len(ids), pa.int32()),
+        })
+
+    out = ds.map_batches(adapt, batch_format="pyarrow") \
+            .map_batches(ExtractChunks, batch_format="pyarrow",
+                         batch_size=64, concurrency=(1, 8))
+    df = out.select_columns(["doc_id", "n_tables", "n_spans",
+                             "error"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: synthetic payloads → actor-pool decode →
+    features (rows-only: payloads are seeded fakes)."""
+    from .ops.multimodal import media_feature_pipeline
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    out = media_feature_pipeline(ds, concurrency=(1, 4))
+    df = out.select_columns(["doc_id", "media_ref", "width", "height",
+                             "channels", "decoded"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name → (callable, oracle_sql | None)
+REGISTRY: dict = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "part_brand_qty": (part_brand_qty, PART_BRAND_SQL),
+    "orders_priority_count": (orders_priority_count, ORDERS_PRIORITY_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "lang_count": (lang_count, LANG_COUNT_SQL),
+    "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
+    "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
+    "lang_id_scores": (lang_id_scores, None),
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "minhash_neardup_docs": (minhash_neardup_docs, None),
+    "simhash_neardup_docs": (simhash_neardup_docs, None),
+    "jaccard_verified_neardup_docs": (jaccard_verified_neardup_docs, None),
+    "embedding_neardup": (embedding_neardup, None),
+    "topk_cosine_bruteforce": (topk_cosine_bruteforce, TOPK_COSINE_SQL),
+    "topk_cosine_lsh": (topk_cosine_lsh, None),
+    "embedding_label_count": (embedding_label_count, EMB_LABEL_SQL),
+    "extract_spans_synthetic": (extract_spans_synthetic, None),
+    "extract_relations_dedup": (extract_relations_dedup, None),
+    "extract_nodes_fused": (extract_nodes_fused, None),
+    "extract_flagship_documents": (extract_flagship_documents, None),
+    "media_features": (media_features, None),
+}

@@ -64,3 +64,51 @@ def test_href_filter():
     root = parse_html('<p><a href="/x">l</a><a>n</a></p>')
     assert len(root.find_all("a")) == 2
     assert len(root.find_all("a", href=True)) == 1
+
+
+def _tree_eq(a, b, path="root"):
+    if type(a) is not type(b):
+        return f"{path}: node type differs"
+    if isinstance(a, TextNode):
+        return None if a.data == b.data else f"{path}: text differs"
+    if a.name != b.name or a.attrs != b.attrs:
+        return f"{path}: tag/attrs differ ({a.name} vs {b.name})"
+    if len(a.children) != len(b.children):
+        return f"{path}<{a.name}>: child count differs"
+    for i, (x, y) in enumerate(zip(a.children, b.children)):
+        r = _tree_eq(x, y, f"{path}/{a.name}[{i}]")
+        if r:
+            return r
+    return None
+
+
+def test_fast_parser_matches_stdlib():
+    """The fast regex tokenizer must build byte-identical trees to the
+    stdlib html.parser reference path on generated documents."""
+    from wtes_ray.dom import parse_html_stdlib
+    from wtes_ray.gen import generate_document
+
+    for i in range(40):
+        d = generate_document(i, giant=(i == 11))
+        html = "".join(s["text"] for s in d["spans"] if s["kind"] == "html")
+        html = html.replace("\r", "").replace("\t", "").replace("\n", "")
+        diff = _tree_eq(parse_html(html), parse_html_stdlib(html))
+        assert diff is None, f"doc {i}: {diff}"
+
+
+def test_fast_parser_edge_cases():
+    from wtes_ray.dom import parse_html_stdlib
+
+    cases = [
+        "<script>if (a < b) { x(); }</script><p>t</p>",
+        "<style>a>b{color:red}</style><p>t</p>",
+        '<div data-x="1 &amp; 2">a &lt; b</div>',
+        "<p>broken <b>bold</p>",
+        "<table><tr><td colspan='2'>x</td></tr></table>",
+        "<!DOCTYPE html><!-- c --><p>x</p>",
+        "a < b and c > d",
+        "<img src='x.png'/><br/>text",
+    ]
+    for html in cases:
+        diff = _tree_eq(parse_html(html), parse_html_stdlib(html))
+        assert diff is None, f"{html!r}: {diff}"

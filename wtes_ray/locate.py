@@ -245,18 +245,37 @@ def get_caption(tag: Element) -> str:
 
 
 def _cell_from_tag(tag: Element) -> Cell:
-    """(table.py:1188-1218 ``changeTag2TableItem``)"""
+    """(table.py:1188-1218 ``changeTag2TableItem``) — hrefs (site-prefixed,
+    keyed by raw anchor text), img srcs, spans, cleaned text. Single fused
+    subtree walk (this runs once per cell — the hot path)."""
     href: dict[str, str] = {}
-    for a in tag.find_all("a"):
-        if a.has_attr("href"):
-            href[a.text] = HREF_PREFIX + a["href"]
-    img_src = [img["src"] for img in tag.find_all("img") if img.has_attr("src")]
+    img_src: list[str] = []
+    parts: list[str] = []
+    stack = tag.children[::-1]
+    while stack:
+        node = stack.pop()
+        if node.__class__ is TextNode:
+            parts.append(node.data)
+            continue
+        name = node.name
+        if name == "a":
+            url = node.attrs.get("href")
+            if url is not None:
+                href[node.text] = HREF_PREFIX + url
+        elif name == "img":
+            src = node.attrs.get("src")
+            if src is not None:
+                img_src.append(src)
+        cs = node.children
+        if cs:
+            stack.extend(cs[::-1])
     rowspan = colspan = 1
-    if tag.has_attr("rowspan"):
-        rowspan = int(tag["rowspan"])
-    if tag.has_attr("colspan"):
-        colspan = int(tag["colspan"])
-    content = clean_cell_text(tag.text)
+    attrs = tag.attrs
+    if "rowspan" in attrs:
+        rowspan = int(attrs["rowspan"])
+    if "colspan" in attrs:
+        colspan = int(attrs["colspan"])
+    content = clean_cell_text("".join(parts))
     return Cell(content, rowspan=rowspan, colspan=colspan, href=href,
                 img=img_src, tag_name=tag.name)
 

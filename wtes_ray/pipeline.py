@@ -152,34 +152,79 @@ class ExtractChunks:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
-        parts = batch.column("part").to_pylist()
-        chunks = batch.column("chunk").to_pylist()
-        n_chunks = batch.column("n_chunks").to_pylist()
 
-        out = {name: [] for name in CHUNKED.names}
+        # flat span columns + list offsets — built directly as Arrow arrays,
+        # no per-span dict round-trip (this stage is the hot path; the
+        # conversion cost was ~36% of UDF time with from_pylist)
+        kinds: list[str] = []
+        texts: list[str] = []
+        refs: list[str] = []
+        offs: list[int] = []
+        list_offsets = [0]
+        out = {name: [] for name in
+               ("entities_json", "relations_json", "n_tables", "n_spans",
+                "n_entities", "n_relations", "error", "n_tail",
+                "n_basic_spans", "n_basic_entities", "n_basic_relations")}
         for i, doc_id in enumerate(doc_ids):
             res = extract_document_safe(doc_id, spans_col[i], self.lex,
                                         self.tagger)
-            spans = [{"kind": k, "text": t, "media_ref": m, "offset": o}
-                     for k, t, m, o in res.spans]
-            out["doc_id"].append(doc_id)
-            out["part"].append(parts[i])
-            out["spans"].append(spans)
+            seq = res.basic_spans + res.tag_spans + res.tail_media
+            for off, (k, t, m) in enumerate(seq):
+                kinds.append(k)
+                texts.append(t)
+                refs.append(m)
+                offs.append(off)
+            list_offsets.append(len(kinds))
             out["entities_json"].append(res.entities_json)
             out["relations_json"].append(res.relations_json)
             out["n_tables"].append(res.n_tables)
-            out["n_spans"].append(len(spans))
-            out["n_entities"].append(len(res.entities))
-            out["n_relations"].append(len(res.relations))
+            out["n_spans"].append(len(seq))
+            out["n_entities"].append(
+                len(res.basic_entities) + len(res.tag_entities))
+            out["n_relations"].append(
+                len(res.basic_relations) + len(res.tag_relations))
             out["error"].append(res.error)
-            out["chunk"].append(chunks[i])
-            out["n_chunks"].append(n_chunks[i])
             out["n_tail"].append(len(res.tail_media))
             out["n_basic_spans"].append(len(res.basic_spans))
             out["n_basic_entities"].append(len(res.basic_entities))
             out["n_basic_relations"].append(len(res.basic_relations))
-        arrays = [pa.array(out[f.name], f.type) for f in CHUNKED]
-        return pa.Table.from_arrays(arrays, schema=CHUNKED)
+
+        span_struct = pa.StructArray.from_arrays(
+            [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
+             pa.array(refs, pa.string()), pa.array(offs, pa.int32())],
+            fields=list(SPAN_STRUCT))
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(list_offsets, pa.int32()), span_struct)
+        passthrough = {
+            "doc_id": batch.column("doc_id"),
+            "part": batch.column("part"),
+            "spans": spans_arr,
+            "chunk": batch.column("chunk"),
+            "n_chunks": batch.column("n_chunks"),
+        }
+        cols = {f.name: passthrough[f.name] if f.name in passthrough
+                else pa.array(out[f.name], f.type) for f in CHUNKED}
+        return pa.table(cols).select(CHUNKED.names).cast(CHUNKED)
+
+
+_EXTRACTOR_CACHE: dict = {}
+
+
+def extract_chunks_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of the extraction stage (default lexicons).
+
+    The extractor state here (frozen lexicons + tagger) is microseconds to
+    build and is cached per worker PROCESS at module level, so plain tasks
+    amortize it exactly like an actor pool would — without reserving CPUs
+    away from the read/write stages (an actor pool that holds ``ncpu-2``
+    CPUs serializes everything else). Use the ``ExtractChunks`` actor-pool
+    class instead when the stage state is genuinely expensive (models,
+    site-rule packs, big vocabularies) or when per-actor resources (GPUs)
+    matter."""
+    ex = _EXTRACTOR_CACHE.get("default")
+    if ex is None:
+        ex = _EXTRACTOR_CACHE["default"] = ExtractChunks()
+    return ex(batch)
 
 
 def _reassemble_doc(rows: list[dict]) -> dict:
@@ -224,61 +269,123 @@ def _reassemble_doc(rows: list[dict]) -> dict:
     }
 
 
-def make_partition_writer(out_dir: str):
-    """Returns the ``map_groups`` writer for one hash partition: reassembles
-    salted docs, writes ``part=NNNN/data.parquet`` atomically (tmp + rename)
-    and the checkpoint manifest with lineage + counts (SURVEY.md §4.2
-    checkpoint/resume row). Emits the manifest row."""
+def make_shard_writer(out_dir: str):
+    """Shuffle-FREE checkpoint writer: a ``map_batches`` stage that splits
+    each extracted batch by ``part`` and appends one shard parquet per
+    (part, batch) directly under ``part=NNNNN/`` — no all-to-all exchange.
 
-    def write_partition(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table({"part": pa.array([], pa.int32())})
-        part = group.column("part")[0].as_py()
-        rows = group.to_pylist()
-        singles = [r for r in rows if r["n_chunks"] == 1]
-        chunked: dict[str, list[dict]] = {}
-        for r in rows:
-            if r["n_chunks"] > 1:
-                chunked.setdefault(r["doc_id"], []).append(r)
-        finals = [{k: r[k] for k in EXTRACTED.names} for r in singles]
-        finals.extend(_reassemble_doc(ch) for ch in chunked.values())
-        finals.sort(key=lambda r: r["doc_id"])
+    Idempotence: shard file names are content-derived (sha1 of the sorted
+    (doc_id, chunk) list), so a retried task rewrites the SAME file via
+    tmp + atomic rename. The per-part manifest is committed afterwards by
+    the driver from the tiny metadata rows this stage emits; orphan shards
+    from a crashed run are swept by :func:`clean_incomplete_parts` before a
+    resume. Salted chunk rows are written as-is and reassembled at read time
+    (:func:`load_extracted`) — only the rare ``n_chunks > 1`` rows pay that
+    cost."""
 
-        table = pa.Table.from_pylist(finals, schema=EXTRACTED)
-        part_dir = os.path.join(out_dir, f"part={part:05d}")
-        os.makedirs(out_dir, exist_ok=True)
-        tmp = os.path.join(out_dir, f".tmp-part-{part:05d}-{os.getpid()}")
+    def write_shards(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
-        pq.write_table(table, tmp)
-        os.makedirs(part_dir, exist_ok=True)
-        os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+        metas = []
+        parts = pc.unique(batch.column("part")).to_pylist()
+        for part in parts:
+            sub = batch.filter(pc.equal(batch.column("part"), part))
+            doc_ids = sub.column("doc_id").to_pylist()
+            chunks = sub.column("chunk").to_pylist()
+            h = hashlib.sha1()
+            for d, c in sorted(zip(doc_ids, chunks)):
+                h.update(f"{d}#{c}".encode())
+            shard_id = h.hexdigest()[:16]
+            part_dir = os.path.join(out_dir, f"part={part:05d}")
+            os.makedirs(part_dir, exist_ok=True)
+            tmp = os.path.join(part_dir,
+                               f".tmp-{shard_id}-{os.getpid()}")
+            pq.write_table(sub, tmp)
+            os.replace(tmp, os.path.join(part_dir,
+                                         f"shard-{shard_id}.parquet"))
+            n_whole = int(pc.sum(pc.cast(
+                pc.equal(sub.column("chunk"), 0), pa.int64())).as_py() or 0)
+            metas.append({
+                "part": part,
+                "shard_id": shard_id,
+                "n_rows": sub.num_rows,
+                "n_docs": n_whole,     # chunk==0 rows ⇒ one per document
+                "n_spans": int(pc.sum(sub.column("n_spans")).as_py() or 0),
+                "n_entities": int(
+                    pc.sum(sub.column("n_entities")).as_py() or 0),
+                "n_relations": int(
+                    pc.sum(sub.column("n_relations")).as_py() or 0),
+                "n_errors": int(pc.sum(pc.cast(
+                    pc.not_equal(sub.column("error"), ""),
+                    pa.int64())).as_py() or 0),
+                "doc_id_min": min(doc_ids),
+                "doc_id_max": max(doc_ids),
+                "content_hash": h.hexdigest(),
+            })
+        return pa.Table.from_pylist(metas)
 
+    return write_shards
+
+
+def commit_manifests(out_dir: str, shard_metas: list[dict],
+                     parts_planned: list[int]) -> list[dict]:
+    """Driver-side commit: fold shard metadata into one manifest per
+    partition (lineage = shard list + doc_id range). A manifest's existence
+    marks the partition complete for resume."""
+    man_dir = os.path.join(out_dir, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    by_part: dict[int, list[dict]] = {p: [] for p in parts_planned}
+    for m in shard_metas:
+        by_part.setdefault(m["part"], []).append(m)
+    manifests = []
+    for part, metas in sorted(by_part.items()):
+        metas.sort(key=lambda m: m["shard_id"])
         h = hashlib.sha1()
-        for r in finals:
-            h.update(f"{r['doc_id']}:{r['n_spans']}".encode())
+        for m in metas:
+            h.update(m["content_hash"].encode())
         manifest = {
             "part": part,
-            "n_docs": len(finals),
-            "n_spans": int(sum(r["n_spans"] for r in finals)),
-            "n_entities": int(sum(r["n_entities"] for r in finals)),
-            "n_relations": int(sum(r["n_relations"] for r in finals)),
-            "n_errors": int(sum(1 for r in finals if r["error"])),
+            "n_docs": sum(m["n_docs"] for m in metas),
+            "n_spans": sum(m["n_spans"] for m in metas),
+            "n_entities": sum(m["n_entities"] for m in metas),
+            "n_relations": sum(m["n_relations"] for m in metas),
+            "n_errors": sum(m["n_errors"] for m in metas),
             "content_hash": h.hexdigest(),
             "lineage": json.dumps({
-                "doc_id_min": finals[0]["doc_id"] if finals else "",
-                "doc_id_max": finals[-1]["doc_id"] if finals else "",
-                "n_chunk_rows": len(rows),
+                "shards": [m["shard_id"] for m in metas],
+                "doc_id_min": min((m["doc_id_min"] for m in metas),
+                                  default=""),
+                "doc_id_max": max((m["doc_id_max"] for m in metas),
+                                  default=""),
+                "n_chunk_rows": sum(m["n_rows"] for m in metas),
             }),
         }
-        man_dir = os.path.join(out_dir, "_manifests")
-        os.makedirs(man_dir, exist_ok=True)
-        man_tmp = os.path.join(man_dir, f".tmp-{part:05d}-{os.getpid()}")
-        with open(man_tmp, "w", encoding="utf-8") as f:
+        tmp = os.path.join(man_dir, f".tmp-{part:05d}-{os.getpid()}")
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
-        os.replace(man_tmp, os.path.join(man_dir, f"part-{part:05d}.json"))
-        return pa.Table.from_pylist([manifest])
+        os.replace(tmp, os.path.join(man_dir, f"part-{part:05d}.json"))
+        manifests.append(manifest)
+    return manifests
 
-    return write_partition
+
+def clean_incomplete_parts(out_dir: str) -> int:
+    """Remove shard files of partitions that have no committed manifest
+    (orphans from a crashed run) so a resume starts clean."""
+    done = completed_parts(out_dir)
+    removed = 0
+    if not os.path.isdir(out_dir):
+        return 0
+    for name in os.listdir(out_dir):
+        if not name.startswith("part="):
+            continue
+        part = int(name.split("=")[1])
+        if part in done:
+            continue
+        d = os.path.join(out_dir, name)
+        for f in os.listdir(d):
+            os.remove(os.path.join(d, f))
+            removed += 1
+        os.rmdir(d)
+    return removed
 
 
 def completed_parts(out_dir: str) -> frozenset[int]:
@@ -298,46 +405,95 @@ def run_extract_pipeline(input_path: str, out_dir: str, *,
                          num_partitions: int = 64,
                          max_spans_per_chunk: int = DEFAULT_MAX_SPANS_PER_CHUNK,
                          concurrency: int | tuple | None = None,
-                         batch_size: int = 32,
+                         batch_size: int = 16,
+                         writer_batch_size: int = 1024,
                          lexicons: Lexicons | None = None,
+                         use_actors: bool = False,
                          resume: bool = False) -> dict:
     """Run the full extraction pipeline; returns the rolled-up manifest
     summary. Idempotent per partition; ``resume=True`` skips completed
-    partitions before any extraction work."""
-    skip = completed_parts(out_dir) if resume else frozenset()
+    partitions (and sweeps orphan shards of incomplete ones) before any
+    extraction work. No all-to-all exchange anywhere: the checkpoint layout
+    is produced by direct partitioned shard writes.
+
+    ``use_actors=False`` (default) runs extraction as plain tasks with the
+    extractor state module-cached per worker — measured faster here because
+    an actor pool's CPU reservation starves the read/write stages; flip to
+    True (with ``lexicons``/``concurrency``) when the stage state is
+    expensive enough to need a dedicated pool."""
+    # Ray's per-operator resource reservation holds back ~half the CPUs for
+    # downstream operators; on small clusters that throttles the extract
+    # stage to <50% utilization (measured 2× slowdown at 4 CPUs). This
+    # pipeline's operators are short and non-deadlocking, so disable it.
+    ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+    skip: frozenset[int] = frozenset()
+    if resume:
+        clean_incomplete_parts(out_dir)
+        skip = completed_parts(out_dir)
     ds = read_documents(input_path)
     ds = ds.map_batches(
         split_and_key, batch_format="pyarrow",
         fn_kwargs={"num_partitions": num_partitions,
                    "max_spans_per_chunk": max_spans_per_chunk,
                    "skip_parts": skip})
-    if concurrency is None:
-        n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, n_cpus))
-    ds = ds.map_batches(ExtractChunks, batch_format="pyarrow",
-                        batch_size=batch_size, concurrency=concurrency,
-                        num_cpus=1,
-                        fn_constructor_kwargs={"lexicons": lexicons})
-    manifests = ds.groupby("part").map_groups(
-        make_partition_writer(out_dir), batch_format="pyarrow")
-    rows = manifests.take_all()   # tiny: one row per partition
+    if use_actors or lexicons is not None:
+        if concurrency is None:
+            # leave headroom for the read/split/write stages: an actor pool
+            # that reserves every CPU starves them and serializes the rest
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            concurrency = max(2, n_cpus - 4)
+        ds = ds.map_batches(ExtractChunks, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=concurrency,
+                            num_cpus=1,
+                            fn_constructor_kwargs={"lexicons": lexicons})
+    else:
+        ds = ds.map_batches(extract_chunks_batch, batch_format="pyarrow",
+                            batch_size=batch_size)
+    # large writer batches → few, large shard files per partition (a shard
+    # per (part, batch); small batches fragment into thousands of tiny
+    # files); num_cpus=0.5 lets writers interleave with extraction
+    metas = ds.map_batches(make_shard_writer(out_dir),
+                           batch_format="pyarrow", num_cpus=0.5,
+                           batch_size=writer_batch_size).take_all()
+    parts_planned = [p for p in range(num_partitions) if p not in skip]
+    manifests = commit_manifests(out_dir, metas, parts_planned)
     summary = {
-        "n_parts": len(rows) + len(skip),
+        "n_parts": len(manifests) + len(skip),
         "n_parts_skipped": len(skip),
-        "n_docs": sum(r.get("n_docs", 0) for r in rows),
-        "n_spans": sum(r.get("n_spans", 0) for r in rows),
-        "n_entities": sum(r.get("n_entities", 0) for r in rows),
-        "n_relations": sum(r.get("n_relations", 0) for r in rows),
-        "n_errors": sum(r.get("n_errors", 0) for r in rows),
+        "n_docs": sum(m["n_docs"] for m in manifests),
+        "n_spans": sum(m["n_spans"] for m in manifests),
+        "n_entities": sum(m["n_entities"] for m in manifests),
+        "n_relations": sum(m["n_relations"] for m in manifests),
+        "n_errors": sum(m["n_errors"] for m in manifests),
     }
     return summary
 
 
 def load_extracted(out_dir: str) -> ray.data.Dataset:
-    """Read the extraction checkpoint back (already reassembled)."""
-    return ray.data.read_parquet(
-        [os.path.join(out_dir, d, "data.parquet")
-         for d in sorted(os.listdir(out_dir)) if d.startswith("part=")])
+    """Read the extraction checkpoint back as whole documents (EXTRACTED
+    schema). Salted chunk rows (``n_chunks > 1``, rare) are reassembled
+    lazily with a doc_id groupby over ONLY that subset (parquet filter
+    pushdown keeps the common path untouched)."""
+    paths = [os.path.join(out_dir, d, f)
+             for d in sorted(os.listdir(out_dir)) if d.startswith("part=")
+             for f in sorted(os.listdir(os.path.join(out_dir, d)))
+             if f.endswith(".parquet")]
+    singles = ray.data.read_parquet(
+        paths, filter=pc.equal(pc.field("n_chunks"), 1),
+        columns=EXTRACTED.names)
+    chunked = ray.data.read_parquet(
+        paths, filter=pc.greater(pc.field("n_chunks"), 1))
+
+    def reassemble_group(g: pa.Table) -> pa.Table:
+        return pa.Table.from_pylist([_reassemble_doc(g.to_pylist())],
+                                    schema=EXTRACTED)
+
+    n_chunked = chunked.count()
+    if n_chunked == 0:
+        return singles
+    reassembled = chunked.groupby("doc_id").map_groups(
+        reassemble_group, batch_format="pyarrow")
+    return singles.union(reassembled)
 
 
 # ---------------------------------------------------------------------------

@@ -475,9 +475,24 @@ EMB_LABEL_SQL = "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDE
 # Extraction flagship (the engine's reason to exist) — non-SQL, rows-only
 # ---------------------------------------------------------------------------
 
+def _code_fingerprint() -> str:
+    """Cache key tied to extraction SEMANTICS: the md5 of the stored golden
+    outputs (tests/golden/extracted.json). Any intentional semantics change
+    regenerates the goldens → new fingerprint → stale /tmp extraction
+    caches are abandoned automatically."""
+    import hashlib
+    golden = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden", "extracted.json")
+    try:
+        with open(golden, "rb") as f:
+            return hashlib.md5(f.read()).hexdigest()[:8]
+    except OSError:
+        return "nogolden"
+
+
 def _synth_cache_dir(sf_dir: str, n_docs: int) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/wtes_cache/{tag}-{n_docs}"
+    return f"/tmp/wtes_cache/{tag}-{n_docs}-{_code_fingerprint()}"
 
 
 def _synthetic_docs(n_docs: int):

@@ -108,6 +108,16 @@ def test_embedding_neardup_pairs(emb_ds):
                       pairs[["a", "b"]].itertuples(index=False)}
 
 
+def test_neardup_clusters(ray_session):
+    import ray.data
+
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"a": [1, 2, 10], "b": [2, 3, 11]}))   # chain 1-2-3 and pair 10-11
+    out = D.neardup_clusters(pairs)
+    by_doc = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert by_doc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_text_scorer_and_fingerprints(docs_ds):
     scored = docs_ds.map_batches(T.TextScorer, batch_format="pandas",
                                  concurrency=1).to_pandas()

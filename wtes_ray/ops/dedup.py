@@ -286,6 +286,43 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+def neardup_clusters(pairs: ray.data.Dataset) -> pd.DataFrame:
+    """Connected components over a candidate-pair dataset → (doc_id,
+    cluster_id) with cluster_id = min member id.
+
+    Partitioning assumption (documented, ray_guide dedup pattern): the
+    candidate-pair set is SMALL relative to the corpus (it is the output of
+    LSH banding + thresholding), so union-find runs on the driver. For
+    graphs that do not fit the driver, replace with iterative min-label
+    propagation (a few rounds of groupby over (node, label) messages)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = pairs.select_columns(["a", "b"]).take_all()
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = sorted({x for r in rows for x in (r["a"], r["b"])})
+    return pd.DataFrame({
+        "doc_id": pd.Series(nodes, dtype="int64"),
+        "cluster_id": pd.Series([find(n) for n in nodes], dtype="int64"),
+    })
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

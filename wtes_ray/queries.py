@@ -272,6 +272,212 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6-shaped scalar aggregate: fully-vectorized arrow filter +
+    per-batch partial sums, one global combine."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_shipdate", "l_discount", "l_quantity",
+                                  "l_extendedprice"])
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                        pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t = t.filter(mask)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table({"revenue": pa.array([rev.as_py() or 0.0],
+                                             pa.float64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .aggregate(Sum("revenue", alias_name="revenue"))
+    return pd.DataFrame({"revenue": [round(agg["revenue"], 2)]})
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-shaped multi-join, all small sides broadcast: nation ⋈
+    customer ⋈ orders collapse into one orderkey→nation lookup shipped via
+    ray.put; lineitem pre-aggregates revenue per nation per batch."""
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust_nation = {c: n_name[n] for c, n in
+                   zip(cust["c_custkey"].to_pylist(),
+                       cust["c_nationkey"].to_pylist())}
+    orders = pq.read_table(_t(sf_dir, "orders"),
+                           columns=["o_orderkey", "o_custkey"])
+    order_nation = {o: cust_nation[c] for o, c in
+                    zip(orders["o_orderkey"].to_pylist(),
+                        orders["o_custkey"].to_pylist())}
+    ref = ray.put(order_nation)
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        df["n_name"] = df["l_orderkey"].map(lut)
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df.groupby("n_name", as_index=False)["revenue"].sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("n_name").aggregate(Sum("revenue",
+                                             alias_name="revenue"))
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (window function shape): top-2 orders by totalprice
+    per customer via groupby().map_groups with a deterministic tiebreak."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(2).copy()
+        g["rn"] = range(1, len(g) + 1)
+        return g
+
+    df = ds.groupby("o_custkey").map_groups(
+        top2, batch_format="pandas").to_pandas()
+    df["rn"] = df["rn"].astype("int64")
+    return df.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 2 ORDER BY o_custkey, rn
+"""
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON scalar extraction (the `props` column) + grouped aggregate;
+    the JSON field pull is a vectorized regex (fixed `{"k": N}` shape)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)')[0].astype("int64")
+        out = pd.DataFrame({"event_type": df["event_type"], "k": k})
+        return out.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n=("k", "size"))
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("event_type").aggregate(
+                Sum("sum_k", alias_name="sum_k"),
+                Sum("n", alias_name="n"))
+    df = agg.to_pandas().astype({"sum_k": "int64", "n": "int64"})
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT …): per-batch pair dedup (partial) → global pair
+    dedup → grouped count, so the shuffle carries unique pairs only."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+    pre = ds.map_batches(
+        lambda df: df.drop_duplicates(["event_type", "user_id"]),
+        batch_format="pandas")
+    uniq = pre.groupby(["event_type", "user_id"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    df = uniq.groupby("event_type").aggregate(
+        Count(alias_name="n_users")).to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
+    """Anti-join via broadcast key set (ray_guide semi/anti pattern):
+    orders with no lineitems, counted per priority. The key set is the
+    DISTINCT join keys of the big side — collected once, shipped once."""
+    li = pq.read_table(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    have_items = set(li["l_orderkey"].to_pylist())
+    ref = ray.put(have_items)
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        df = df[~df["o_orderkey"].isin(keys)]
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n=("o_orderkey", "size"))
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("o_orderpriority").aggregate(Sum("n", alias_name="n"))
+    df = agg.to_pandas()
+    if "n" not in df.columns:   # no such orders → empty result
+        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDERS_WITHOUT_LINEITEMS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def neardup_clusters_docs(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the MinHash candidate pairs → (doc_id,
+    cluster_id) for the planted-dup corpus (rows-only: LSH output)."""
+    from .ops.dedup import minhash_lsh_pairs, neardup_clusters
+    pairs = minhash_lsh_pairs(_docs_with_planted_dups(sf_dir),
+                              threshold=0.8, concurrency=(1, 8))
+    return neardup_clusters(pairs).sort_values("doc_id") \
+                                  .reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over `documents`
 # ---------------------------------------------------------------------------
@@ -600,6 +806,14 @@ def media_features(sf_dir: str) -> pd.DataFrame:
 REGISTRY: dict = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "top_orders_per_customer": (top_orders_per_customer, TOP_ORDERS_SQL),
+    "events_props_stats": (events_props_stats, EVENTS_PROPS_SQL),
+    "distinct_users_per_type": (distinct_users_per_type, DISTINCT_USERS_SQL),
+    "orders_without_lineitems": (orders_without_lineitems,
+                                 ORDERS_WITHOUT_LINEITEMS_SQL),
+    "neardup_clusters_docs": (neardup_clusters_docs, None),
     "part_brand_qty": (part_brand_qty, PART_BRAND_SQL),
     "orders_priority_count": (orders_priority_count, ORDERS_PRIORITY_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): parser equivalence/robustness on
+adversarial input, table-model invariants, cleaner idempotence, and
+extraction quarantine (never crashes, always deterministic)."""
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wtes_ray.cleaners import clean_cell_text, clear_name_or_rel
+from wtes_ray.dom import parse_html, parse_html_stdlib
+from wtes_ray.extract import extract_document_safe
+from wtes_ray.tablemodel import Cell, Table
+
+# -- HTML soup strategies ---------------------------------------------------
+
+_tag_names = st.sampled_from(["div", "p", "span", "table", "tr", "td", "th",
+                              "ul", "li", "a", "b", "dl", "dt", "dd"])
+_text = st.text(alphabet=string.ascii_letters + string.digits + " 中文名姓名兄弟",
+                max_size=12)
+
+
+@st.composite
+def html_fragment(draw, depth=0):
+    if depth > 3 or draw(st.booleans()):
+        return draw(_text)
+    tag = draw(_tag_names)
+    n = draw(st.integers(0, 3))
+    inner = "".join(draw(html_fragment(depth + 1)) for _ in range(n))
+    attr = ""
+    if draw(st.booleans()):
+        attr = f' class="{draw(_text)}"'
+    if draw(st.booleans()):
+        attr += f' href="/x/{draw(st.integers(0, 99))}"'
+    return f"<{tag}{attr}>{inner}</{tag}>"
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_fragment())
+def test_fast_parser_equals_stdlib_on_random_html(html):
+    """Well-formed random fragments: tree-identical to the stdlib parser."""
+    from tests.test_dom import _tree_eq
+
+    assert _tree_eq(parse_html(html), parse_html_stdlib(html)) is None
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="<>/ab='\"& x!-", max_size=60))
+def test_fast_parser_never_crashes_on_garbage(garbage):
+    root = parse_html(garbage)
+    root.find_all("table")   # traversal works
+    _ = root.text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=40))
+def test_cleaners_idempotent(s):
+    once = clear_name_or_rel(s)
+    assert clear_name_or_rel(once) in ("", once)   # cleaning is stable
+    assert clean_cell_text(clean_cell_text(s)) == clean_cell_text(s)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.lists(st.tuples(st.text(max_size=4),
+                                   st.integers(1, 4), st.integers(1, 4)),
+                         min_size=1, max_size=5),
+                min_size=1, max_size=5))
+def test_extend_table_always_dense(rows):
+    t = Table([[Cell(c, rowspan=rs, colspan=cs) for c, rs, cs in r]
+               for r in rows])
+    t.extend_table()
+    # dense rectangular grid: every row has exactly col_number span-1 cells
+    assert all(len(r) == t.col_number for r in t.rows)
+    assert all(c.rowspan == 1 and c.colspan == 1
+               for r in t.rows for c in r)
+    assert t.is_correct()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["html", "media"]),
+                          st.text(alphabet="<>abc 姓名/td", max_size=30)),
+                max_size=6))
+def test_extraction_never_crashes(spans_spec):
+    spans = [{"kind": k, "text": t if k == "html" else "",
+              "media_ref": "m" if k == "media" else "", "offset": i}
+             for i, (k, t) in enumerate(spans_spec)]
+    r1 = extract_document_safe("https://x/item/%E5%AD%94%E5%AD%90/1", spans)
+    r2 = extract_document_safe("https://x/item/%E5%AD%94%E5%AD%90/1", spans)
+    assert r1.spans == r2.spans          # deterministic
+    assert r1.error == r2.error

@@ -129,7 +129,8 @@ def extract_document(doc_id: str, spans: list[dict],
     ``media`` input spans pass through to the output tail.
     """
     if tagger is None:
-        tagger = default_tagger()
+        from .wordtype import tagger_for
+        tagger = tagger_for(lex)
     res = DocResult(doc_id)
     ordered = sorted(spans, key=lambda s: s["offset"])
     html = "".join(s["text"] for s in ordered if s["kind"] == "html")

@@ -322,6 +322,25 @@ def neardup_clusters(pairs: ray.data.Dataset) -> pd.DataFrame:
     })
 
 
+def dedup_filter(docs: ray.data.Dataset, pairs: ray.data.Dataset,
+                 id_col: str = "doc_id") -> ray.data.Dataset:
+    """Training-data cleaning: drop near-duplicates, keeping each cluster's
+    minimum id. The drop set (non-representative cluster members) is small —
+    broadcast once, filtered vectorized per batch."""
+    import ray as _ray
+
+    clusters = neardup_clusters(pairs)
+    drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                            "doc_id"])
+    ref = _ray.put(drop)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        d = _ray.get(ref)
+        return df[~df[id_col].isin(d)]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------

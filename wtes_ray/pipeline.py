@@ -3,29 +3,30 @@
 Physical plan (SURVEY.md §7.2, re-expressing tableExtractor.py's queue-polling
 threads as a streaming Dataset pipeline):
 
-    read_parquet(documents)                      # Lance-shaped input table
-      → map_batches(split_and_key)               # stateless: doc_id-hash part
-                                                 # key + salted mega-doc split
-      → map_batches(ExtractChunks, actor pool)   # lexicons/tagger loaded once
-                                                 # per actor (__init__)
-      → groupby("part").map_groups(writer)       # ONE shuffle: co-locates all
-                                                 # chunks of a doc (same hash
-                                                 # key), reassembles salted
-                                                 # giants, writes the partition
-                                                 # parquet + checkpoint
-                                                 # manifest atomically
-      → manifests (tiny) collected on the driver
+    read_parquet(documents)                # Lance-shaped input table
+      → map_batches(split_and_key)         # stateless: doc_id-hash part key +
+                                           # salted mega-doc split
+      → map_batches(extract_chunks_batch)  # extraction tasks; state cached
+                                           # per worker (ExtractChunks actor
+                                           # pool available for heavy state)
+      → map_batches(write_shards)          # SHUFFLE-FREE partitioned write:
+                                           # part=NNNNN/shard-<hash>.parquet,
+                                           # singles and salted-chunk rows in
+                                           # separate files
+      → shard metadata (tiny rows) → driver commits per-partition manifests
 
-Scale posture:
-  - the only all-to-all exchange is the partitioned checkpoint write, which a
-    resumable layout needs anyway; P (``num_partitions``) is chosen ≈ 4× total
-    cores and scales with the cluster;
-  - skewed mega-documents are salted at the split stage: their spans are
-    chunked into independent rows that extract in parallel and re-stitch
-    inside the writer group (the chunks of a doc share its hash key, so
-    reassembly is free — no extra shuffle);
-  - resume: completed partitions are read from the manifest dir and dropped
-    at the split stage (vectorized anti-filter), before any extraction work;
+Scale posture (full analysis: SCALING.md):
+  - NO all-to-all exchange anywhere in the extraction path — the resumable
+    partitioned layout is produced by direct shard writes with
+    content-deterministic names; P (``num_partitions``) controls resume
+    granularity, chosen ≈ 4-8× total cores at cluster scale;
+  - skewed mega-documents are salted at the split stage: their spans become
+    independent chunk rows that extract in parallel; re-stitching happens at
+    READ time (`load_extracted`) over only the rare ``n_chunks>1`` rows,
+    written to dedicated ``*-chunks.parquet`` files;
+  - resume: completed partitions (manifest present) are dropped at the split
+    stage before any extraction work; orphan shards of incomplete partitions
+    are swept first; retried tasks rewrite byte-identical shard files;
   - downstream triple stages (dedup, fusion) read the checkpoint back instead
     of re-executing extraction (Datasets are single-consumer; the checkpoint
     doubles as the branch point).
@@ -297,11 +298,20 @@ def make_shard_writer(out_dir: str):
             shard_id = h.hexdigest()[:16]
             part_dir = os.path.join(out_dir, f"part={part:05d}")
             os.makedirs(part_dir, exist_ok=True)
-            tmp = os.path.join(part_dir,
-                               f".tmp-{shard_id}-{os.getpid()}")
-            pq.write_table(sub, tmp)
-            os.replace(tmp, os.path.join(part_dir,
-                                         f"shard-{shard_id}.parquet"))
+            # whole docs and salted chunk rows go to SEPARATE files so the
+            # read side never scans singles looking for chunks
+            single_mask = pc.equal(sub.column("n_chunks"), 1)
+            singles = sub.filter(single_mask).select(EXTRACTED.names) \
+                         .cast(EXTRACTED)
+            chunked = sub.filter(pc.invert(single_mask))
+            for tbl, suffix in ((singles, ""), (chunked, "-chunks")):
+                if tbl.num_rows == 0:
+                    continue
+                tmp = os.path.join(part_dir,
+                                   f".tmp-{shard_id}{suffix}-{os.getpid()}")
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, os.path.join(
+                    part_dir, f"shard-{shard_id}{suffix}.parquet"))
             n_whole = int(pc.sum(pc.cast(
                 pc.equal(sub.column("chunk"), 0), pa.int64())).as_py() or 0)
             metas.append({
@@ -406,7 +416,7 @@ def run_extract_pipeline(input_path: str, out_dir: str, *,
                          max_spans_per_chunk: int = DEFAULT_MAX_SPANS_PER_CHUNK,
                          concurrency: int | tuple | None = None,
                          batch_size: int = 16,
-                         writer_batch_size: int = 1024,
+                         writer_batch_size: int = 2048,
                          lexicons: Lexicons | None = None,
                          use_actors: bool = False,
                          resume: bool = False) -> dict:
@@ -474,25 +484,27 @@ def load_extracted(out_dir: str) -> ray.data.Dataset:
     schema). Salted chunk rows (``n_chunks > 1``, rare) are reassembled
     lazily with a doc_id groupby over ONLY that subset (parquet filter
     pushdown keeps the common path untouched)."""
-    paths = [os.path.join(out_dir, d, f)
-             for d in sorted(os.listdir(out_dir)) if d.startswith("part=")
-             for f in sorted(os.listdir(os.path.join(out_dir, d)))
-             if f.endswith(".parquet")]
-    singles = ray.data.read_parquet(
-        paths, filter=pc.equal(pc.field("n_chunks"), 1),
-        columns=EXTRACTED.names)
-    chunked = ray.data.read_parquet(
-        paths, filter=pc.greater(pc.field("n_chunks"), 1))
+    from .schema import EXTRACTED_PARQUET
+    single_paths, chunk_paths = [], []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("part="):
+            continue
+        for f in sorted(os.listdir(os.path.join(out_dir, d))):
+            if not f.endswith(".parquet"):
+                continue
+            (chunk_paths if f.endswith("-chunks.parquet")
+             else single_paths).append(os.path.join(out_dir, d, f))
+    singles = ray.data.read_parquet(single_paths)
+    if not chunk_paths:
+        return singles
 
     def reassemble_group(g: pa.Table) -> pa.Table:
         return pa.Table.from_pylist([_reassemble_doc(g.to_pylist())],
-                                    schema=EXTRACTED)
+                                    schema=EXTRACTED).cast(EXTRACTED_PARQUET)
 
-    n_chunked = chunked.count()
-    if n_chunked == 0:
-        return singles
-    reassembled = chunked.groupby("doc_id").map_groups(
-        reassemble_group, batch_format="pyarrow")
+    reassembled = ray.data.read_parquet(chunk_paths) \
+        .groupby("doc_id").map_groups(reassemble_group,
+                                      batch_format="pyarrow")
     return singles.union(reassembled)
 
 

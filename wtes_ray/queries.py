@@ -468,6 +468,35 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def dedup_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """End-to-end corpus cleaning: planted-dup corpus → MinHash-LSH pairs →
+    cluster → drop non-representative members (rows-only: LSH output)."""
+    from .ops.dedup import dedup_filter, minhash_lsh_pairs
+    docs = _docs_with_planted_dups(sf_dir)
+    pairs = minhash_lsh_pairs(_docs_with_planted_dups(sf_dir),
+                              threshold=0.8, concurrency=(1, 8))
+    kept = dedup_filter(docs, pairs)
+    df = kept.select_columns(["doc_id"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def extract_error_stats(sf_dir: str) -> pd.DataFrame:
+    """Quarantine surfacing (recorded deviation vs the reference's
+    exception-swallowing): per-status doc counts from the flagship output."""
+    ext = _extract_synthetic(sf_dir)
+
+    def status(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t.column("error"), "")
+        return pa.table({"status": pc.if_else(
+            ok, pa.scalar("ok"), pa.scalar("quarantined"))})
+
+    df = ext.select_columns(["error"]) \
+            .map_batches(status, batch_format="pyarrow") \
+            .groupby("status").aggregate(Count(alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("status").reset_index(drop=True)
+
+
 def neardup_clusters_docs(sf_dir: str) -> pd.DataFrame:
     """Connected components over the MinHash candidate pairs → (doc_id,
     cluster_id) for the planted-dup corpus (rows-only: LSH output)."""
@@ -814,6 +843,8 @@ REGISTRY: dict = {
     "orders_without_lineitems": (orders_without_lineitems,
                                  ORDERS_WITHOUT_LINEITEMS_SQL),
     "neardup_clusters_docs": (neardup_clusters_docs, None),
+    "dedup_filter_docs": (dedup_filter_docs, None),
+    "extract_error_stats": (extract_error_stats, None),
     "part_brand_qty": (part_brand_qty, PART_BRAND_SQL),
     "orders_priority_count": (orders_priority_count, ORDERS_PRIORITY_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),

@@ -77,6 +77,15 @@ NODES = pa.schema(
 
 EDGES = RELATIONS  # deduped by the 5-tuple (s_name, s_url, rel, o_name, o_url)
 
+# EXTRACTED as it round-trips through parquet (list value field renamed to
+# "element") — reassembled tables cast to this so unions with parquet-read
+# datasets are schema-identical.
+EXTRACTED_PARQUET = pa.schema(
+    [f if f.name != "spans"
+     else pa.field("spans", pa.list_(pa.field("element", SPAN_STRUCT)))
+     for f in EXTRACTED]
+)
+
 MANIFEST = pa.schema(
     [
         ("part", pa.int32()),

@@ -98,6 +98,12 @@ class LexiconTagger:
         return len(toks) == 1 and toks[0][1] == "nr"
 
 
-@lru_cache(maxsize=4)
+@lru_cache(maxsize=16)
+def tagger_for(lex: Lexicons) -> LexiconTagger:
+    """Cached tagger per (frozen, hashable) Lexicons value — custom
+    vocabularies get their own tagger without per-document rebuild cost."""
+    return LexiconTagger(lex)
+
+
 def default_tagger() -> LexiconTagger:
-    return LexiconTagger(DEFAULT_LEXICONS)
+    return tagger_for(DEFAULT_LEXICONS)

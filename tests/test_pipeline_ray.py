@@ -98,6 +98,45 @@ def test_relations_dedup(ray_session, extracted):
     assert got.equals(want)
 
 
+def test_csv_triple_sink(ray_session, extracted, tmp_path):
+    """S9: deduped relation triples → CSV sink (FileIO.writeTriad2csv
+    analog, reference FileIO.py:144-155)."""
+    import csv
+    import os as _os
+
+    out, _ = extracted
+    rels = P.dedup_relations(P.relations_dataset(P.load_extracted(out)))
+    d = str(tmp_path / "triples")
+    rels.write_csv(d)
+    rows = []
+    for f in _os.listdir(d):
+        with open(_os.path.join(d, f), newline="", encoding="utf-8") as fh:
+            r = csv.DictReader(fh)
+            rows.extend(r)
+    assert len(rows) == rels.count()
+    assert {"s_name", "rel", "o_name"} <= set(rows[0])
+
+
+def test_input_schema_validated(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from wtes_ray.pipeline import split_and_key
+
+    # validate() is validate-AND-CAST: castable drift is repaired, a missing
+    # column is a hard stage-boundary error
+    bad = pa.table({"doc_id": pa.array(["a"], pa.string())})
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        split_and_key(bad, num_partitions=4)
+    # incompatible nested payload also fails
+    bad2 = pa.table({
+        "doc_id": pa.array(["a"], pa.string()),
+        "spans": pa.array([[{"x": 1}]],
+                          pa.list_(pa.struct([("x", pa.int32())])))})
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        split_and_key(bad2, num_partitions=4)
+
+
 def test_nodes_fusion(ray_session, extracted):
     out, _ = extracted
     ents = P.entities_dataset(P.load_extracted(out))

@@ -90,6 +90,7 @@ def split_and_key(batch: pa.Table, *, num_partitions: int,
     Common-case rows (≤ max_spans_per_chunk spans) pass through zero-copy;
     only giants are materialized to Python for slicing.
     """
+    batch = validate(batch, DOCUMENTS, "documents read")
     doc_ids = batch.column("doc_id").to_pylist()
     parts = np.fromiter((_part_of(d, num_partitions) for d in doc_ids),
                         dtype=np.int32, count=len(doc_ids))

@@ -468,6 +468,89 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def last_click_before_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of join (a custom operator Ray Data lacks, ray_guide pattern):
+    for each purchase, the most recent prior click by the same user —
+    sort-within-group + ``pd.merge_asof`` under ``groupby(user)``.
+    Purchases with no prior click are dropped (NULL-free compare)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        clicks = g[g["event_type"] == "click"][["ts"]].rename(
+            columns={"ts": "last_click_ts"})
+        purchases = g[g["event_type"] == "purchase"][["event_id", "ts"]]
+        if purchases.empty or clicks.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "last_click_ts":
+                                     pd.Series([], dtype="datetime64[us]")})
+        merged = pd.merge_asof(purchases, clicks, left_on="ts",
+                               right_on="last_click_ts",
+                               allow_exact_matches=False)
+        merged = merged.dropna(subset=["last_click_ts"])
+        return merged[["event_id", "last_click_ts"]]
+
+    df = ds.groupby("user_id").map_groups(asof,
+                                          batch_format="pandas").to_pandas()
+    df["last_click_ts"] = df["last_click_ts"].astype("datetime64[us]")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+LAST_CLICK_SQL = """
+SELECT event_id, last_click_ts FROM (
+  SELECT event_id, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events)
+WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+ORDER BY event_id
+"""
+
+
+def events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate (1 h windows every 30 min): each event is
+    exploded to its two covering windows inside ``map_batches`` (vectorized),
+    then a grouped combine — the window assignment stays embarrassingly
+    parallel, only (key, window) partials shuffle."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    W, S = 3_600_000_000, 1_800_000_000  # 1 h window, 30 min slide (µs)
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        vals = t["value"].to_numpy()
+        # windows starting at slide boundaries covering each ts:
+        # w0 = floor(ts/S)*S and w1 = w0 - S (since W = 2·S)
+        w0 = (us // S) * S
+        starts = np.concatenate([w0, w0 - S])
+        v2 = np.concatenate([vals, vals])
+        return pa.table({"window_start": pa.array(starts, pa.int64()),
+                         "value": pa.array(v2, pa.float64())})
+
+    agg = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("window_start").aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"))
+    df = agg.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values("window_start").reset_index(drop=True)
+
+
+EVENTS_SLIDING_SQL = """
+SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM (
+  SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS window_start, value
+  FROM events
+  UNION ALL
+  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000, value
+  FROM events)
+GROUP BY window_start ORDER BY window_start
+"""
+
+
 def dedup_filter_docs(sf_dir: str) -> pd.DataFrame:
     """End-to-end corpus cleaning: planted-dup corpus → MinHash-LSH pairs →
     cluster → drop non-representative members (rows-only: LSH output)."""
@@ -849,6 +932,9 @@ REGISTRY: dict = {
     "orders_priority_count": (orders_priority_count, ORDERS_PRIORITY_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "last_click_before_purchase": (last_click_before_purchase,
+                                   LAST_CLICK_SQL),
+    "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_SQL),
     "lang_count": (lang_count, LANG_COUNT_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),

@@ -84,6 +84,28 @@ def test_resume_skips_and_reproduces(ray_session, docs_path, extracted,
         assert after[k]["spans"] == before[k]["spans"]
 
 
+def test_layout_version_guard(ray_session, docs_path, extracted, tmp_path):
+    """A checkpoint from another layout version must not be silently read
+    (a v1 checkpoint read by the v2 reader produced duplicate rows) and a
+    resume must rebuild it from scratch."""
+    import json as _json
+
+    out, _ = extracted
+    dst = str(tmp_path / "stale")
+    shutil.copytree(out, dst)
+    with open(os.path.join(dst, "_format.json"), "w") as f:
+        _json.dump({"layout_version": 1}, f)
+    with pytest.raises(ValueError, match="layout version"):
+        P.load_extracted(dst)
+    assert P.completed_parts(dst) == frozenset()
+    s = P.run_extract_pipeline(docs_path, dst, num_partitions=4,
+                               max_spans_per_chunk=8, batch_size=8,
+                               resume=True)
+    assert s["n_parts_skipped"] == 0           # nothing trusted, all redone
+    assert s["n_docs"] == N_DOCS
+    assert P.load_extracted(dst).count() == N_DOCS
+
+
 def test_relations_dedup(ray_session, extracted):
     out, _ = extracted
     rels = P.relations_dataset(P.load_extracted(out))

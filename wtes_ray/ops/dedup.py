@@ -45,17 +45,30 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_POLY_BASE = _U64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of the k-char shingles of ``text``."""
+    """64-bit hashes of the k-char shingles of ``text`` — fully vectorized:
+    a rolling polynomial over the UTF-32 code points with a final
+    splitmix-style finalizer (one numpy pass instead of one blake2b call
+    per character position)."""
     if len(text) < k:
         text = text + "\x00" * (k - len(text))
-    n = len(text) - k + 1
-    out = np.empty(n, dtype=_U64)
-    for i in range(n):
-        h = hashlib.blake2b(text[i:i + k].encode("utf-8"),
-                            digest_size=8).digest()
-        out[i] = int.from_bytes(h, "little")
-    return out
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+              .astype(_U64)
+    n = len(codes) - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=_U64)
+        for j in range(k):          # k is small (default 5): k vector passes
+            h = h * _POLY_BASE + codes[j:j + n]
+        # splitmix64-style avalanche
+        h ^= h >> _U64(30)
+        h *= _U64(0xBF58476D1CE4E5B9)
+        h ^= h >> _U64(27)
+        h *= _U64(0x94D049BB133111EB)
+        h ^= h >> _U64(31)
+    return h
 
 
 def _minhash_params(num_perm: int, seed: int = 7):

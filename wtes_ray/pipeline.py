@@ -69,6 +69,12 @@ CHUNKED = pa.schema(
 
 DEFAULT_MAX_SPANS_PER_CHUNK = 64
 
+# Checkpoint layout version. Bump whenever the on-disk shard/manifest layout
+# changes incompatibly: resume and load_extracted REFUSE silently mixing
+# layouts (a v1 checkpoint read by the v2 reader produced duplicate rows —
+# chunk rows misread as whole docs).
+LAYOUT_VERSION = 2
+
 
 def _part_of(doc_id: str, num_partitions: int) -> int:
     return zlib.crc32(doc_id.encode("utf-8")) % num_partitions
@@ -380,11 +386,18 @@ def commit_manifests(out_dir: str, shard_metas: list[dict],
 
 def clean_incomplete_parts(out_dir: str) -> int:
     """Remove shard files of partitions that have no committed manifest
-    (orphans from a crashed run) so a resume starts clean."""
-    done = completed_parts(out_dir)
+    (orphans from a crashed run) so a resume starts clean. A checkpoint in a
+    different layout version is swept entirely (its manifests too)."""
     removed = 0
     if not os.path.isdir(out_dir):
         return 0
+    if _layout_version(out_dir) != LAYOUT_VERSION:
+        man_dir = os.path.join(out_dir, "_manifests")
+        if os.path.isdir(man_dir):
+            for f in os.listdir(man_dir):
+                os.remove(os.path.join(man_dir, f))
+                removed += 1
+    done = completed_parts(out_dir)
     for name in os.listdir(out_dir):
         if not name.startswith("part="):
             continue
@@ -399,9 +412,32 @@ def clean_incomplete_parts(out_dir: str) -> int:
     return removed
 
 
+def _format_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_format.json")
+
+
+def _layout_version(out_dir: str) -> int | None:
+    try:
+        with open(_format_path(out_dir), encoding="utf-8") as f:
+            return int(json.load(f).get("layout_version", 0))
+    except (OSError, ValueError):
+        return None
+
+
+def _write_layout_marker(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = _format_path(out_dir) + f".tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"layout_version": LAYOUT_VERSION}, f)
+    os.replace(tmp, _format_path(out_dir))
+
+
 def completed_parts(out_dir: str) -> frozenset[int]:
-    """Partitions already checkpointed (manifest exists ⇒ data file was
-    renamed into place first)."""
+    """Partitions already checkpointed (manifest exists ⇒ data files were
+    renamed into place first). A checkpoint from a different layout version
+    counts as NOTHING completed."""
+    if _layout_version(out_dir) != LAYOUT_VERSION:
+        return frozenset()
     man_dir = os.path.join(out_dir, "_manifests")
     if not os.path.isdir(man_dir):
         return frozenset()
@@ -466,6 +502,7 @@ def run_extract_pipeline(input_path: str, out_dir: str, *,
     metas = ds.map_batches(make_shard_writer(out_dir),
                            batch_format="pyarrow", num_cpus=0.5,
                            batch_size=writer_batch_size).take_all()
+    _write_layout_marker(out_dir)
     parts_planned = [p for p in range(num_partitions) if p not in skip]
     manifests = commit_manifests(out_dir, metas, parts_planned)
     summary = {
@@ -486,6 +523,12 @@ def load_extracted(out_dir: str) -> ray.data.Dataset:
     lazily with a doc_id groupby over ONLY that subset (parquet filter
     pushdown keeps the common path untouched)."""
     from .schema import EXTRACTED_PARQUET
+    if _layout_version(out_dir) != LAYOUT_VERSION:
+        raise ValueError(
+            f"checkpoint at {out_dir} has layout version "
+            f"{_layout_version(out_dir)!r}, reader expects {LAYOUT_VERSION} "
+            f"— re-run the extraction (a mixed-layout read would produce "
+            f"duplicate rows)")
     single_paths, chunk_paths = [], []
     for d in sorted(os.listdir(out_dir)):
         if not d.startswith("part="):

@@ -809,8 +809,10 @@ def _code_fingerprint() -> str:
 
 
 def _synth_cache_dir(sf_dir: str, n_docs: int) -> str:
+    from .pipeline import LAYOUT_VERSION
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/wtes_cache/{tag}-{n_docs}-{_code_fingerprint()}"
+    return (f"/tmp/wtes_cache/{tag}-{n_docs}-{_code_fingerprint()}"
+            f"-v{LAYOUT_VERSION}")
 
 
 def _synthetic_docs(n_docs: int):

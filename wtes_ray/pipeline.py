@@ -657,6 +657,31 @@ def build_nodes(entities: ray.data.Dataset) -> ray.data.Dataset:
                                                   batch_format="pyarrow")
 
 
+def build_knowledge_graph(input_path: str, out_dir: str, *,
+                          num_partitions: int = 64,
+                          resume: bool = False, **kwargs) -> dict:
+    """The reference's full end-to-end flow (start.py: spider → tableExtract
+    → personGraph) as one batch pipeline: extract (checkpointed) → deduped
+    relation triples → fused entity nodes, written as Parquet under
+    ``out_dir/{extracted,edges,nodes}``. Returns the rolled-up summary."""
+    ext_dir = os.path.join(out_dir, "extracted")
+    summary = run_extract_pipeline(input_path, ext_dir,
+                                   num_partitions=num_partitions,
+                                   resume=resume, **kwargs)
+    ext = load_extracted(ext_dir)
+    edges = dedup_relations(relations_dataset(ext))
+    edges.write_parquet(os.path.join(out_dir, "edges"))
+    ext = load_extracted(ext_dir)   # Datasets are single-consumer; re-read
+    nodes = build_nodes(entities_dataset(ext))
+    nodes.write_parquet(os.path.join(out_dir, "nodes"))
+    import pyarrow.dataset as pads
+    summary["n_edges"] = pads.dataset(
+        os.path.join(out_dir, "edges")).count_rows()
+    summary["n_nodes"] = pads.dataset(
+        os.path.join(out_dir, "nodes")).count_rows()
+    return summary
+
+
 def generate_documents_ray(n_docs: int, out_path: str, *, seed: int = 42,
                            giant_fraction: float = 0.0,
                            parallelism: int = 32) -> None:

@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 _U64 = np.uint64
 _MERSENNE = _U64((1 << 61) - 1)

@@ -142,7 +142,8 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     df = df.sort_values(["revenue", "l_orderkey"],
                         ascending=[False, True]).head(10)
     info = order_info
-    df["o_orderdate"] = df["l_orderkey"].map(lambda k: info[k][0])
+    df["o_orderdate"] = pd.to_datetime(
+        df["l_orderkey"].map(lambda k: info[k][0])).astype("datetime64[us]")
     df["o_orderpriority"] = df["l_orderkey"].map(lambda k: info[k][1])
     df["revenue"] = df["revenue"].round(2)
     return df[["l_orderkey", "revenue", "o_orderdate",
@@ -817,7 +818,6 @@ def _synth_cache_dir(sf_dir: str, n_docs: int) -> str:
 
 def _synthetic_docs(n_docs: int):
     from .gen import generate_batch
-    from .pipeline import read_documents  # noqa: F401
 
     def gen(t: pa.Table) -> pa.Table:
         return generate_batch(t.column("id").to_pylist(),

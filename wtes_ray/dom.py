@@ -332,13 +332,18 @@ _RAW_END = {
 _unescape = None  # lazy import of html.unescape (stdlib ``html`` module)
 
 
-def parse_html(html: str) -> Element:
+def parse_html(html: str, drop_tags: frozenset[str] = frozenset()) -> Element:
     """Parse an HTML string into a tree rooted at a ``[document]`` element.
 
     Comments are dropped during parsing (the reference strips them in
     ``htmlPreTreat``, tableExtractor.py:528). ``<script>``/``<style>``
     content is raw text (not tokenized). Entity references are unescaped
-    exactly like ``html.parser`` with ``convert_charrefs=True``."""
+    exactly like ``html.parser`` with ``convert_charrefs=True``.
+
+    ``drop_tags``: element names removed from the tree as they close —
+    lets ``html_pretreat`` discard script/style/article/code without four
+    post-parse full-tree traversals. (A dropped element is always the last
+    appended child of its parent when it closes, so removal is O(1).)"""
     global _unescape
     if _unescape is None:
         from html import unescape as _u
@@ -352,7 +357,7 @@ def parse_html(html: str) -> Element:
         if m is None:  # pragma: no cover — _TOKEN always matches something
             break
         pos = m.end()
-        end_name, start_name, attr_str = m.group(1), m.group(2), m.group(3)
+        end_name, start_name, attr_str = m.group(1, 2, 3)
         if start_name is not None:
             name = start_name.lower()
             self_closing = attr_str.rstrip().endswith("/")
@@ -383,14 +388,21 @@ def parse_html(html: str) -> Element:
                         if raw:
                             el.append(TextNode(raw))
                         pos = n
+                if name in drop_tags:
+                    stack[-1].children.pop()   # el is the last child
             elif name not in VOID_ELEMENTS and not self_closing:
                 stack.append(el)
+            elif name in drop_tags:            # void/self-closing dropped tag
+                stack[-1].children.pop()
         elif end_name is not None:
             name = end_name.lower()
             if name in VOID_ELEMENTS:
                 continue
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].name == name:
+                    if name in drop_tags:
+                        # the closing element is its parent's last child
+                        stack[i - 1].children.pop()
                     del stack[i:]
                     break
         else:

@@ -29,15 +29,15 @@ _TITLE_CLASS = re.compile(r"^.*title.*$")
 HREF_PREFIX = "https://baike.baidu.com"
 
 
+_PRETREAT_DROP = frozenset({"script", "style", "article", "code"})
+
+
 def html_pretreat(html: str) -> Element:
     """M1 (tableExtractor.py:519-537): strip ``\\r\\t\\n``, parse, drop
-    comments (at parse time), remove <script>/<style>/<article>/<code>."""
+    comments + <script>/<style>/<article>/<code> — all during the single
+    parse pass (no post-parse tree sweeps)."""
     html = html.replace("\r", "").replace("\t", "").replace("\n", "")
-    root = parse_html(html)
-    for name in ("script", "style", "article", "code"):
-        for el in root.find_all(name):
-            el.extract()
-    return root
+    return parse_html(html, drop_tags=_PRETREAT_DROP)
 
 
 def _replace_brs(el: Element) -> None:
@@ -152,28 +152,48 @@ def _rule2(tag: Element) -> bool:
     """Not link/script/image-dense (tableExtractor.py:192-228). The
     reference's nested-subtable count is always 0 (its descendant probe never
     matches — tableExtractor.py:202-206), so only the href/script/img density
-    tests are live."""
-    hrefs = tag.find_all("a", href=True)
-    scripts = tag.find_all("script")
-    imgs = tag.find_all("img")
-    thead = tag.find("thead")
-    tbody = tag.find("tbody")
+    tests are live. All six of the reference's traversals are fused into one
+    subtree walk (this runs per <table> tag — hot)."""
+    n_hrefs = n_scripts = n_imgs = 0
+    thead = tbody = ul = None
+    stack = tag.children[::-1]
+    while stack:
+        node = stack.pop()
+        if node.__class__ is not Element:
+            continue
+        name = node.name
+        if name == "a":
+            if "href" in node.attrs:
+                n_hrefs += 1
+        elif name == "img":
+            n_imgs += 1
+        elif name == "script":
+            n_scripts += 1
+        elif name == "thead":
+            if thead is None:
+                thead = node
+        elif name == "tbody":
+            if tbody is None:
+                tbody = node
+        elif name == "ul":
+            if ul is None:
+                ul = node
+        cs = node.children
+        if cs:
+            stack.extend(cs[::-1])
     if thead and tbody:
         rows = len(thead.contents) + len(tbody.contents)
         cols = len(thead.next.contents)
+    elif ul is not None:
+        rows = len(ul.contents) + 1
+        cols = len(ul.contents) - 1
     else:
-        ul = tag.find("ul")
-        if ul:
-            rows = len(ul.contents) + 1
-            cols = len(ul.contents) - 1
-        else:
-            rows = len(tag.contents)
-            now = tag.contents[0]
-            if now.name == "caption":
-                now = now.next_sibling
-            cols = len(now.contents)
-    if len(hrefs) > rows * cols * 2 or len(scripts) > 1 \
-            or len(imgs) > rows * cols / 2:
+        rows = len(tag.contents)
+        now = tag.contents[0]
+        if now.name == "caption":
+            now = now.next_sibling
+        cols = len(now.contents)
+    if n_hrefs > rows * cols * 2 or n_scripts > 1 or n_imgs > rows * cols / 2:
         return False
     return True
 

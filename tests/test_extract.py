@@ -35,26 +35,33 @@ def test_golden_span_sequences():
 
 def test_chunked_equals_whole():
     """Salted-split invariant: group-wise concatenation of per-chunk results
-    equals the whole-document extraction (extract.py ordering contract)."""
-    for i in (0, 5, 9):
-        doc = generate_document(i, giant=(i == 5))
-        spans = sorted(doc["spans"], key=lambda s: s["offset"])
-        whole = extract_document_safe(doc["doc_id"], spans)
-        basic, tag, tail = [], [], []
-        ents_b, ents_t, rels_b, rels_t = [], [], [], []
-        for c in range(0, len(spans), 7):
-            r = extract_document_safe(doc["doc_id"], spans[c:c + 7])
-            assert r.error == ""
-            basic += r.basic_spans
-            tag += r.tag_spans
-            tail += r.tail_media
-            ents_b += r.basic_entities
-            ents_t += r.tag_entities
-            rels_b += r.basic_relations
-            rels_t += r.tag_relations
-        assert basic + tag + tail == whole.content_spans + whole.tail_media
-        assert ents_b + ents_t == whole.entities
-        assert rels_b + rels_t == whole.relations
+    (each chunk carrying ≤2 preceding html spans as parse-only context, like
+    the pipeline's split stage) equals the whole-document extraction —
+    including caption lookups that cross chunk boundaries."""
+    for i in (0, 2, 5, 9, 13):
+        for k in (3, 5, 7):
+            doc = generate_document(i, giant=(i == 5))
+            spans = sorted(doc["spans"], key=lambda s: s["offset"])
+            whole = extract_document_safe(doc["doc_id"], spans)
+            basic, tag, tail = [], [], []
+            ents_b, ents_t, rels_b, rels_t = [], [], [], []
+            for c in range(0, len(spans), k):
+                prefix = [s for s in spans[:c] if s["kind"] == "html"][-2:]
+                r = extract_document_safe(doc["doc_id"],
+                                          prefix + spans[c:c + k],
+                                          n_prefix=len(prefix))
+                assert r.error == ""
+                basic += r.basic_spans
+                tag += r.tag_spans
+                tail += r.tail_media
+                ents_b += r.basic_entities
+                ents_t += r.tag_entities
+                rels_b += r.basic_relations
+                rels_t += r.tag_relations
+            assert basic + tag + tail == \
+                whole.content_spans + whole.tail_media, f"doc {i} k={k}"
+            assert ents_b + ents_t == whole.entities, f"doc {i} k={k}"
+            assert rels_b + rels_t == whole.relations, f"doc {i} k={k}"
 
 
 def test_quarantine_on_bad_input():

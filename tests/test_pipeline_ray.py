@@ -84,6 +84,38 @@ def test_resume_skips_and_reproduces(ray_session, docs_path, extracted,
         assert after[k]["spans"] == before[k]["spans"]
 
 
+def test_rerun_without_resume_overwrites_cleanly(ray_session, docs_path,
+                                                 extracted, tmp_path):
+    """A fresh (non-resume) run into an existing out_dir must sweep the old
+    checkpoint — stale shards from a different batch grouping would read as
+    duplicate rows."""
+    out, _ = extracted
+    dst = str(tmp_path / "rerun")
+    shutil.copytree(out, dst)
+    # different batch/partition grouping than the fixture run
+    s = P.run_extract_pipeline(docs_path, dst, num_partitions=4,
+                               max_spans_per_chunk=16, batch_size=4)
+    assert s["n_docs"] == N_DOCS
+    assert P.load_extracted(dst).count() == N_DOCS
+
+
+def test_deterministic_across_parallelism(ray_session, docs_path, extracted,
+                                          tmp_path):
+    """SURVEY §5.2(3): identical per-doc output regardless of batch size /
+    chunking / partition count."""
+    out, _ = extracted   # P=4, chunk=8, batch=8
+    alt = str(tmp_path / "alt")
+    P.run_extract_pipeline(docs_path, alt, num_partitions=7,
+                           max_spans_per_chunk=5, batch_size=3)
+    a = {r["doc_id"]: r for r in P.load_extracted(out).take_all()}
+    b = {r["doc_id"]: r for r in P.load_extracted(alt).take_all()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["spans"] == b[k]["spans"]
+        assert a[k]["entities_json"] == b[k]["entities_json"]
+        assert a[k]["relations_json"] == b[k]["relations_json"]
+
+
 def test_layout_version_guard(ray_session, docs_path, extracted, tmp_path):
     """A checkpoint from another layout version must not be silently read
     (a v1 checkpoint read by the v2 reader produced duplicate rows) and a

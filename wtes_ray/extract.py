@@ -22,11 +22,15 @@ contract is OURS and is shared verbatim by oracle and pipeline):
   Entities and relations follow the same table order.
 
 Partitioning assumption for the salted mega-doc path (SURVEY.md §4.2): each
-input ``html`` span is a self-contained block-level fragment (a table and its
-caption/title sibling never straddle two spans), so parsing a concatenation
-of chunks equals concatenating per-chunk parses. ``extract_document`` exposes
-(content_spans, tail_media) separately so the salted reassembly can preserve
-exactly this order.
+input ``html`` span is a self-contained block-level fragment — a TABLE never
+straddles two spans — so table location is compositional across chunks.
+Captions are NOT span-local (``getCaption`` walks up to 2 previous DOM
+siblings, which may live in earlier spans), so each chunk is extracted with
+the 2 preceding html spans prepended as parse-only CONTEXT (``n_prefix``):
+the prefix's own tables are located, counted, and skipped — they belong to
+the previous chunk — while the chunk's first tables see their true preceding
+siblings. ``extract_document`` exposes the output groups separately so the
+salted reassembly can preserve the whole-document order exactly.
 """
 
 from __future__ import annotations
@@ -120,26 +124,49 @@ def locate_tables(html: str, doc_id: str, lex: Lexicons,
 
 def extract_document(doc_id: str, spans: list[dict],
                      lex: Lexicons = DEFAULT_LEXICONS,
-                     tagger: LexiconTagger | None = None) -> DocResult:
+                     tagger: LexiconTagger | None = None,
+                     n_prefix: int = 0) -> DocResult:
     """Extract one interleaved document row ``(doc_id, spans)``.
 
     ``spans`` is the input span list (dicts with kind/text/media_ref/offset).
     The html chunks are concatenated in offset order into the page markup
     (the reference's ``personUrlAndHtml.html`` column, MSSQL.py:26-30);
     ``media`` input spans pass through to the output tail.
+
+    ``n_prefix``: the first ``n_prefix`` spans are parse-only CONTEXT from
+    the preceding salted chunk (module docstring): their media is not
+    emitted and their tables are located-then-skipped.
     """
     if tagger is None:
         from .wordtype import tagger_for
         tagger = tagger_for(lex)
     res = DocResult(doc_id)
     ordered = sorted(spans, key=lambda s: s["offset"])
+    prefix, own = ordered[:n_prefix], ordered[n_prefix:]
     html = "".join(s["text"] for s in ordered if s["kind"] == "html")
-    res.tail_media = [("media", "", s["media_ref"]) for s in ordered
+    res.tail_media = [("media", "", s["media_ref"]) for s in own
                       if s["kind"] == "media"]
     subject = subject_from_doc_id(doc_id)
     tables, n_basic = locate_tables(html, doc_id, lex, tagger)
+    skip_basic = skip_tag = 0
+    if prefix:
+        prefix_html = "".join(s["text"] for s in prefix
+                              if s["kind"] == "html")
+        p_tables, p_basic = locate_tables(prefix_html, doc_id, lex, tagger)
+        skip_basic = p_basic
+        skip_tag = len(p_tables) - p_basic
+    seen_basic = seen_tag = 0
     for idx, table in enumerate(tables):
         is_basic = idx < n_basic
+        # prefix-context tables belong to the previous chunk — skip them
+        if is_basic:
+            seen_basic += 1
+            if seen_basic <= skip_basic:
+                continue
+        else:
+            seen_tag += 1
+            if seen_tag <= skip_tag:
+                continue
         span_acc = res.basic_spans if is_basic else res.tag_spans
         ent_acc = res.basic_entities if is_basic else res.tag_entities
         rel_acc = res.basic_relations if is_basic else res.tag_relations
@@ -175,14 +202,15 @@ def _emit_table_spans(acc: list[Span], table: Table) -> None:
 
 def extract_document_safe(doc_id: str, spans: list[dict],
                           lex: Lexicons = DEFAULT_LEXICONS,
-                          tagger: LexiconTagger | None = None) -> DocResult:
+                          tagger: LexiconTagger | None = None,
+                          n_prefix: int = 0) -> DocResult:
     """Extraction with quarantine semantics: any exception produces an empty
     result carrying the error string (recorded deviation — the reference's
     ``@except_output`` silently drops failed records,
     src/tools/algorithm/exceptionCatch.py:10-35; we keep the row and mark
     it so failed docs are countable and re-runnable)."""
     try:
-        return extract_document(doc_id, spans, lex, tagger)
+        return extract_document(doc_id, spans, lex, tagger, n_prefix)
     except Exception as e:  # noqa: BLE001 — quarantine boundary
         res = DocResult(doc_id)
         res.error = f"{type(e).__name__}: {e}"

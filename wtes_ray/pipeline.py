@@ -116,33 +116,40 @@ def split_and_key(batch: pa.Table, *, num_partitions: int,
         sub = sub.append_column("part", pa.array(parts[idx], pa.int32()))
         sub = sub.append_column("chunk", pa.array(np.zeros(n, np.int32)))
         sub = sub.append_column("n_chunks", pa.array(np.ones(n, np.int32)))
+        sub = sub.append_column("n_prefix", pa.array(np.zeros(n, np.int32)))
         out_tables.append(sub)
     if giant.any():
         rows = {"doc_id": [], "spans": [], "part": [], "chunk": [],
-                "n_chunks": []}
+                "n_chunks": [], "n_prefix": []}
         spans_col = batch.column("spans")
         for i in np.nonzero(giant)[0]:
             spans = spans_col[int(i)].as_py()
             spans.sort(key=lambda s: s["offset"])
             n_chunks = -(-len(spans) // max_spans_per_chunk)
             for c in range(n_chunks):
+                start = c * max_spans_per_chunk
+                own = spans[start:start + max_spans_per_chunk]
+                # parse-only context: the last ≤2 html spans before this
+                # chunk (getCaption walks ≤2 previous siblings — extract.py)
+                prefix = [s for s in spans[:start]
+                          if s["kind"] == "html"][-2:]
                 rows["doc_id"].append(doc_ids[int(i)])
-                rows["spans"].append(
-                    spans[c * max_spans_per_chunk:(c + 1) * max_spans_per_chunk])
+                rows["spans"].append(prefix + own)
                 rows["part"].append(int(parts[int(i)]))
                 rows["chunk"].append(c)
                 rows["n_chunks"].append(n_chunks)
+                rows["n_prefix"].append(len(prefix))
         out_tables.append(pa.table(
             {"doc_id": pa.array(rows["doc_id"], pa.string()),
              "spans": pa.array(rows["spans"], pa.list_(SPAN_STRUCT)),
              "part": pa.array(rows["part"], pa.int32()),
              "chunk": pa.array(rows["chunk"], pa.int32()),
-             "n_chunks": pa.array(rows["n_chunks"], pa.int32())}))
+             "n_chunks": pa.array(rows["n_chunks"], pa.int32()),
+             "n_prefix": pa.array(rows["n_prefix"], pa.int32())}))
     if not out_tables:
         empty = batch.slice(0, 0)
-        empty = empty.append_column("part", pa.array([], pa.int32()))
-        empty = empty.append_column("chunk", pa.array([], pa.int32()))
-        empty = empty.append_column("n_chunks", pa.array([], pa.int32()))
+        for name in ("part", "chunk", "n_chunks", "n_prefix"):
+            empty = empty.append_column(name, pa.array([], pa.int32()))
         return empty
     return pa.concat_tables(out_tables, promote_options="default")
 
@@ -160,6 +167,9 @@ class ExtractChunks:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
+        prefixes = (batch.column("n_prefix").to_pylist()
+                    if "n_prefix" in batch.column_names
+                    else [0] * len(doc_ids))
 
         # flat span columns + list offsets — built directly as Arrow arrays,
         # no per-span dict round-trip (this stage is the hot path; the
@@ -175,7 +185,7 @@ class ExtractChunks:
                 "n_basic_spans", "n_basic_entities", "n_basic_relations")}
         for i, doc_id in enumerate(doc_ids):
             res = extract_document_safe(doc_id, spans_col[i], self.lex,
-                                        self.tagger)
+                                        self.tagger, n_prefix=prefixes[i])
             seq = res.basic_spans + res.tag_spans + res.tail_media
             for off, (k, t, m) in enumerate(seq):
                 kinds.append(k)
@@ -477,6 +487,18 @@ def run_extract_pipeline(input_path: str, out_dir: str, *,
     if resume:
         clean_incomplete_parts(out_dir)
         skip = completed_parts(out_dir)
+    elif os.path.isdir(out_dir):
+        # fresh (non-resume) run into an existing dir: sweep the previous
+        # checkpoint entirely — stale shards with different batch groupings
+        # would otherwise coexist with the new ones and read as duplicates
+        for name in os.listdir(out_dir):
+            path = os.path.join(out_dir, name)
+            if name.startswith("part=") or name == "_manifests":
+                for f in os.listdir(path):
+                    os.remove(os.path.join(path, f))
+                os.rmdir(path)
+            elif name == "_format.json":
+                os.remove(path)
     ds = read_documents(input_path)
     ds = ds.map_batches(
         split_and_key, batch_format="pyarrow",

@@ -16,13 +16,30 @@ from wtes_ray.gen import generate_document  # noqa: E402
 N_DOCS = 20
 
 
+def chunked_spans(doc, k=5):
+    """Salted-path golden: per-chunk extraction with the pipeline's 2-span
+    parse context, group-wise reassembled (captures the chunked code path in
+    the golden fingerprint, which also keys the /tmp query caches)."""
+    spans = sorted(doc["spans"], key=lambda s: s["offset"])
+    basic, tag, tail = [], [], []
+    for c in range(0, len(spans), k):
+        prefix = [s for s in spans[:c] if s["kind"] == "html"][-2:]
+        r = extract_document_safe(doc["doc_id"], prefix + spans[c:c + k],
+                                  n_prefix=len(prefix))
+        basic += r.basic_spans
+        tag += r.tag_spans
+        tail += r.tail_media
+    seq = basic + tag + tail
+    return [[kind, t, m, i] for i, (kind, t, m) in enumerate(seq)]
+
+
 def build():
     out = []
     for i in range(N_DOCS):
         giant = i in (5, 17)
         doc = generate_document(i, giant=giant)
         r = extract_document_safe(doc["doc_id"], doc["spans"])
-        out.append({
+        rec = {
             "index": i,
             "giant": giant,
             "doc_id": doc["doc_id"],
@@ -31,7 +48,10 @@ def build():
             "relations": r.relations,
             "n_tables": r.n_tables,
             "error": r.error,
-        })
+        }
+        if i < 4:
+            rec["chunked_spans_k5"] = chunked_spans(doc, k=5)
+        out.append(rec)
     return out
 
 

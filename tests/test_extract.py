@@ -31,6 +31,10 @@ def test_golden_span_sequences():
         assert r.relations == g["relations"], f"rel mismatch doc {g['index']}"
         assert r.n_tables == g["n_tables"]
         assert r.error == g["error"] == ""
+        if "chunked_spans_k5" in g:
+            from tests.make_goldens import chunked_spans
+            assert chunked_spans(doc, k=5) == g["chunked_spans_k5"], \
+                f"chunked span mismatch doc {g['index']}"
 
 
 def test_chunked_equals_whole():

@@ -9,10 +9,11 @@ plus a representative query subset, and prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "docs_per_sec": ...}
 
---scaling: runs the headline pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same cached input and reports both
-throughputs plus scaling efficiency = thr(32) / (4 · thr(8)) — the sandbox
-stand-in for the N vs 4N cluster-size criterion (BASELINE.md).
+--scaling: runs the headline pipeline in FRESH processes at num_cpus=4 and
+num_cpus=16 (best of 2 per level) on the same cached input and reports both
+throughputs plus scaling efficiency = thr(16) / (4 · thr(4)) — the sandbox
+stand-in for the N vs 4N cluster-size criterion (BASELINE.md explains the
+level choice and host-noise protocol).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).

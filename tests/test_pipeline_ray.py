@@ -84,6 +84,19 @@ def test_resume_skips_and_reproduces(ray_session, docs_path, extracted,
         assert after[k]["spans"] == before[k]["spans"]
 
 
+def test_actor_pool_path_matches(ray_session, docs_path, extracted, tmp_path):
+    """The ExtractChunks actor-pool variant (use_actors=True — for
+    expensive-state stages) produces identical output to the task path."""
+    out, _ = extracted
+    alt = str(tmp_path / "actors")
+    P.run_extract_pipeline(docs_path, alt, num_partitions=4,
+                           max_spans_per_chunk=8, batch_size=8,
+                           use_actors=True, concurrency=2)
+    a = {r["doc_id"]: r["spans"] for r in P.load_extracted(out).take_all()}
+    b = {r["doc_id"]: r["spans"] for r in P.load_extracted(alt).take_all()}
+    assert a == b
+
+
 def test_rerun_without_resume_overwrites_cleanly(ray_session, docs_path,
                                                  extracted, tmp_path):
     """A fresh (non-resume) run into an existing out_dir must sweep the old

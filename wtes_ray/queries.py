@@ -591,6 +591,106 @@ def neardup_clusters_docs(sf_dir: str) -> pd.DataFrame:
                                   .reset_index(drop=True)
 
 
+def q14_promo_revenue_ratio(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14-shaped conditional aggregate over a broadcast join: promo
+    parts' share of revenue in one month."""
+    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    promo = {k for k, t_ in zip(part["p_partkey"].to_pylist(),
+                                part["p_type"].to_pylist())
+             if str(t_).startswith("PROMO")}
+    ref = ray.put(promo)
+    lo = pa.scalar(pd.Timestamp("1996-03-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-04-01"), pa.timestamp("us"))
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        pk = t["l_partkey"].to_numpy()
+        is_promo = np.fromiter((k in keys for k in pk), dtype=bool,
+                               count=len(pk))
+        rev_np = rev.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_rev": pa.array([float(rev_np[is_promo].sum())]),
+            "total_rev": pa.array([float(rev_np.sum())])})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_rev", alias_name="promo_rev"),
+        Sum("total_rev", alias_name="total_rev"))
+    total = agg["total_rev"] or 0.0
+    ratio = (100.0 * agg["promo_rev"] / total) if total else 0.0
+    return pd.DataFrame({"promo_ratio": [round(ratio, 6)]})
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_ratio
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returns per customer (top 20) —
+    broadcast orders→custkey map, partial per-batch combine, grouped sum,
+    then a small top-k sort with customer attributes attached."""
+    orders = pq.read_table(_t(sf_dir, "orders"),
+                           columns=["o_orderkey", "o_custkey"])
+    cust_of = dict(zip(orders["o_orderkey"].to_pylist(),
+                       orders["o_custkey"].to_pylist()))
+    ref = ray.put(cust_of)
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_acctbal"])
+    cust_info = {k: (n, b) for k, n, b in
+                 zip(cust["c_custkey"].to_pylist(),
+                     cust["c_name"].to_pylist(),
+                     cust["c_acctbal"].to_pylist())}
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        df = df[df["l_returnflag"] == "R"].copy()
+        df["c_custkey"] = df["l_orderkey"].map(lut)
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df.groupby("c_custkey", as_index=False)["revenue"].sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("c_custkey").aggregate(Sum("revenue",
+                                                alias_name="revenue"))
+    df = agg.to_pandas()
+    df = df.sort_values(["revenue", "c_custkey"],
+                        ascending=[False, True]).head(20)
+    df["c_name"] = df["c_custkey"].map(lambda k: cust_info[k][0])
+    df["c_acctbal"] = df["c_custkey"].map(lambda k: round(cust_info[k][1], 2))
+    df["revenue"] = df["revenue"].round(2)
+    df["c_custkey"] = df["c_custkey"].astype("int64")
+    return df[["c_custkey", "c_name", "c_acctbal",
+               "revenue"]].reset_index(drop=True)
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over `documents`
 # ---------------------------------------------------------------------------
@@ -921,6 +1021,8 @@ REGISTRY: dict = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
+    "q14_promo_revenue_ratio": (q14_promo_revenue_ratio, Q14_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "top_orders_per_customer": (top_orders_per_customer, TOP_ORDERS_SQL),
     "events_props_stats": (events_props_stats, EVENTS_PROPS_SQL),

@@ -144,6 +144,29 @@ def test_token_stats(docs_ds):
         assert out.loc[i, "n_chars"] == len(texts[i])
 
 
+def test_frontier_classification(ray_session):
+    """M20/M21: URL partition semantics (reference UrlExtractor.py:23-78 +
+    WebSpider.py:202-216)."""
+    import ray.data
+
+    from wtes_ray.ops.frontier import classify_urls, is_possible_url
+
+    urls = [
+        "https://baike.baidu.com/item/%E5%AD%94%E4%B8%98/1584",   # person
+        "https://baike.baidu.com/item/%E6%9C%9D%E4%BB%A3",        # non-person
+        "https://baike.baidu.com/item/pic/x.jpg",                 # extension
+        "https://example.com/item/%E5%AD%94%E4%B8%98",            # wrong site
+    ]
+    assert is_possible_url(urls[0]) and is_possible_url(urls[1])
+    assert not is_possible_url(urls[2]) and not is_possible_url(urls[3])
+    ds = ray.data.from_pandas(pd.DataFrame({"url": urls}))
+    out = classify_urls(ds).to_pandas().set_index("url")["bucket"]
+    assert out[urls[0]] == "useful"      # 孔丘 is in the name lexicon
+    assert out[urls[1]] == "useless"     # 朝代 is a non-name token
+    assert out[urls[2]] == "skip"
+    assert out[urls[3]] == "skip"
+
+
 def test_multimodal_pipeline(ray_session):
     import ray.data
 

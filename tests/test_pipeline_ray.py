@@ -84,6 +84,36 @@ def test_resume_skips_and_reproduces(ray_session, docs_path, extracted,
         assert after[k]["spans"] == before[k]["spans"]
 
 
+def test_quarantine_rows_flow_through_pipeline(ray_session, tmp_path):
+    """A poison document is quarantined (error row in the checkpoint) while
+    healthy docs extract normally — no task failure, no dropped rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wtes_ray.gen import generate_batch
+    from wtes_ray.schema import SPAN_STRUCT
+
+    good = generate_batch(range(5))
+    poison = pa.table({
+        "doc_id": pa.array(["https://x/item/poison/1"], pa.string()),
+        "spans": pa.array([[{"kind": "html", "text": None,
+                             "media_ref": "", "offset": 0}]],
+                          pa.list_(SPAN_STRUCT)),
+    })
+    docs = pa.concat_tables([good, poison])
+    path = str(tmp_path / "poison.parquet")
+    pq.write_table(docs, path)
+    out = str(tmp_path / "out")
+    s = P.run_extract_pipeline(path, out, num_partitions=2, batch_size=2)
+    assert s["n_docs"] == 6
+    assert s["n_errors"] == 1
+    rows = {r["doc_id"]: r for r in P.load_extracted(out).take_all()}
+    assert rows["https://x/item/poison/1"]["error"] != ""
+    assert sum(1 for r in rows.values() if r["error"] == "") == 5
+    assert all(r["n_spans"] > 0 for d, r in rows.items()
+               if not d.endswith("poison/1"))
+
+
 def test_actor_pool_path_matches(ray_session, docs_path, extracted, tmp_path):
     """The ExtractChunks actor-pool variant (use_actors=True — for
     expensive-state stages) produces identical output to the task path."""

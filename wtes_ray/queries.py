@@ -564,6 +564,20 @@ def dedup_filter_docs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def frontier_buckets(sf_dir: str) -> pd.DataFrame:
+    """M20/M21: crawl-frontier URL classification over the synthetic corpus'
+    doc_id URLs (rows-only: lexicon heuristic)."""
+    from .ops.frontier import classify_urls
+    ext = _extract_synthetic(sf_dir)
+    urls = ext.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.table({"url": t.column("doc_id")}),
+        batch_format="pyarrow")
+    out = classify_urls(urls)
+    df = out.groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("bucket").reset_index(drop=True)
+
+
 def extract_error_stats(sf_dir: str) -> pd.DataFrame:
     """Quarantine surfacing (recorded deviation vs the reference's
     exception-swallowing): per-status doc counts from the flagship output."""
@@ -1032,6 +1046,7 @@ REGISTRY: dict = {
     "neardup_clusters_docs": (neardup_clusters_docs, None),
     "dedup_filter_docs": (dedup_filter_docs, None),
     "extract_error_stats": (extract_error_stats, None),
+    "frontier_buckets": (frontier_buckets, None),
     "part_brand_qty": (part_brand_qty, PART_BRAND_SQL),
     "orders_priority_count": (orders_priority_count, ORDERS_PRIORITY_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),

@@ -521,9 +521,18 @@ def run_extract_pipeline(input_path: str, out_dir: str, *,
     # large writer batches → few, large shard files per partition (a shard
     # per (part, batch); small batches fragment into thousands of tiny
     # files); num_cpus=0.5 lets writers interleave with extraction
-    metas = ds.map_batches(make_shard_writer(out_dir),
-                           batch_format="pyarrow", num_cpus=0.5,
-                           batch_size=writer_batch_size).take_all()
+    metas_ds = ds.map_batches(make_shard_writer(out_dir),
+                              batch_format="pyarrow",
+                              num_cpus=0.5, batch_size=writer_batch_size)
+    metas = metas_ds.take_all()
+    try:
+        # per-stage wall/cpu breakdown for tuning (ray_guide: measure,
+        # don't guess) — best-effort observability, never fails the run
+        with open(os.path.join(out_dir, "_stats.txt"), "w",
+                  encoding="utf-8") as f:
+            f.write(metas_ds.stats())
+    except Exception:  # noqa: BLE001 — observability only
+        pass
     _write_layout_marker(out_dir)
     parts_planned = [p for p in range(num_partitions) if p not in skip]
     manifests = commit_manifests(out_dir, metas, parts_planned)

@@ -109,10 +109,12 @@ def locate_tables(html: str, doc_id: str, lex: Lexicons,
     per <table>: ul-list extraction, else heuristic filter → caption →
     DOM→Table. Returns (tables, n_basic) — the first ``n_basic`` tables come
     from basic-info boxes (the reference prepends them all)."""
+    from .locate import basic_info_tables_from_boxes, locate_candidates
     root = html_pretreat(html)
-    tables = extract_basic_info_tables(root, lex.site_rule_dict, doc_id)
+    boxes, table_tags = locate_candidates(root, lex.site_rule_dict)
+    tables = basic_info_tables_from_boxes(boxes, doc_id)
     n_basic = len(tables)
-    for tag in root.find_all("table"):
+    for tag in table_tags:
         ul_tables = extract_list_table(tag)
         if ul_tables:
             tables.extend(ul_tables)

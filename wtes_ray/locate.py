@@ -46,6 +46,35 @@ def _replace_brs(el: Element) -> None:
         br.replace_with_text("/")
 
 
+def locate_candidates(root: Element, rule: dict | None
+                      ) -> tuple[list[Element], list[Element]]:
+    """ONE document-order walk collecting both locator inputs: elements
+    whose class matches the site rule (basic-info boxes) and ``<table>``
+    tags — replaces two full-tree traversals per document (hot path)."""
+    rule = rule if rule is not None else DEFAULT_SITE_RULE
+    class_name = rule.get("class")
+    pattern = re.compile(class_name) if class_name else None
+    boxes: list[Element] = []
+    tables: list[Element] = []
+    stack = root.children[::-1]
+    while stack:
+        node = stack.pop()
+        if node.__class__ is not Element:
+            continue
+        if node.name == "table":
+            tables.append(node)
+        if pattern is not None:
+            raw = node.attrs.get("class")
+            if raw is not None and (
+                    pattern.search(raw)
+                    or any(pattern.search(tok) for tok in raw.split())):
+                boxes.append(node)
+        cs = node.children
+        if cs:
+            stack.extend(cs[::-1])
+    return boxes, tables
+
+
 def extract_basic_info_tables(root: Element, rule: dict | None,
                               doc_url: str) -> list[Table]:
     """M3 (tableExtractor.py:258-321): per-site rule finds nodes whose class
@@ -53,13 +82,14 @@ def extract_basic_info_tables(root: Element, rule: dict | None,
     become an n×2 COL-direction table; ``<br>``→"/", NBSP and ``[n]`` refs
     stripped; first property ∈ {本名, 中文名} marks a person-info table and
     maps its subject to the page URL."""
-    rule = rule if rule is not None else DEFAULT_SITE_RULE
+    boxes, _ = locate_candidates(root, rule)
+    return basic_info_tables_from_boxes(boxes, doc_url)
+
+
+def basic_info_tables_from_boxes(boxes: list[Element],
+                                 doc_url: str) -> list[Table]:
     tables: list[Table] = []
-    class_name = rule.get("class")
-    if not class_name:
-        return tables
-    pattern = re.compile(class_name)
-    for box in root.find_all(attrs={"class": pattern}):
+    for box in boxes:
         dts: list[Element] = []
         dds: list[Element] = []
         for dl in box.find_all("dl"):

@@ -75,6 +75,31 @@ def test_extend_table_always_dense(rows):
     assert t.is_correct()
 
 
+@settings(max_examples=80, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["孔丘", "颜回", "杜氏", "王氏", "张三"]),
+              st.sampled_from(["", "u1", "u2", "u1/longer"]),
+              st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                              st.text(max_size=3), max_size=2)),
+    max_size=8))
+def test_fusion_invariants(specs):
+    """Fusion invariants: every non-氏 source is either merged into a node
+    or dropped by the documented TypeError-parity rule; n_sources never
+    exceeds the group size; first-wins means node props ⊆ union of inputs."""
+    from wtes_ray.fusion import fuse_entity_group
+
+    group = [{"doc_id": f"d{i}", "seq": 0, "subject": "同名",
+              "subject_url": url, "props": dict(props)}
+             for i, (_, url, props) in enumerate(specs)]
+    nodes = fuse_entity_group(group)
+    assert sum(n["n_sources"] for n in nodes) <= len(group)
+    all_keys = {k for g in group for k in g["props"]}
+    for n in nodes:
+        assert set(n["props"]) <= all_keys
+    # determinism under input order permutation
+    assert fuse_entity_group(list(reversed(group))) == nodes
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.tuples(st.sampled_from(["html", "media"]),
                           st.text(alphabet="<>abc 姓名/td", max_size=30)),

@@ -122,17 +122,18 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
         concurrency=concurrency)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].tolist()
+        sig_list = batch["sig"].tolist()
+        sig_mat = np.asarray(sig_list, dtype=np.int64)
         out = {"band": [], "band_hash": [], id_col: [], "sig": []}
-        for _, row in batch.iterrows():
-            sig = np.asarray(row["sig"], dtype=np.int64)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(),
-                                     digest_size=8).hexdigest()
-                out["band"].append(band)
-                out["band_hash"].append(bh)
-                out[id_col].append(row[id_col])
-                out["sig"].append(row["sig"])
+        for band in range(bands):
+            chunks = sig_mat[:, band * rows_per_band:(band + 1) * rows_per_band]
+            out["band"].extend([band] * len(ids))
+            out["band_hash"].extend(
+                hashlib.blake2b(c.tobytes(), digest_size=8).hexdigest()
+                for c in chunks)
+            out[id_col].extend(ids)
+            out["sig"].extend(sig_list)
         return pd.DataFrame(out)
 
     exploded = sigs.map_batches(explode, batch_format="pandas")

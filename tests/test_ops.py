@@ -40,6 +40,26 @@ def test_exact_dedup(docs_ds):
     assert not {5, 6} & set(out["doc_id"])
 
 
+def test_exact_dedup_ids(docs_ds):
+    out = D.exact_dedup_ids(docs_ds).to_pandas()
+    assert len(out) == 18
+    assert 0 in set(out["doc_id"]) and not {5, 6} & set(out["doc_id"])
+    assert list(out.columns) == ["doc_id"]   # no text in the output/shuffle
+
+
+def test_verify_pairs_jaccard_missing_text_is_zero(ray_session, docs_ds):
+    """Pairs whose ids are absent from the corpus (or empty texts) must
+    verify at 0.0, not spuriously at 1.0 (review finding)."""
+    import ray.data
+
+    bogus = ray.data.from_pandas(pd.DataFrame(
+        {"a": [990], "b": [991], "est_jaccard": [1.0],
+         "truncated": [False]}))
+    verified = D.verify_pairs_jaccard(bogus, docs_ds,
+                                      threshold=0.01).to_pandas()
+    assert len(verified) == 0
+
+
 def test_minhash_lsh_finds_near_dups(docs_ds):
     pairs = D.minhash_lsh_pairs(docs_ds, threshold=0.6,
                                 concurrency=1).to_pandas()

@@ -84,6 +84,48 @@ def test_resume_skips_and_reproduces(ray_session, docs_path, extracted,
         assert after[k]["spans"] == before[k]["spans"]
 
 
+def test_resume_with_different_partition_count_rebuilds(ray_session,
+                                                        docs_path, extracted,
+                                                        tmp_path):
+    """Resuming with a different num_partitions must NOT trust the old
+    skip-set (different doc_id→part mapping ⇒ duplicate rows); the
+    checkpoint is swept and rebuilt (review finding, reproduced)."""
+    out, _ = extracted                     # built with num_partitions=4
+    dst = str(tmp_path / "nparts")
+    shutil.copytree(out, dst)
+    s = P.run_extract_pipeline(docs_path, dst, num_partitions=8,
+                               max_spans_per_chunk=8, batch_size=8,
+                               resume=True)
+    assert s["n_parts_skipped"] == 0
+    assert s["n_docs"] == N_DOCS
+    assert P.load_extracted(dst).count() == N_DOCS    # no duplicates
+
+
+def test_load_extracted_all_chunked(ray_session, docs_path, tmp_path):
+    """A corpus where EVERY doc is salted (tiny max_spans_per_chunk) has no
+    singles shard files; load_extracted must reassemble, not crash
+    (review finding, reproduced)."""
+    out = str(tmp_path / "allchunk")
+    s = P.run_extract_pipeline(docs_path, out, num_partitions=2,
+                               max_spans_per_chunk=2, batch_size=8)
+    assert s["n_docs"] == N_DOCS
+    assert P.load_extracted(out).count() == N_DOCS
+
+
+def test_knowledge_graph_rerun_no_duplication(ray_session, docs_path,
+                                              tmp_path):
+    """build_knowledge_graph rerun into the same out_dir must not append
+    duplicate edges/nodes files (review finding, reproduced)."""
+    kg = str(tmp_path / "kg")
+    s1 = P.build_knowledge_graph(docs_path, kg, num_partitions=4,
+                                 max_spans_per_chunk=8, batch_size=8)
+    s2 = P.build_knowledge_graph(docs_path, kg, num_partitions=4,
+                                 max_spans_per_chunk=8, batch_size=8,
+                                 resume=True)
+    assert s1["n_edges"] == s2["n_edges"]
+    assert s1["n_nodes"] == s2["n_nodes"]
+
+
 def test_quarantine_rows_flow_through_pipeline(ray_session, tmp_path):
     """A poison document is quarantined (error row in the checkpoint) while
     healthy docs extract normally — no task failure, no dropped rows."""

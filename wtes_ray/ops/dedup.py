@@ -36,9 +36,34 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """Exact dedup (ST2/D2 analog — the reference's Bloom filter replaced by
     an exact shuffle): one row per distinct text, keeping the minimum id.
-    Returns (id_col, text_col)."""
+    Returns (id_col, text_col).
+
+    NOTE on the shuffle payload: because the OUTPUT carries the texts, the
+    texts necessarily move through the exchange (partial per-block combine
+    keeps it to one row per distinct text per block). When only the surviving
+    IDS are needed — e.g. to filter the corpus in place — use
+    :func:`exact_dedup_ids`, whose exchange carries 16-byte hashes only."""
     agg = ds.groupby(text_col).aggregate(Min(id_col, alias_name=id_col))
     return agg.select_columns([id_col, text_col])
+
+
+def exact_dedup_ids(ds: ray.data.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Scale path for exact dedup: min id per CONTENT HASH — only
+    (16-byte hash, id) pairs enter the shuffle; texts never leave their
+    blocks. Returns one row per distinct text: (id_col,). md5 collisions
+    are negligible (~2^-64 at 10^12 docs)."""
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "__h": [hashlib.md5((t or "").encode("utf-8")).digest()
+                    for t in df[text_col]],
+        })
+
+    agg = ds.map_batches(hash_batch, batch_format="pandas") \
+            .groupby("__h").aggregate(Min(id_col, alias_name=id_col))
+    return agg.select_columns([id_col])
 
 
 # ---------------------------------------------------------------------------
@@ -167,10 +192,16 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic pair combine: est_jaccard is identical across bands
+        # (computed from the full signatures); `truncated` is per-bucket, so
+        # any-True wins regardless of which band's row arrives first
+        out = g.head(1).copy()
+        out["truncated"] = bool(g["truncated"].any())
+        return out
 
-    return pairs.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).map_groups(combine,
+                                                batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -287,8 +318,10 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
 
         def jac(a, b):
             ta, tb = lut.get(a, ""), lut.get(b, "")
-            sa = {ta[i:i + ngram] for i in range(max(1, len(ta) - ngram + 1))}
-            sb = {tb[i:i + ngram] for i in range(max(1, len(tb) - ngram + 1))}
+            # true k-shingles: EMPTY set for texts shorter than ngram, so a
+            # missing/empty text verifies at 0.0, never spuriously at 1.0
+            sa = {ta[i:i + ngram] for i in range(len(ta) - ngram + 1)}
+            sb = {tb[i:i + ngram] for i in range(len(tb) - ngram + 1)}
             if not sa or not sb:
                 return 0.0
             return len(sa & sb) / len(sa | sb)

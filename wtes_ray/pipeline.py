@@ -394,20 +394,26 @@ def commit_manifests(out_dir: str, shard_metas: list[dict],
     return manifests
 
 
-def clean_incomplete_parts(out_dir: str) -> int:
+def clean_incomplete_parts(out_dir: str,
+                           num_partitions: int | None = None) -> int:
     """Remove shard files of partitions that have no committed manifest
     (orphans from a crashed run) so a resume starts clean. A checkpoint in a
-    different layout version is swept entirely (its manifests too)."""
+    different layout version OR with a different partition count is swept
+    entirely (its manifests too) — mixing hash mappings duplicates rows."""
     removed = 0
     if not os.path.isdir(out_dir):
         return 0
-    if _layout_version(out_dir) != LAYOUT_VERSION:
+    marker = _layout_marker(out_dir)
+    incompatible = (marker is None or marker[0] != LAYOUT_VERSION
+                    or (num_partitions is not None
+                        and marker[1] != num_partitions))
+    if incompatible:
         man_dir = os.path.join(out_dir, "_manifests")
         if os.path.isdir(man_dir):
             for f in os.listdir(man_dir):
                 os.remove(os.path.join(man_dir, f))
                 removed += 1
-    done = completed_parts(out_dir)
+    done = completed_parts(out_dir, num_partitions)
     for name in os.listdir(out_dir):
         if not name.startswith("part="):
             continue
@@ -426,27 +432,36 @@ def _format_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_format.json")
 
 
-def _layout_version(out_dir: str) -> int | None:
+def _layout_marker(out_dir: str) -> tuple[int, int] | None:
+    """(layout_version, num_partitions) of an existing checkpoint, or None."""
     try:
         with open(_format_path(out_dir), encoding="utf-8") as f:
-            return int(json.load(f).get("layout_version", 0))
+            d = json.load(f)
+        return int(d.get("layout_version", 0)), int(d.get("num_partitions", 0))
     except (OSError, ValueError):
         return None
 
 
-def _write_layout_marker(out_dir: str) -> None:
+def _write_layout_marker(out_dir: str, num_partitions: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     tmp = _format_path(out_dir) + f".tmp-{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"layout_version": LAYOUT_VERSION}, f)
+        json.dump({"layout_version": LAYOUT_VERSION,
+                   "num_partitions": num_partitions}, f)
     os.replace(tmp, _format_path(out_dir))
 
 
-def completed_parts(out_dir: str) -> frozenset[int]:
+def completed_parts(out_dir: str,
+                    num_partitions: int | None = None) -> frozenset[int]:
     """Partitions already checkpointed (manifest exists ⇒ data files were
     renamed into place first). A checkpoint from a different layout version
-    counts as NOTHING completed."""
-    if _layout_version(out_dir) != LAYOUT_VERSION:
+    — or, when ``num_partitions`` is given, a different partition count
+    (the doc_id→part hash mapping would differ, so old skip-sets would
+    corrupt a resume with duplicates) — counts as NOTHING completed."""
+    marker = _layout_marker(out_dir)
+    if marker is None or marker[0] != LAYOUT_VERSION:
+        return frozenset()
+    if num_partitions is not None and marker[1] != num_partitions:
         return frozenset()
     man_dir = os.path.join(out_dir, "_manifests")
     if not os.path.isdir(man_dir):
@@ -485,8 +500,8 @@ def run_extract_pipeline(input_path: str, out_dir: str, *,
     ray.data.DataContext.get_current().op_resource_reservation_enabled = False
     skip: frozenset[int] = frozenset()
     if resume:
-        clean_incomplete_parts(out_dir)
-        skip = completed_parts(out_dir)
+        clean_incomplete_parts(out_dir, num_partitions)
+        skip = completed_parts(out_dir, num_partitions)
     elif os.path.isdir(out_dir):
         # fresh (non-resume) run into an existing dir: sweep the previous
         # checkpoint entirely — stale shards with different batch groupings
@@ -533,7 +548,7 @@ def run_extract_pipeline(input_path: str, out_dir: str, *,
             f.write(metas_ds.stats())
     except Exception:  # noqa: BLE001 — observability only
         pass
-    _write_layout_marker(out_dir)
+    _write_layout_marker(out_dir, num_partitions)
     parts_planned = [p for p in range(num_partitions) if p not in skip]
     manifests = commit_manifests(out_dir, metas, parts_planned)
     summary = {
@@ -554,12 +569,13 @@ def load_extracted(out_dir: str) -> ray.data.Dataset:
     lazily with a doc_id groupby over ONLY that subset (parquet filter
     pushdown keeps the common path untouched)."""
     from .schema import EXTRACTED_PARQUET
-    if _layout_version(out_dir) != LAYOUT_VERSION:
+    marker = _layout_marker(out_dir)
+    if marker is None or marker[0] != LAYOUT_VERSION:
         raise ValueError(
             f"checkpoint at {out_dir} has layout version "
-            f"{_layout_version(out_dir)!r}, reader expects {LAYOUT_VERSION} "
-            f"— re-run the extraction (a mixed-layout read would produce "
-            f"duplicate rows)")
+            f"{marker[0] if marker else None!r}, reader expects "
+            f"{LAYOUT_VERSION} — re-run the extraction (a mixed-layout "
+            f"read would produce duplicate rows)")
     single_paths, chunk_paths = [], []
     for d in sorted(os.listdir(out_dir)):
         if not d.startswith("part="):
@@ -569,17 +585,26 @@ def load_extracted(out_dir: str) -> ray.data.Dataset:
                 continue
             (chunk_paths if f.endswith("-chunks.parquet")
              else single_paths).append(os.path.join(out_dir, d, f))
-    singles = ray.data.read_parquet(single_paths)
-    if not chunk_paths:
-        return singles
 
     def reassemble_group(g: pa.Table) -> pa.Table:
         return pa.Table.from_pylist([_reassemble_doc(g.to_pylist())],
                                     schema=EXTRACTED).cast(EXTRACTED_PARQUET)
 
-    reassembled = ray.data.read_parquet(chunk_paths) \
-        .groupby("doc_id").map_groups(reassemble_group,
-                                      batch_format="pyarrow")
+    reassembled = None
+    if chunk_paths:
+        reassembled = ray.data.read_parquet(chunk_paths) \
+            .groupby("doc_id").map_groups(reassemble_group,
+                                          batch_format="pyarrow")
+    if not single_paths:
+        # all-chunked corpus (every doc exceeded max_spans_per_chunk) —
+        # or an empty one
+        if reassembled is not None:
+            return reassembled
+        return ray.data.from_arrow(
+            pa.Table.from_pylist([], schema=EXTRACTED_PARQUET))
+    singles = ray.data.read_parquet(single_paths)
+    if reassembled is None:
+        return singles
     return singles.union(reassembled)
 
 
@@ -695,10 +720,17 @@ def build_knowledge_graph(input_path: str, out_dir: str, *,
     → personGraph) as one batch pipeline: extract (checkpointed) → deduped
     relation triples → fused entity nodes, written as Parquet under
     ``out_dir/{extracted,edges,nodes}``. Returns the rolled-up summary."""
+    import shutil
+
     ext_dir = os.path.join(out_dir, "extracted")
     summary = run_extract_pipeline(input_path, ext_dir,
                                    num_partitions=num_partitions,
                                    resume=resume, **kwargs)
+    # edges/nodes are derived wholesale from the checkpoint: always rebuilt
+    # (Ray's write_parquet APPENDS uuid-named files — leaving a previous
+    # run's files in place would double every row)
+    for sub in ("edges", "nodes"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     ext = load_extracted(ext_dir)
     edges = dedup_relations(relations_dataset(ext))
     edges.write_parquet(os.path.join(out_dir, "edges"))

@@ -588,6 +588,12 @@ class Table:
         rel_keywords = [kw for _, kw in found]
         if not rel_keywords:
             return relations
+        # FAITHFUL REFERENCE BUG (table.py:853-856): the lesser-relation
+        # deletions look positions up in the PRE-DELETION header list, so
+        # with ≥3 matching relation columns the shifted index deletes the
+        # wrong column or goes out of range (the reference then raises in
+        # deleteOneCol and its @except_output kills the page; here the doc
+        # is quarantined — same blast radius, visible error).
         for kw in rel_keywords[1:]:
             pos = find_pos(names, kw)
             if pos != -1:
@@ -621,6 +627,10 @@ class Table:
             count = sum(1 for n in names
                         if any(cr in n for cr in lex.caption_relationship))
             if count > len(names) / 2:
+                # FAITHFUL REFERENCE BUG (table.py:891): row 1 is indexed
+                # unconditionally — a table cleared down to one row raises
+                # here (reference: page killed via @except_output; here:
+                # document quarantined with a visible error row)
                 for j in range(self.col_number):
                     cell = self.rows[1][j]
                     content = str(cell.content)

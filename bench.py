@@ -33,13 +33,22 @@ GIANT_FRACTION = 0.02
 
 
 def _prepare_input(sf_dir: str, n_docs: int) -> str:
-    """Generate (once, cached) the deterministic bench input; untimed."""
+    """Generate (once, cached) the deterministic bench input; untimed.
+
+    The cache key includes the extraction-semantics fingerprint (golden md5,
+    shared with queries._code_fingerprint) so generator changes invalidate
+    old corpora, and a completion marker guards against a crashed
+    half-written generation being reused."""
     import ray.data as rd
 
+    from wtes_ray.queries import _code_fingerprint
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    cache = f"/tmp/wtes_bench/{tag}-{n_docs}"
+    cache = f"/tmp/wtes_bench/{tag}-{n_docs}-{_code_fingerprint()}"
     docs_path = os.path.join(cache, "docs.parquet")
-    if not os.path.isdir(docs_path) or not os.listdir(docs_path):
+    done_marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(done_marker):
+        shutil.rmtree(cache, ignore_errors=True)
         os.makedirs(cache, exist_ok=True)
         import pyarrow as pa
 
@@ -51,6 +60,8 @@ def _prepare_input(sf_dir: str, n_docs: int) -> str:
 
         rd.range(n_docs, override_num_blocks=64) \
           .map_batches(gen, batch_format="pyarrow").write_parquet(docs_path)
+        with open(done_marker, "w") as f:
+            f.write("ok")
     # warm the OS page cache so we measure compute + shuffle, not first read
     for name in os.listdir(docs_path):
         with open(os.path.join(docs_path, name), "rb") as f:

@@ -40,11 +40,11 @@ from dataclasses import dataclass, field
 from urllib.parse import unquote
 
 from .lexicons import DEFAULT_LEXICONS, Lexicons
-from .locate import (change_tag_to_table, extract_basic_info_tables,
+from .locate import (basic_info_tables_from_boxes, change_tag_to_table,
                      extract_list_table, get_caption, html_pretreat,
-                     through_heuristic_rule)
+                     locate_candidates, through_heuristic_rule)
 from .tablemodel import Table
-from .wordtype import LexiconTagger, default_tagger
+from .wordtype import LexiconTagger
 
 Span = tuple[str, str, str]  # (kind, text, media_ref) — offset assigned later
 
@@ -109,7 +109,6 @@ def locate_tables(html: str, doc_id: str, lex: Lexicons,
     per <table>: ul-list extraction, else heuristic filter → caption →
     DOM→Table. Returns (tables, n_basic) — the first ``n_basic`` tables come
     from basic-info boxes (the reference prepends them all)."""
-    from .locate import basic_info_tables_from_boxes, locate_candidates
     root = html_pretreat(html)
     boxes, table_tags = locate_candidates(root, lex.site_rule_dict)
     tables = basic_info_tables_from_boxes(boxes, doc_id)

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Sum
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -124,8 +124,7 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         t = t.filter(pc.greater(t["l_shipdate"],
                                 pa.scalar(date, pa.timestamp("us"))))
         keys = t["l_orderkey"].to_numpy()
-        mask = np.fromiter((k in info for k in keys), dtype=bool,
-                           count=len(keys))
+        mask = pd.Index(keys).isin(info.keys())
         t = t.filter(pa.array(mask))
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
@@ -139,13 +138,15 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
             .groupby("l_orderkey").aggregate(Sum("revenue",
                                                  alias_name="revenue"))
     df = agg.to_pandas()
+    # rank by the ROUNDED value — the SQL ORDER BY resolves to the rounded
+    # alias, so boundary ties must break identically on both sides
+    df["revenue"] = df["revenue"].round(2)
     df = df.sort_values(["revenue", "l_orderkey"],
                         ascending=[False, True]).head(10)
     info = order_info
     df["o_orderdate"] = pd.to_datetime(
         df["l_orderkey"].map(lambda k: info[k][0])).astype("datetime64[us]")
     df["o_orderpriority"] = df["l_orderkey"].map(lambda k: info[k][1])
-    df["revenue"] = df["revenue"].round(2)
     return df[["l_orderkey", "revenue", "o_orderdate",
                "o_orderpriority"]].reset_index(drop=True)
 
@@ -218,7 +219,8 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
                          columns=["user_id", "ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        us = pc.cast(t["ts"], pa.int64())
+        # unit-proof: normalize to µs first (epoch_us on the SQL side)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
         hour = pc.divide(us, pa.scalar(3_600_000_000))
         return pa.table({"user_id": t["user_id"],
                          "hour_bucket": pc.cast(hour, pa.int64()),
@@ -478,19 +480,21 @@ def last_click_before_purchase(sf_dir: str) -> pd.DataFrame:
                          columns=["event_id", "user_id", "event_type", "ts"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
+        # exact mirror of the oracle window (ORDER BY ts, event_id ROWS ...
+        # 1 PRECEDING): running max of click ts over the strictly-preceding
+        # rows — includes a click at the SAME ts when its event_id sorts
+        # first, which merge_asof(allow_exact_matches=False) would drop
         g = g.sort_values(["ts", "event_id"])
-        clicks = g[g["event_type"] == "click"][["ts"]].rename(
-            columns={"ts": "last_click_ts"})
-        purchases = g[g["event_type"] == "purchase"][["event_id", "ts"]]
-        if purchases.empty or clicks.empty:
+        click_ts = g["ts"].where(g["event_type"] == "click")
+        prev_click = click_ts.ffill().shift(1)
+        out = g.loc[g["event_type"] == "purchase", ["event_id"]].copy()
+        out["last_click_ts"] = prev_click[out.index]
+        out = out.dropna(subset=["last_click_ts"])
+        if out.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "last_click_ts":
                                      pd.Series([], dtype="datetime64[us]")})
-        merged = pd.merge_asof(purchases, clicks, left_on="ts",
-                               right_on="last_click_ts",
-                               allow_exact_matches=False)
-        merged = merged.dropna(subset=["last_click_ts"])
-        return merged[["event_id", "last_click_ts"]]
+        return out
 
     df = ds.groupby("user_id").map_groups(asof,
                                           batch_format="pandas").to_pandas()
@@ -520,7 +524,8 @@ def events_sliding_window(sf_dir: str) -> pd.DataFrame:
     W, S = 3_600_000_000, 1_800_000_000  # 1 h window, 30 min slide (µs)
 
     def explode(t: pa.Table) -> pa.Table:
-        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
         vals = t["value"].to_numpy()
         # windows starting at slide boundaries covering each ts:
         # w0 = floor(ts/S)*S and w1 = w0 - S (since W = 2·S)
@@ -556,9 +561,8 @@ def dedup_filter_docs(sf_dir: str) -> pd.DataFrame:
     """End-to-end corpus cleaning: planted-dup corpus → MinHash-LSH pairs →
     cluster → drop non-representative members (rows-only: LSH output)."""
     from .ops.dedup import dedup_filter, minhash_lsh_pairs
-    docs = _docs_with_planted_dups(sf_dir)
-    pairs = minhash_lsh_pairs(_docs_with_planted_dups(sf_dir),
-                              threshold=0.8, concurrency=(1, 8))
+    docs = _docs_with_planted_dups(sf_dir)   # lazy plan, re-executable
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, concurrency=(1, 8))
     kept = dedup_filter(docs, pairs)
     df = kept.select_columns(["doc_id"]).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -627,8 +631,7 @@ def q14_promo_revenue_ratio(sf_dir: str) -> pd.DataFrame:
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         pk = t["l_partkey"].to_numpy()
-        is_promo = np.fromiter((k in keys for k in pk), dtype=bool,
-                               count=len(pk))
+        is_promo = pd.Index(pk).isin(keys)
         rev_np = rev.to_numpy(zero_copy_only=False)
         return pa.table({
             "promo_rev": pa.array([float(rev_np[is_promo].sum())]),
@@ -684,11 +687,11 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
             .groupby("c_custkey").aggregate(Sum("revenue",
                                                 alias_name="revenue"))
     df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)   # rank by the rounded value
     df = df.sort_values(["revenue", "c_custkey"],
                         ascending=[False, True]).head(20)
     df["c_name"] = df["c_custkey"].map(lambda k: cust_info[k][0])
     df["c_acctbal"] = df["c_custkey"].map(lambda k: round(cust_info[k][1], 2))
-    df["revenue"] = df["revenue"].round(2)
     df["c_custkey"] = df["c_custkey"].astype("int64")
     return df[["c_custkey", "c_name", "c_acctbal",
                "revenue"]].reset_index(drop=True)
@@ -803,7 +806,7 @@ def _docs_with_planted_dups(sf_dir: str):
     head = pq.read_table(_t(sf_dir, "documents"),
                          columns=["doc_id", "text"]).slice(0, 20)
     dup = pa.table({
-        "doc_id": pc.add(head["doc_id"], pa.scalar(1_000_000)),
+        "doc_id": pc.add(head["doc_id"], pa.scalar(10**12)),
         "text": head["text"]})
     return ds.union(rd.from_arrow(dup))
 
@@ -827,10 +830,9 @@ def simhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
 
 def jaccard_verified_neardup_docs(sf_dir: str) -> pd.DataFrame:
     from .ops.dedup import minhash_lsh_pairs, verify_pairs_jaccard
-    docs = _docs_with_planted_dups(sf_dir)
+    docs = _docs_with_planted_dups(sf_dir)   # lazy plan, re-executable
     pairs = minhash_lsh_pairs(docs, threshold=0.8, concurrency=(1, 8))
-    verified = verify_pairs_jaccard(pairs, _docs_with_planted_dups(sf_dir),
-                                    threshold=0.95)
+    verified = verify_pairs_jaccard(pairs, docs, threshold=0.95)
     df = verified.to_pandas()[["a", "b", "jaccard"]]
     df["jaccard"] = df["jaccard"].round(6)
     return df.sort_values(["a", "b"]).reset_index(drop=True)
@@ -842,7 +844,7 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
                          columns=["vec_id", "embedding"])
     head = pq.read_table(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"]).slice(0, 10)
-    dup = pa.table({"vec_id": pc.add(head["vec_id"], pa.scalar(1_000_000)),
+    dup = pa.table({"vec_id": pc.add(head["vec_id"], pa.scalar(10**12)),
                     "embedding": head["embedding"]})
     pairs = embedding_neardup_pairs(ds.union(rd.from_arrow(dup)),
                                     threshold=0.999)
@@ -950,9 +952,16 @@ def _extract_synthetic(sf_dir: str) -> "rd.Dataset":
                  .metadata.num_rows // 4)
     cache = _synth_cache_dir(sf_dir, n_docs)
     docs_path = os.path.join(cache, "docs.parquet")
-    if not os.path.exists(docs_path):
+    done_marker = os.path.join(cache, "_DOCS_COMPLETE")
+    if not os.path.exists(done_marker):
+        # completion marker: a crashed half-written generation must not be
+        # treated as a valid corpus
+        import shutil as _shutil
+        _shutil.rmtree(docs_path, ignore_errors=True)
         os.makedirs(cache, exist_ok=True)
         _synthetic_docs(n_docs).write_parquet(docs_path)
+        with open(done_marker, "w", encoding="utf-8") as f:
+            f.write("ok")
     out = os.path.join(cache, "extracted")
     run_extract_pipeline(docs_path, out, num_partitions=16, resume=True)
     return load_extracted(out)

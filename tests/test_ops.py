@@ -179,6 +179,9 @@ def test_frontier_classification(ray_session):
     ]
     assert is_possible_url(urls[0]) and is_possible_url(urls[1])
     assert not is_possible_url(urls[2]) and not is_possible_url(urls[3])
+    # reference checks '.' only in the LAST segment (WebSpider.py:205-215)
+    assert is_possible_url("https://baike.baidu.com/item/Web2.0/53557")
+    assert not is_possible_url("http://baike.baidu.com/item/x")  # https only
     ds = ray.data.from_pandas(pd.DataFrame({"url": urls}))
     out = classify_urls(ds).to_pandas().set_index("url")["bucket"]
     assert out[urls[0]] == "useful"      # 孔丘 is in the name lexicon

@@ -360,18 +360,22 @@ def parse_html(html: str, drop_tags: frozenset[str] = frozenset()) -> Element:
         end_name, start_name, attr_str = m.group(1, 2, 3)
         if start_name is not None:
             name = start_name.lower()
-            self_closing = attr_str.rstrip().endswith("/")
             attrs = {}
-            if attr_str and ("=" in attr_str or attr_str.strip("/ \t")):
-                for am in _ATTR.finditer(attr_str.rstrip("/ \t")
-                                         if self_closing else attr_str):
+            last_end = 0
+            if attr_str:
+                for am in _ATTR.finditer(attr_str):
                     key = am.group(1).lower()
-                    if key == "/":
-                        continue
                     val = am.group(2) or am.group(3) or am.group(4) or ""
                     if "&" in val:
                         val = _unescape(val)
                     attrs[key] = val
+                    last_end = am.end()
+            # self-closing ONLY when a standalone "/" remains after the
+            # attributes — a trailing "/" inside an unquoted value (e.g.
+            # href=/item/abc/) is part of the value, exactly as the stdlib
+            # parser treats it
+            self_closing = attr_str[last_end:].strip() == "/" \
+                and "/" in attr_str[last_end:]
             el = Element(name, attrs)
             stack[-1].append(el)
             if name in _RAW_END:
@@ -400,9 +404,13 @@ def parse_html(html: str, drop_tags: frozenset[str] = frozenset()) -> Element:
                 continue
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].name == name:
-                    if name in drop_tags:
-                        # the closing element is its parent's last child
-                        stack[i - 1].children.pop()
+                    # implicitly-closed descendants may also be dropped tags
+                    # (e.g. "<b><article>x</b>" closes the article too) —
+                    # each still-open element is the last child of its parent
+                    if drop_tags:
+                        for el in reversed(stack[i:]):
+                            if el.name in drop_tags and el.parent is not None:
+                                el.parent.children.remove(el)
                     del stack[i:]
                     break
         else:
@@ -413,4 +421,11 @@ def parse_html(html: str, drop_tags: frozenset[str] = frozenset()) -> Element:
             if "&" in tok:
                 tok = _unescape(tok)
             stack[-1].append(TextNode(tok))
+    if drop_tags:
+        # unclosed dropped elements (e.g. "<article><table>…" with no close
+        # tag) are removed at EOF — the reference's post-parse extract()
+        # discards them regardless of well-formedness
+        for el in reversed(stack[1:]):
+            if el.name in drop_tags and el.parent is not None:
+                el.parent.children.remove(el)
     return root

@@ -26,6 +26,14 @@ Reference behaviors mirrored exactly:
 Determinism deviation (recorded): the reference processes entities in DB
 insertion order; we sort each group by (doc_id, seq) so fusion output is
 independent of task scheduling.
+
+Second recorded deviation: after a URL-containment fusion the reference
+``return``s out of the WHOLE per-page entity list (peronGraph.py:68 —
+``self.fusionNode(...); return`` inside the loop), silently dropping every
+remaining entity of that page. That is an orchestration bug (the loop
+variable is shadowed by the early return), not fusion semantics; this
+implementation continues processing the group, so later entities still
+create/fuse nodes.
 """
 
 from __future__ import annotations

@@ -2,9 +2,9 @@
 verification, embedding-cosine near-dup.
 
 Scale shapes (SURVEY.md §4.2 / ray_guide patterns):
-  - exact dedup: vectorized content hash per batch → ``groupby(hash)`` keeping
-    the min id — the hash column keeps the shuffle payload small (no text
-    moves through the exchange when ``project=True``);
+  - exact dedup: two forms — ``exact_dedup`` (groupby(text), returns rows,
+    texts necessarily move once) and ``exact_dedup_ids`` (content-hash
+    groupby; only (hash, id) pairs enter the exchange);
   - MinHash: shingle → signature per batch (numpy), explode to
     (band, band_hash, doc_id, sig) rows → ``groupby(band, band_hash)`` →
     candidate pairs estimated from signature agreement (texts never shuffle);
@@ -14,8 +14,9 @@ Scale shapes (SURVEY.md §4.2 / ray_guide patterns):
   - embedding near-dup: random-hyperplane LSH buckets → in-bucket cosine.
 
 Buckets are capped (``max_bucket``) so a degenerate hot bucket (all-identical
-boilerplate) cannot produce O(n²) pairs — the cap is logged in the row output
-(``truncated`` flag), never silent.
+boilerplate) cannot produce O(n²) pairs — every pair-emitting op (MinHash,
+SimHash, embedding) carries a ``truncated`` flag (any-bucket-truncated wins,
+combined deterministically), never silent.
 """
 
 from __future__ import annotations
@@ -114,11 +115,21 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text, self.k)
-        # (a*x + b) mod M for each permutation — vectorized outer product
-        vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+        # (a*x + b) mod M per permutation — outer product CHUNKED along the
+        # shingle axis so a mega-document costs MBs, not num_perm×len(text)
+        # transient memory
+        out = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=_U64)
+        step = 1 << 16
+        for s in range(0, len(sh), step):
+            vals = (np.outer(self.a, sh[s:s + step])
+                    + self.b[:, None]) % _MERSENNE
+            np.minimum(out, vals.min(axis=1), out=out)
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({self.id_col: batch[self.id_col],
+                                 "sig": pd.Series([], dtype="object")})
         sigs = np.stack([self.signature(t or "")
                          for t in batch[self.text_col]])
         return pd.DataFrame({
@@ -147,6 +158,11 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
         concurrency=concurrency)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"band": pd.Series([], dtype="int64"),
+                                 "band_hash": pd.Series([], dtype="object"),
+                                 id_col: batch[id_col],
+                                 "sig": pd.Series([], dtype="object")})
         ids = batch[id_col].tolist()
         sig_list = batch["sig"].tolist()
         sig_mat = np.asarray(sig_list, dtype=np.int64)
@@ -166,10 +182,10 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].tolist()
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": [],
-                                 "truncated": []}).astype(
-                {"a": "int64", "b": "int64", "est_jaccard": "float64",
-                 "truncated": "bool"})
+            return pd.DataFrame({"a": g[id_col].iloc[:0],
+                                 "b": g[id_col].iloc[:0],
+                                 "est_jaccard": pd.Series([], dtype="float64"),
+                                 "truncated": pd.Series([], dtype="bool")})
         truncated = len(ids) > max_bucket
         g = g.iloc[:max_bucket]
         sigs = np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]])
@@ -249,6 +265,11 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
         concurrency=concurrency)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"band": pd.Series([], dtype="int64"),
+                                 "band_hash": pd.Series([], dtype="int64"),
+                                 id_col: batch[id_col],
+                                 "simhash": pd.Series([], dtype="int64")})
         sh = batch["simhash"].values.astype(np.int64)
         ids = batch[id_col].values
         frames = []
@@ -262,7 +283,8 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"a": [], "b": [], "hamming": []}
+        out = {"a": [], "b": [], "hamming": [], "truncated": []}
+        truncated = len(g) > max_bucket
         g = g.iloc[:max_bucket]
         sh = g["simhash"].values.view(np.uint64)
         ids = g[id_col].tolist()
@@ -277,13 +299,26 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                 out["a"].append(a)
                 out["b"].append(b)
                 out["hamming"].append(int(ham[j_off]))
-        return pd.DataFrame(out).astype(
-            {"a": "int64", "b": "int64", "hamming": "int64"})
+                out["truncated"].append(truncated)
+        if not out["a"]:
+            return pd.DataFrame({"a": g[id_col].iloc[:0],
+                                 "b": g[id_col].iloc[:0],
+                                 "hamming": pd.Series([], dtype="int64"),
+                                 "truncated": pd.Series([], dtype="bool")})
+        df = pd.DataFrame(out)
+        df["hamming"] = df["hamming"].astype("int64")
+        return df
 
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.head(1).copy()   # hamming identical across bands
+        out["truncated"] = bool(g["truncated"].any())
+        return out
+
+    return pairs.groupby(["a", "b"]).map_groups(combine,
+                                                batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -308,8 +343,15 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
         ids.add(row["b"])
     texts = {}
     if ids:
-        small = docs.filter(lambda r: r[id_col] in ids)
-        for row in small.select_columns([id_col, text_col]).take_all():
+        id_ref = _ray.put(ids)
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            wanted = _ray.get(id_ref)
+            return df[df[id_col].isin(wanted)]
+
+        small = docs.select_columns([id_col, text_col]).map_batches(
+            pick, batch_format="pandas")
+        for row in small.take_all():
             texts[row[id_col]] = row[text_col]
     ref = _ray.put(texts)
 
@@ -402,6 +444,10 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
     cosine verification inside each bucket."""
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({id_col: batch[id_col],
+                                 "bucket": pd.Series([], dtype="int64"),
+                                 "unit": pd.Series([], dtype="object")})
         mat = np.stack(batch[vec_col].values).astype(np.float64)
         dim = mat.shape[1]
         rng = np.random.RandomState(seed)
@@ -421,14 +467,21 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
     bucketed = ds.map_batches(bucketize, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        truncated = len(g) > max_bucket
         g = g.iloc[:max_bucket]
+
+        def empty() -> pd.DataFrame:
+            return pd.DataFrame({
+                "a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0],
+                "cosine": pd.Series([], dtype="float64"),
+                "truncated": pd.Series([], dtype="bool")})
+
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
-                {"a": "int64", "b": "int64", "cosine": "float64"})
+            return empty()
         mat = np.stack([np.asarray(u) for u in g["unit"]])
         ids = g[id_col].tolist()
         cos = mat @ mat.T
-        out = {"a": [], "b": [], "cosine": []}
+        out = {"a": [], "b": [], "cosine": [], "truncated": []}
         for i in range(len(ids)):
             for j in np.nonzero(cos[i, i + 1:] >= threshold)[0]:
                 a, b = sorted((ids[i], ids[i + 1 + j]))
@@ -437,10 +490,18 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
                 out["a"].append(a)
                 out["b"].append(b)
                 out["cosine"].append(float(cos[i, i + 1 + j]))
-        return pd.DataFrame(out).astype(
-            {"a": "int64", "b": "int64", "cosine": "float64"})
+                out["truncated"].append(truncated)
+        if not out["a"]:
+            return empty()
+        return pd.DataFrame(out)
 
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
                                                   batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.head(1).copy()   # cosine identical across buckets
+        out["truncated"] = bool(g["truncated"].any())
+        return out
+
+    return pairs.groupby(["a", "b"]).map_groups(combine,
+                                                batch_format="pandas")

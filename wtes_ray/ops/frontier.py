@@ -11,7 +11,6 @@ the ``bucket`` column replaces the two queue tables.
 
 from __future__ import annotations
 
-import re
 from urllib.parse import unquote
 
 import pandas as pd
@@ -20,14 +19,14 @@ import ray.data
 from ..lexicons import DEFAULT_LEXICONS, Lexicons
 from ..wordtype import tagger_for
 
-# M21: crawlable item pages — site item prefix, no file extension
-# (WebSpider.py:205-215: startswith check + '.' absence in the tail)
-_ITEM_RE = re.compile(r"^https?://baike\.baidu\.com/item/[^.]*$")
-
-
 def is_possible_url(url: str) -> bool:
-    """M21 predicate (WebSpider.py:202-216)."""
-    return bool(_ITEM_RE.match(url))
+    """M21 predicate (WebSpider.py:202-216), exact reference semantics:
+    https item-page prefix required, and only the LAST path segment may not
+    contain '.' (a file extension) — a dot in an inner segment (e.g.
+    /item/Web2.0/123) is crawlable."""
+    if not url.startswith("https://baike.baidu.com/item/"):
+        return False
+    return "." not in url.rsplit("/", 1)[-1]
 
 
 def classify_urls(ds: ray.data.Dataset, *, url_col: str = "url",

@@ -18,7 +18,14 @@ import ray.data
 
 
 def _as_matrix(col) -> np.ndarray:
+    if len(col) == 0:
+        return np.zeros((0, 1), dtype=np.float64)
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _empty_scores(batch: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    return pd.DataFrame({id_col: batch[id_col].iloc[:0],
+                         "cosine": pd.Series([], dtype="float64")})
 
 
 def topk_cosine(ds: ray.data.Dataset, query: np.ndarray, k: int = 10, *,
@@ -33,13 +40,18 @@ def topk_cosine(ds: ray.data.Dataset, query: np.ndarray, k: int = 10, *,
     q = q / qn
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_scores(batch, id_col)
         mat = _as_matrix(batch[vec_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         cos = (mat @ q) / norms
         out = pd.DataFrame({id_col: batch[id_col].values, "cosine": cos})
-        # local partial top-k — only k rows per batch reach the global sort
-        return out.nlargest(k, "cosine")
+        # local partial top-k with the SAME (cosine desc, id asc) tie-break
+        # as the global sort — nlargest alone would drop boundary ties
+        # nondeterministically by block order
+        return out.sort_values(["cosine", id_col],
+                               ascending=[False, True]).head(k)
 
     return ds.map_batches(score, batch_format="pandas") \
              .sort(["cosine", id_col], descending=[True, False]).limit(k)
@@ -62,6 +74,8 @@ def lsh_topk_cosine(ds: ray.data.Dataset, query: np.ndarray, k: int = 10, *,
     q = q / (qn if qn else 1.0)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_scores(batch, id_col)
         mat = _as_matrix(batch[vec_col])
         sigs = ((mat @ hyper > 0).astype(np.uint64)
                 << np.arange(planes, dtype=np.uint64)).sum(axis=1)
@@ -70,15 +84,15 @@ def lsh_topk_cosine(ds: ray.data.Dataset, query: np.ndarray, k: int = 10, *,
             dtype=np.int64, count=len(sigs))
         keep = ham <= probe
         if not keep.any():
-            return pd.DataFrame({id_col: [], "cosine": []}).astype(
-                {id_col: batch[id_col].dtype, "cosine": "float64"})
+            return _empty_scores(batch, id_col)
         mat = mat[keep]
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         cos = (mat @ q) / norms
         out = pd.DataFrame({id_col: batch[id_col].values[keep],
                             "cosine": cos})
-        return out.nlargest(k, "cosine")
+        return out.sort_values(["cosine", id_col],
+                               ascending=[False, True]).head(k)
 
     return ds.map_batches(score, batch_format="pandas") \
              .sort(["cosine", id_col], descending=[True, False]).limit(k)

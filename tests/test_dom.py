@@ -108,7 +108,33 @@ def test_fast_parser_edge_cases():
         "<!DOCTYPE html><!-- c --><p>x</p>",
         "a < b and c > d",
         "<img src='x.png'/><br/>text",
+        # unquoted attr values ending in '/' are NOT self-closing markers
+        # (review finding: the '/' belongs to the value, as in stdlib)
+        "<td><a href=/item/abc/>ZhangSan</a></td>",
+        "<p><a href=/x/ class=link>t</a></p>",
     ]
     for html in cases:
         diff = _tree_eq(parse_html(html), parse_html_stdlib(html))
         assert diff is None, f"{html!r}: {diff}"
+
+
+def test_unquoted_trailing_slash_href():
+    root = parse_html("<td><a href=/item/abc/>ZhangSan</a></td>")
+    a = root.find("a")
+    assert a["href"] == "/item/abc/"
+    assert a.text == "ZhangSan"     # text nested INSIDE the anchor
+
+
+def test_drop_tags_unclosed_and_misnested():
+    """Review finding: dropped elements must vanish even when unclosed at
+    EOF or implicitly closed by an ancestor's end tag (the reference's
+    post-parse extract() removes them regardless of well-formedness)."""
+    D = frozenset({"article", "code", "script", "style"})
+    r1 = parse_html("<div><article><table><tr><td>secret</td></tr></table>",
+                    drop_tags=D)
+    assert r1.find("article") is None and r1.find("table") is None
+    r2 = parse_html("<b><article>leak</b></article>after", drop_tags=D)
+    assert r2.find("article") is None
+    assert "leak" not in r2.text and "after" in r2.text
+    r3 = parse_html("<p>keep</p><script>var x;", drop_tags=D)
+    assert r3.find("script") is None and r3.text == "keep"

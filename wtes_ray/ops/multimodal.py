@@ -19,13 +19,9 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-MEDIA_SCHEMA = pa.schema([
-    ("doc_id", pa.int64()),
-    ("media_ref", pa.string()),
-    ("media_type", pa.string()),        # "image" | "audio"
-    ("payload", pa.binary()),
-])
-
+# media rows: (doc_id passthrough dtype, media_ref string, media_type
+# string, payload binary) — doc_id keeps the caller's type (int64 for the sf
+# benchmark table, string URLs for the extraction corpus)
 _MAGIC = b"WTESIMG1"
 
 
@@ -34,10 +30,14 @@ def synth_media_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
     magic, a 12-byte header (width, height, channels) and seeded pixel
     bytes. Stands in for real image bytes so the decode/feature stages have
     realistic payload sizes."""
+    import zlib
+
     doc_ids = batch.column("doc_id").to_pylist()
     refs, types_, payloads = [], [], []
     for d in doc_ids:
-        rng = np.random.RandomState((seed + int(d)) % (2 ** 31))
+        # string-safe seeding: doc ids may be URLs, not ints
+        rng = np.random.RandomState(
+            (seed + zlib.crc32(str(d).encode("utf-8"))) % (2 ** 31))
         w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
         pixels = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8)
         header = (int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little")
@@ -46,7 +46,7 @@ def synth_media_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
         refs.append(f"img://{d}.fake")
         types_.append("image")
     return pa.table({
-        "doc_id": pa.array(doc_ids, pa.int64()),
+        "doc_id": batch.column("doc_id"),
         "media_ref": pa.array(refs, pa.string()),
         "media_type": pa.array(types_, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
@@ -66,6 +66,8 @@ class DecodeStub:
             self.has_pil = False
 
     def decode_meta(self, payload: bytes) -> tuple[int, int, int]:
+        if payload is None:
+            raise NotImplementedError("null payload")
         if payload[:8] == _MAGIC:
             w = int.from_bytes(payload[8:12], "little")
             h = int.from_bytes(payload[12:16], "little")
@@ -105,6 +107,12 @@ class ByteHistogramFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for p in batch.column("payload").to_pylist():
+            # only the synthetic format's 20-byte header is understood;
+            # other/null payloads get a zero feature vector, never a
+            # histogram over misinterpreted bytes
+            if p is None or p[:8] != _MAGIC:
+                feats.append([0.0] * 16)
+                continue
             arr = np.frombuffer(p[20:], dtype=np.uint8)
             if arr.size == 0:
                 feats.append([0.0] * 16)

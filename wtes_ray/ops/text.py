@@ -49,7 +49,7 @@ class TextScorer:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.stop = {k: v for k, v in _STOPWORDS.items()}
+        self.stop = _STOPWORDS
 
     def lang_of(self, text: str) -> str:
         if not text:
@@ -81,9 +81,10 @@ class TextScorer:
         batch["n_tokens"] = n_ws_tokens.astype("int64")
         batch["punct_ratio"] = (n_punct / denom).round(6)
         batch["digit_ratio"] = (n_digit / denom).round(6)
+        n_ws_chars = s.str.count(r"\s")
         batch["mean_token_len"] = (
-            (n_chars - n_ws_tokens + 1).clip(lower=0)
-            / n_ws_tokens.replace(0, 1)).round(6)
+            ((n_chars - n_ws_chars) / n_ws_tokens.replace(0, 1))
+            .where(n_ws_tokens > 0, 0.0).round(6))
         batch["lang_id"] = s.map(self.lang_of)
         # composite quality score in [0,1]: long enough, not punct/digit heavy
         length_score = (n_ws_tokens.clip(upper=200) / 200.0)

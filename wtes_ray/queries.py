@@ -9,7 +9,11 @@ value-hash over columns sorted by name):
     ratios/averages/cosines → 6dp) to kill summation-order ULP drift;
   - int aggregates are cast to BIGINT in SQL (DuckDB SUM(int)→HUGEINT);
   - embeddings are cast to DOUBLE[] in SQL so DuckDB's cosine runs in
-    float64 like the numpy side.
+    float64 like the numpy side;
+  - the text-regex oracles (token/quality stats) assume ASCII corpus text:
+    Python's \\w/\\s are Unicode-aware while DuckDB RE2's are ASCII-only,
+    so they agree only on ASCII (true for the driver's seeded testdata;
+    verified). A Unicode corpus would need \\p{{L}}-class SQL regexes.
 
 Each callable takes ``sf_dir`` and returns a Dataset / pandas DataFrame.
 Ray is initialised by the caller (driver contract — no ray.init here).

@@ -104,7 +104,8 @@ def validate(table: pa.Table, schema: pa.Schema, where: str = "") -> pa.Table:
     """Assert-and-cast a batch to the declared stage schema."""
     try:
         return table.select(schema.names).cast(schema)
-    except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError) as e:
+    except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError,
+            pa.ArrowNotImplementedError) as e:
         raise ValueError(
             f"schema mismatch at {where or 'stage boundary'}: "
             f"got {table.schema}, want {schema}") from e

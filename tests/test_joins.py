@@ -1,0 +1,107 @@
+"""Bucketed hash join (ops/joins.py): parity with pandas merge for every
+join mode, int and string keys, multiple buckets, and the per-bucket
+prepare hooks that finish partial aggregates."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from wtes_ray.ops.joins import bucketed_hash_join
+
+
+def _left_df(n=200):
+    rng = np.random.RandomState(3)
+    return pd.DataFrame({
+        "k": rng.randint(0, 60, size=n).astype("int64"),
+        "v": rng.standard_normal(n),
+    })
+
+
+def _right_df():
+    # keys 40..79: overlaps half the left key space, half unmatched each way
+    return pd.DataFrame({
+        "k": np.arange(40, 80, dtype="int64"),
+        "w": [f"w{i}" for i in range(40, 80)],
+    })
+
+
+def _ds(df, blocks=4):
+    return rd.from_pandas(df).repartition(blocks)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_join_modes_match_pandas(ray_session, how):
+    l, r = _left_df(), _right_df()
+    got = bucketed_hash_join(_ds(l), _ds(r), "k", how=how,
+                             num_buckets=7).to_pandas()
+    if how == "inner" or how == "left":
+        want = l.merge(r, on="k", how=how)
+    elif how == "semi":
+        want = l[l["k"].isin(set(r["k"]))]
+    else:
+        want = l[~l["k"].isin(set(r["k"]))]
+    sort_cols = [c for c in ("k", "v", "w") if c in want.columns]
+    got = got.sort_values(sort_cols).reset_index(drop=True)
+    want = want.sort_values(sort_cols).reset_index(drop=True)
+    # left join null-pads unmatched right columns; compare as objects there
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=(how != "left"))
+
+
+def test_string_keys(ray_session):
+    l = pd.DataFrame({"k": [f"u{i % 9}" for i in range(50)],
+                      "v": np.arange(50)})
+    r = pd.DataFrame({"k": [f"u{i}" for i in range(5)],
+                      "lab": [f"L{i}" for i in range(5)]})
+    got = bucketed_hash_join(_ds(l, 3), _ds(r, 2), "k",
+                             num_buckets=4).to_pandas()
+    want = l.merge(r, on="k")
+    got = got.sort_values(["k", "v"]).reset_index(drop=True)
+    want = want.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_prepare_hooks_finish_partial_aggregates(ray_session):
+    # left arrives as per-block PARTIAL sums; the bucket co-locates all
+    # partials of a key, left_prepare finishes the reduction before merge
+    l = pd.DataFrame({"k": [1, 1, 2, 2, 3, 3] * 4,
+                      "rev": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0] * 4})
+    r = pd.DataFrame({"k": [1, 2, 9], "name": ["a", "b", "z"]})
+    got = bucketed_hash_join(
+        _ds(l, 6), _ds(r, 1), "k", num_buckets=3,
+        left_prepare=lambda d: d.groupby("k", as_index=False)["rev"].sum(),
+        right_prepare=lambda d: d.drop_duplicates("k"),
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = pd.DataFrame({"k": [1, 2], "rev": [12.0, 28.0],
+                         "name": ["a", "b"]})
+    pd.testing.assert_frame_equal(got[["k", "rev", "name"]], want)
+
+
+def test_collision_and_type_errors(ray_session):
+    l = _ds(pd.DataFrame({"k": [1], "v": [1.0]}), 1)
+    r_shared = _ds(pd.DataFrame({"k": [1], "v": [2.0]}), 1)
+    with pytest.raises(ValueError, match="collision"):
+        bucketed_hash_join(l, r_shared, "k")
+    r_str = _ds(pd.DataFrame({"k": ["1"], "w": [2.0]}), 1)
+    with pytest.raises(TypeError, match="mismatch"):
+        bucketed_hash_join(l, r_str, "k")
+    with pytest.raises(ValueError, match="how"):
+        bucketed_hash_join(l, _ds(pd.DataFrame({"k": [1], "w": [1.0]}), 1),
+                           "k", how="outer")
+
+
+def test_timestamp_payload_survives(ray_session):
+    # null-padding a timestamp column through the union must round-trip
+    l = pd.DataFrame({"k": np.arange(10, dtype="int64"),
+                      "v": np.arange(10.0)})
+    r = pd.DataFrame({"k": np.arange(0, 10, 2, dtype="int64"),
+                      "ts": pd.date_range("2024-01-01", periods=5,
+                                          freq="D").astype("datetime64[us]")})
+    got = bucketed_hash_join(_ds(l, 2), _ds(r, 2), "k",
+                             num_buckets=3).to_pandas()
+    want = l.merge(r, on="k")
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)

@@ -5,8 +5,10 @@ a 100 TB training-data pipeline needs as first-class components: text
 analysis (language id, quality scoring, token counting, fingerprinting),
 deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard verification,
 embedding near-dup), similarity search (brute-force and LSH-bucketed
-cosine top-k), and multimodal column plumbing (opaque binary payloads with
-typed metadata and actor-pool decode stages).
+cosine top-k), multimodal column plumbing (opaque binary payloads with
+typed metadata and actor-pool decode stages), and a bucketed hash join
+(joins.py) for equi/semi/anti joins whose build side is too big to
+broadcast.
 
 All stages follow the engine's rules: vectorized map_batches bodies,
 actor pools for stateful stages, partial aggregation before any shuffle,

@@ -96,61 +96,74 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def _topk(df: pd.DataFrame, by: list[str], ascending: list[bool],
+          k: int) -> pd.DataFrame:
+    return df.sort_values(by, ascending=ascending).head(k)
+
+
 def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q3-shaped: small sides (filtered customers, then qualifying
-    orders) are broadcast via ray.put instead of a shuffle join
-    (ray_guide 'small side → broadcast'); lineitem pre-aggregates revenue
-    per batch before the global groupby."""
+    """TPC-H Q3-shaped. Scale shape: customer (a TRUE dimension) is the only
+    broadcast; orders and lineitem — the big sides — meet in a bucketed hash
+    join on orderkey (ops/joins.py), with lineitem pre-aggregated to one
+    (orderkey, revenue) partial per batch so the exchange never carries raw
+    line items; the top-10 is per-block top-k then a ≤10×blocks driver
+    finish. Nothing orders/lineitem-sized ever materializes on the driver."""
+    from .ops.joins import bucketed_hash_join
     date = pd.Timestamp("1995-03-15")
+    cutoff = pa.scalar(date, pa.timestamp("us"))
     cust = pq.read_table(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_mktsegment"])
     building = set(
         cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
         ["c_custkey"].to_pylist())
+    bref = ray.put(building)
 
-    orders = pq.read_table(_t(sf_dir, "orders"),
-                           columns=["o_orderkey", "o_custkey", "o_orderdate",
-                                    "o_orderpriority"])
-    orders = orders.filter(
-        pc.less(orders["o_orderdate"], pa.scalar(date, pa.timestamp("us"))))
-    okeys, ocust = orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()
-    odate, oprio = orders["o_orderdate"].to_pylist(), orders["o_orderpriority"].to_pylist()
-    order_info = {k: (d, p) for k, c, d, p in zip(okeys, ocust, odate, oprio)
-                  if c in building}
-    info_ref = ray.put(order_info)
-
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
-                         columns=["l_orderkey", "l_extendedprice",
-                                  "l_discount", "l_shipdate"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        info = ray.get(info_ref)
-        t = t.filter(pc.greater(t["l_shipdate"],
-                                pa.scalar(date, pa.timestamp("us"))))
-        keys = t["l_orderkey"].to_numpy()
-        mask = pd.Index(keys).isin(info.keys())
+    def orders_side(t: pa.Table) -> pa.Table:
+        keys = ray.get(bref)
+        t = t.filter(pc.less(t["o_orderdate"], cutoff))
+        mask = pd.Index(t["o_custkey"].to_numpy(zero_copy_only=False)) \
+                 .isin(keys)
         t = t.filter(pa.array(mask))
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    orders_f = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         sub = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
-        # per-batch partial combine → shuffle carries one row per (batch, key)
+        # per-batch partial combine → the join exchange carries one row per
+        # (batch, key)
         return pa.Table.from_pandas(
             sub.to_pandas().groupby("l_orderkey", as_index=False)
             ["revenue"].sum(), preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-            .groupby("l_orderkey").aggregate(Sum("revenue",
-                                                 alias_name="revenue"))
-    df = agg.to_pandas()
+    li_p = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_extendedprice",
+                                    "l_discount", "l_shipdate"]) \
+             .map_batches(li_partial, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        li_p, orders_f, "l_orderkey", num_buckets=32,
+        left_prepare=lambda l: l.groupby("l_orderkey", as_index=False)
+                                ["revenue"].sum())
+
     # rank by the ROUNDED value — the SQL ORDER BY resolves to the rounded
     # alias, so boundary ties must break identically on both sides
-    df["revenue"] = df["revenue"].round(2)
-    df = df.sort_values(["revenue", "l_orderkey"],
-                        ascending=[False, True]).head(10)
-    info = order_info
-    df["o_orderdate"] = pd.to_datetime(
-        df["l_orderkey"].map(lambda k: info[k][0])).astype("datetime64[us]")
-    df["o_orderpriority"] = df["l_orderkey"].map(lambda k: info[k][1])
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        return _topk(df, ["revenue", "l_orderkey"], [False, True], 10)
+
+    df = _topk(joined.map_batches(block_topk, batch_format="pandas")
+               .to_pandas(), ["revenue", "l_orderkey"], [False, True], 10)
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
     return df[["l_orderkey", "revenue", "o_orderdate",
                "o_orderpriority"]].reset_index(drop=True)
 
@@ -316,9 +329,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q5-shaped multi-join, all small sides broadcast: nation ⋈
-    customer ⋈ orders collapse into one orderkey→nation lookup shipped via
-    ray.put; lineitem pre-aggregates revenue per nation per batch."""
+    """TPC-H Q5-shaped. Scale shape: nation ⋈ customer collapse into one
+    custkey→nation dict (true dimensions — broadcast); orders (big) carries
+    that nation name per row and meets lineitem's per-batch (orderkey,
+    revenue) partials in a bucketed hash join; per-bucket partial sums by
+    nation feed a 25-row global combine. The orders-sized orderkey→nation
+    map of round 1 never exists anywhere."""
+    from .ops.joins import bucketed_hash_join
     nation = pq.read_table(_t(sf_dir, "nation"),
                            columns=["n_nationkey", "n_name"])
     n_name = dict(zip(nation["n_nationkey"].to_pylist(),
@@ -328,27 +345,35 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     cust_nation = {c: n_name[n] for c, n in
                    zip(cust["c_custkey"].to_pylist(),
                        cust["c_nationkey"].to_pylist())}
-    orders = pq.read_table(_t(sf_dir, "orders"),
-                           columns=["o_orderkey", "o_custkey"])
-    order_nation = {o: cust_nation[c] for o, c in
-                    zip(orders["o_orderkey"].to_pylist(),
-                        orders["o_custkey"].to_pylist())}
-    ref = ray.put(order_nation)
+    ref = ray.put(cust_nation)
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
-                         columns=["l_orderkey", "l_extendedprice",
-                                  "l_discount"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def orders_side(df: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(ref)
-        df["n_name"] = df["l_orderkey"].map(lut)
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        return df.groupby("n_name", as_index=False)["revenue"].sum()
+        return pd.DataFrame({"l_orderkey": df["o_orderkey"],
+                             "n_name": df["o_custkey"].map(lut)})
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-            .groupby("n_name").aggregate(Sum("revenue",
-                                             alias_name="revenue"))
-    df = agg.to_pandas()
+    orders_n = rd.read_parquet(_t(sf_dir, "orders"),
+                               columns=["o_orderkey", "o_custkey"]) \
+                 .map_batches(orders_side, batch_format="pandas")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+
+    li_p = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_extendedprice",
+                                    "l_discount"]) \
+             .map_batches(li_partial, batch_format="pandas")
+
+    joined = bucketed_hash_join(
+        li_p, orders_n, "l_orderkey", num_buckets=32,
+        left_prepare=lambda l: l.groupby("l_orderkey", as_index=False)
+                                ["revenue"].sum())
+    per_nation = joined.map_batches(
+        lambda df: df.groupby("n_name", as_index=False)["revenue"].sum(),
+        batch_format="pandas")
+    df = per_nation.groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue")).to_pandas()
     df["revenue"] = df["revenue"].round(2)
     return df.sort_values("n_name").reset_index(drop=True)
 
@@ -391,13 +416,26 @@ WHERE rn <= 2 ORDER BY o_custkey, rn
 
 
 def events_props_stats(sf_dir: str) -> pd.DataFrame:
-    """JSON scalar extraction (the `props` column) + grouped aggregate;
-    the JSON field pull is a vectorized regex (fixed `{"k": N}` shape)."""
+    """JSON scalar extraction (the `props` column) + grouped aggregate.
+    The field pull is a real JSON parse per row (``json.loads`` — JSON
+    decode is inherently per-value; the parse batches inside map_batches),
+    so arbitrary key sets/nesting around ``k`` are handled, not just the
+    seeded ``{"k": N}`` shape. SQL NULL semantics exactly: rows whose props
+    lack an integer ``k`` still count in ``n`` (COUNT(*)) but are skipped
+    by ``sum_k`` (SUM ignores NULL; pandas sum ignores NaN)."""
+    import json as _json
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "props"])
 
+    def _k_of(s) -> float:
+        try:
+            v = _json.loads(s)["k"]
+        except (TypeError, ValueError, KeyError):
+            return np.nan
+        return float(v) if isinstance(v, (int, np.integer)) else np.nan
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["props"].str.extract(r'"k":\s*(-?\d+)')[0].astype("int64")
+        k = df["props"].map(_k_of)
         out = pd.DataFrame({"event_type": df["event_type"], "k": k})
         return out.groupby("event_type", as_index=False).agg(
             sum_k=("k", "sum"), n=("k", "size"))
@@ -420,15 +458,16 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
-    """COUNT(DISTINCT …): per-batch pair dedup (partial) → global pair
-    dedup → grouped count, so the shuffle carries unique pairs only."""
+    """COUNT(DISTINCT …): per-batch pair dedup (partial) → pair-level
+    aggregate (one row per unique pair, no per-group Python callbacks) →
+    grouped count. Both exchanges carry unique pairs / pair-counts only."""
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "user_id"])
     pre = ds.map_batches(
         lambda df: df.drop_duplicates(["event_type", "user_id"]),
         batch_format="pandas")
-    uniq = pre.groupby(["event_type", "user_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    uniq = pre.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="__dups"))
     df = uniq.groupby("event_type").aggregate(
         Count(alias_name="n_users")).to_pandas()
     df["n_users"] = df["n_users"].astype("int64")
@@ -442,25 +481,28 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
-    """Anti-join via broadcast key set (ray_guide semi/anti pattern):
-    orders with no lineitems, counted per priority. The key set is the
-    DISTINCT join keys of the big side — collected once, shipped once."""
-    li = pq.read_table(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
-    have_items = set(li["l_orderkey"].to_pylist())
-    ref = ray.put(have_items)
+    """Anti-join at scale: orders with no lineitems, counted per priority.
+    Both sides are big, so this is a bucketed hash ANTI join — lineitem
+    contributes per-batch-distinct orderkeys only (finished per bucket by
+    ``right_prepare``); the round-1 driver-materialized lineitem key set is
+    gone. Per-bucket priority counts feed a 5-row global combine."""
+    from .ops.joins import bucketed_hash_join
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    li_keys = rd.read_parquet(_t(sf_dir, "lineitem"),
+                              columns=["l_orderkey"]) \
+        .map_batches(lambda df: pd.DataFrame(
+            {"o_orderkey": df["l_orderkey"].unique()}),
+            batch_format="pandas")
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
-                         columns=["o_orderkey", "o_orderpriority"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(ref)
-        df = df[~df["o_orderkey"].isin(keys)]
-        return df.groupby("o_orderpriority", as_index=False).agg(
-            n=("o_orderkey", "size"))
-
-    agg = ds.map_batches(partial, batch_format="pandas") \
-            .groupby("o_orderpriority").aggregate(Sum("n", alias_name="n"))
-    df = agg.to_pandas()
+    anti = bucketed_hash_join(
+        orders, li_keys, "o_orderkey", how="anti", num_buckets=32,
+        right_prepare=lambda r: r.drop_duplicates("o_orderkey"))
+    partials = anti.map_batches(
+        lambda df: df.groupby("o_orderpriority", as_index=False).agg(
+            n=("o_orderkey", "size")), batch_format="pandas")
+    df = partials.groupby("o_orderpriority").aggregate(
+        Sum("n", alias_name="n")).to_pandas()
     if "n" not in df.columns:   # no such orders → empty result
         return pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
                              "n": pd.Series([], dtype="int64")})
@@ -661,14 +703,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01'
 
 
 def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q10-shaped: revenue lost to returns per customer (top 20) —
-    broadcast orders→custkey map, partial per-batch combine, grouped sum,
-    then a small top-k sort with customer attributes attached."""
-    orders = pq.read_table(_t(sf_dir, "orders"),
-                           columns=["o_orderkey", "o_custkey"])
-    cust_of = dict(zip(orders["o_orderkey"].to_pylist(),
-                       orders["o_custkey"].to_pylist()))
-    ref = ray.put(cust_of)
+    """TPC-H Q10-shaped: revenue lost to returns per customer (top 20).
+    Scale shape: lineitem's R-filtered per-batch (orderkey, revenue)
+    partials meet orders' (orderkey, custkey) projection in a bucketed hash
+    join; per-bucket custkey partials feed a customer-sized global groupby,
+    then per-block top-k with a ≤20×blocks driver finish. Only customer
+    (a true dimension) is driver-read, for the final name/acctbal attach."""
+    from .ops.joins import bucketed_hash_join
     cust = pq.read_table(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_name", "c_acctbal"])
     cust_info = {k: (n, b) for k, n, b in
@@ -676,24 +717,38 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
                      cust["c_name"].to_pylist(),
                      cust["c_acctbal"].to_pylist())}
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
-                         columns=["l_orderkey", "l_returnflag",
-                                  "l_extendedprice", "l_discount"])
+    orders_k = rd.read_parquet(_t(sf_dir, "orders"),
+                               columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda df: pd.DataFrame(
+            {"l_orderkey": df["o_orderkey"], "c_custkey": df["o_custkey"]}),
+            batch_format="pandas")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(ref)
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_returnflag"] == "R"].copy()
-        df["c_custkey"] = df["l_orderkey"].map(lut)
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        return df.groupby("c_custkey", as_index=False)["revenue"].sum()
+        return df.groupby("l_orderkey", as_index=False)["revenue"].sum()
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-            .groupby("c_custkey").aggregate(Sum("revenue",
-                                                alias_name="revenue"))
-    df = agg.to_pandas()
-    df["revenue"] = df["revenue"].round(2)   # rank by the rounded value
-    df = df.sort_values(["revenue", "c_custkey"],
-                        ascending=[False, True]).head(20)
+    li_p = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_returnflag",
+                                    "l_extendedprice", "l_discount"]) \
+             .map_batches(li_partial, batch_format="pandas")
+
+    joined = bucketed_hash_join(
+        li_p, orders_k, "l_orderkey", num_buckets=32,
+        left_prepare=lambda l: l.groupby("l_orderkey", as_index=False)
+                                ["revenue"].sum())
+    per_cust = joined.map_batches(
+        lambda df: df.groupby("c_custkey", as_index=False)["revenue"].sum(),
+        batch_format="pandas")
+    agg = per_cust.groupby("c_custkey").aggregate(
+        Sum("revenue", alias_name="revenue"))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)   # rank by the rounded value
+        return _topk(df, ["revenue", "c_custkey"], [False, True], 20)
+
+    df = _topk(agg.map_batches(block_topk, batch_format="pandas")
+               .to_pandas(), ["revenue", "c_custkey"], [False, True], 20)
     df["c_name"] = df["c_custkey"].map(lambda k: cust_info[k][0])
     df["c_acctbal"] = df["c_custkey"].map(lambda k: round(cust_info[k][1], 2))
     df["c_custkey"] = df["c_custkey"].astype("int64")
@@ -803,7 +858,7 @@ FROM documents GROUP BY text ORDER BY doc_id
 
 
 def _docs_with_planted_dups(sf_dir: str):
-    """documents ∪ copies of the first 20 docs (doc_id + 1_000_000) so the
+    """documents ∪ copies of the first 20 docs (doc_id + 10**12) so the
     near-dup operators have guaranteed positives at every sf (the sf tables
     themselves are all-distinct word soup)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])

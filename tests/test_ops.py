@@ -138,6 +138,28 @@ def test_neardup_clusters(ray_session):
     assert by_doc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_neardup_clusters_distributed_chain(ray_session):
+    """Min-label propagation: a chain A-B, B-C, C-D whose edges live in
+    DIFFERENT blocks must still collapse to one cluster (labels propagate
+    across partitions round by round), matching driver union-find."""
+    import ray.data
+
+    # chain 1-2-3-4-5 + separate pair 100-101, one edge per block
+    edges = pd.DataFrame({"a": [1, 2, 3, 4, 100],
+                          "b": [2, 3, 4, 5, 101]})
+    pairs = ray.data.from_pandas(edges).repartition(5)
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 100: 100, 101: 100}
+
+    ds_out = D.neardup_clusters_ds(pairs).to_pandas()
+    assert dict(zip(ds_out["doc_id"], ds_out["cluster_id"])) == want
+
+    # dispatch wrapper forced onto the distributed path agrees too
+    forced = D.neardup_clusters(pairs, driver_max_pairs=0)
+    assert dict(zip(forced["doc_id"], forced["cluster_id"])) == want
+    assert list(forced.columns) == ["doc_id", "cluster_id"]
+    assert forced["doc_id"].is_monotonic_increasing
+
+
 def test_text_scorer_and_fingerprints(docs_ds):
     scored = docs_ds.map_batches(T.TextScorer, batch_format="pandas",
                                  concurrency=1).to_pandas()

@@ -187,7 +187,10 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                                  "est_jaccard": pd.Series([], dtype="float64"),
                                  "truncated": pd.Series([], dtype="bool")})
         truncated = len(ids) > max_bucket
-        g = g.iloc[:max_bucket]
+        # sort before truncating: Ray's groupby does not guarantee stable
+        # within-group row order, so an order-based cut would make the
+        # SURVIVING candidates (not just the flag) vary run to run
+        g = g.sort_values(id_col).iloc[:max_bucket]
         sigs = np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]])
         ids = g[id_col].tolist()
         out = {"a": [], "b": [], "est_jaccard": [], "truncated": []}
@@ -285,7 +288,7 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = {"a": [], "b": [], "hamming": [], "truncated": []}
         truncated = len(g) > max_bucket
-        g = g.iloc[:max_bucket]
+        g = g.sort_values(id_col).iloc[:max_bucket]   # deterministic cut
         sh = g["simhash"].values.view(np.uint64)
         ids = g[id_col].tolist()
         for i in range(len(ids)):
@@ -322,71 +325,181 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard verification (broadcast small candidate side)
+# n-gram Jaccard verification (hash-bucket co-partition of pairs and docs)
 # ---------------------------------------------------------------------------
+
+def _char_jaccard(ta: str, tb: str, ngram: int) -> float:
+    # true k-shingles: EMPTY set for texts shorter than ngram, so a
+    # missing/empty text verifies at 0.0, never spuriously at 1.0
+    sa = {ta[i:i + ngram] for i in range(len(ta) - ngram + 1)}
+    sb = {tb[i:i + ngram] for i in range(len(tb) - ngram + 1)}
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
 
 def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
                          text_col: str = "text", id_col: str = "doc_id",
-                         ngram: int = 5,
-                         threshold: float = 0.5) -> ray.data.Dataset:
+                         ngram: int = 5, threshold: float = 0.5,
+                         num_buckets: int = 32) -> ray.data.Dataset:
     """Exact character-n-gram Jaccard for candidate pairs.
 
-    Partitioning assumption (documented, broadcast semi-join): the candidate
-    id set is small relative to the corpus — their texts are collected,
-    ``ray.put`` once, and read inside the verify stage. For web-scale
-    candidate sets use a hash-bucket join instead."""
+    Scale shape: candidate TEXTS never touch the driver. The candidate ID
+    set (ints — the only broadcast, inherently small: 2 ids per LSH
+    candidate pair) filters the corpus vectorized per batch; the surviving
+    (id, text) rows are then attached to the pairs through two bucketed
+    hash joins (``hash(id) % num_buckets`` co-partition, ops/joins.py) —
+    one for each pair member — and the exact Jaccard runs per joined row.
+    Only candidate texts enter the exchanges, each exactly once per side."""
     import ray as _ray
+    from .joins import _arrow_schema as _pairs_schema
+    from .joins import bucketed_hash_join
 
-    ids = set()
-    for row in pairs.select_columns(["a", "b"]).take_all():
-        ids.add(row["a"])
-        ids.add(row["b"])
-    texts = {}
-    if ids:
-        id_ref = _ray.put(ids)
+    # pairs and the candidate docs are both candidate-sized (small by the
+    # LSH-output contract) — materialize so the id scan, schema probes and
+    # the two joins don't each re-execute the upstream LSH / corpus plans
+    pairs = pairs.materialize()
+    id_rows = pairs.select_columns(["a", "b"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"cid": pd.concat([df["a"], df["b"]]).unique()}),
+        batch_format="pandas").take_all()
+    ids = {r["cid"] for r in id_rows}
+    if not ids:
+        def tag_empty(df: pd.DataFrame) -> pd.DataFrame:
+            df["jaccard"] = pd.Series([], dtype="float64")
+            return df
+        return pairs.map_batches(tag_empty, batch_format="pandas")
+    id_ref = _ray.put(ids)
 
-        def pick(df: pd.DataFrame) -> pd.DataFrame:
+    def make_pick(names: list[str]):
+        # arrow in/out so EMPTY filtered blocks keep their schema (a
+        # pandas empty frame would degrade to untyped object columns)
+        def pick(t: pa.Table) -> pa.Table:
             wanted = _ray.get(id_ref)
-            return df[df[id_col].isin(wanted)]
+            mask = pd.Index(
+                t.column(id_col).to_numpy(zero_copy_only=False)).isin(wanted)
+            return t.filter(pa.array(mask)).rename_columns(names)
+        return pick
 
-        small = docs.select_columns([id_col, text_col]).map_batches(
-            pick, batch_format="pandas")
-        for row in small.take_all():
-            texts[row[id_col]] = row[text_col]
-    ref = _ray.put(texts)
+    cand = docs.select_columns([id_col, text_col]).map_batches(
+        make_pick([id_col, text_col]), batch_format="pyarrow").materialize()
+    text_t = dict(zip(cand.schema().names, cand.schema().types))[text_col]
+    cand_a = cand.map_batches(lambda t: t.rename_columns(["a", "__ta"]),
+                              batch_format="pyarrow")
+    cand_b = cand.map_batches(lambda t: t.rename_columns(["b", "__tb"]),
+                              batch_format="pyarrow")
+    # explicit side schemas: cand (and thus the first join's output) can
+    # legitimately be EMPTY, where Ray cannot infer a schema
+    pair_schema = _pairs_schema(pairs)
+    sa = pa.schema([("a", pair_schema.field("a").type), ("__ta", text_t)])
+    sb = pa.schema([("b", pair_schema.field("b").type), ("__tb", text_t)])
+    with_a = bucketed_hash_join(pairs, cand_a, "a", num_buckets=num_buckets,
+                                left_schema=pair_schema, right_schema=sa)
+    mid_schema = pa.schema(
+        [pair_schema.field("a")]
+        + [pair_schema.field(n) for n in pair_schema.names if n != "a"]
+        + [pa.field("__ta", text_t)])
+    with_b = bucketed_hash_join(with_a, cand_b, "b", num_buckets=num_buckets,
+                                left_schema=mid_schema, right_schema=sb)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lut = _ray.get(ref)
+        batch["jaccard"] = [
+            _char_jaccard(ta or "", tb or "", ngram)
+            for ta, tb in zip(batch["__ta"], batch["__tb"])]
+        batch = batch[batch["jaccard"] >= threshold]
+        return batch.drop(columns=["__ta", "__tb"])
 
-        def jac(a, b):
-            ta, tb = lut.get(a, ""), lut.get(b, "")
-            # true k-shingles: EMPTY set for texts shorter than ngram, so a
-            # missing/empty text verifies at 0.0, never spuriously at 1.0
-            sa = {ta[i:i + ngram] for i in range(len(ta) - ngram + 1)}
-            sb = {tb[i:i + ngram] for i in range(len(tb) - ngram + 1)}
-            if not sa or not sb:
-                return 0.0
-            return len(sa & sb) / len(sa | sb)
-
-        batch["jaccard"] = [jac(a, b) for a, b in zip(batch["a"], batch["b"])]
-        return batch[batch["jaccard"] >= threshold]
-
-    return pairs.map_batches(verify, batch_format="pandas")
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
 # Near-dup clusters (connected components over candidate pairs)
 # ---------------------------------------------------------------------------
 
-def neardup_clusters(pairs: ray.data.Dataset) -> pd.DataFrame:
+def _cc_edges(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Symmetric edge list (node, nbr) from undirected candidate pairs."""
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+            "nbr": pd.concat([df["b"], df["a"]], ignore_index=True)})
+    return pairs.select_columns(["a", "b"]).map_batches(
+        both_dirs, batch_format="pandas")
+
+
+def neardup_clusters_ds(pairs: ray.data.Dataset, *,
+                        max_iters: int = 50) -> ray.data.Dataset:
+    """Distributed connected components over candidate pairs → Dataset of
+    (doc_id, cluster_id) with cluster_id = min member id — iterative
+    min-label propagation, the scale path when the pair graph does not fit
+    the driver.
+
+    Per round: messages = edges ⋈ labels on the neighbor (bucketed hash
+    join, ops/joins.py) → ``groupby(node).min(label)`` over labels ∪
+    messages. Labels are monotonically non-increasing, so ``Sum(label)``
+    strictly decreases until the fixed point — an exact, cheap convergence
+    probe (assumes Σ|min ids| fits int64; true whenever the candidate node
+    set fits a cluster at all). Rounds = max cluster diameter — small for
+    near-dup graphs (dup clusters are dense). Everything per round is one
+    join exchange + one aggregate over the CANDIDATE set only (never the
+    corpus)."""
+    from ray.data.aggregate import Sum as _Sum
+    from .joins import bucketed_hash_join
+
+    edges = _cc_edges(pairs).materialize()   # reused every round
+    # init = one propagation step: label(n) = min(n, min nbr)
+    labels = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"],
+            "label": df[["node", "nbr"]].min(axis=1)}),
+        batch_format="pandas") \
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+
+    to_nbr = edges.map_batches(
+        lambda df: pd.DataFrame({"__k": df["nbr"], "__dst": df["node"]}),
+        batch_format="pandas")
+
+    prev_sum = None
+    for _ in range(max_iters):
+        labels = labels.materialize()
+        cur = labels.aggregate(_Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            return labels.map_batches(
+                lambda df: df.rename(columns={"node": "doc_id",
+                                              "label": "cluster_id"}),
+                batch_format="pandas")
+        prev_sum = cur
+        msgs = bucketed_hash_join(
+            to_nbr, labels.map_batches(
+                lambda df: df.rename(columns={"node": "__k"}),
+                batch_format="pandas"),
+            "__k",
+            left_prepare=lambda l: l.drop_duplicates(),
+        ).map_batches(
+            lambda df: pd.DataFrame({"node": df["__dst"],
+                                     "label": df["label"]}),
+            batch_format="pandas")
+        labels = labels.union(msgs).groupby("node").aggregate(
+            Min("label", alias_name="label"))
+    raise RuntimeError(
+        f"connected components did not converge in {max_iters} rounds "
+        f"(pathological graph diameter — raise max_iters)")
+
+
+def neardup_clusters(pairs: ray.data.Dataset, *,
+                     driver_max_pairs: int = 200_000) -> pd.DataFrame:
     """Connected components over a candidate-pair dataset → (doc_id,
     cluster_id) with cluster_id = min member id.
 
-    Partitioning assumption (documented, ray_guide dedup pattern): the
-    candidate-pair set is SMALL relative to the corpus (it is the output of
-    LSH banding + thresholding), so union-find runs on the driver. For
-    graphs that do not fit the driver, replace with iterative min-label
-    propagation (a few rounds of groupby over (node, label) messages)."""
+    Dispatch: pair graphs that fit the driver comfortably (≤
+    ``driver_max_pairs``, the common LSH-output case) run a single-pass
+    union-find there; bigger graphs run the distributed min-label
+    propagation (:func:`neardup_clusters_ds`) and only the final
+    candidate-sized labelling is collected (callers wanting a Dataset out
+    should call ``neardup_clusters_ds`` directly)."""
+    if pairs.count() > driver_max_pairs:
+        df = neardup_clusters_ds(pairs).to_pandas()
+        return df.astype({"doc_id": "int64", "cluster_id": "int64"}) \
+                 .sort_values("doc_id").reset_index(drop=True)
     parent: dict = {}
 
     def find(x):
@@ -468,7 +581,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         truncated = len(g) > max_bucket
-        g = g.iloc[:max_bucket]
+        g = g.sort_values(id_col).iloc[:max_bucket]   # deterministic cut
 
         def empty() -> pd.DataFrame:
             return pd.DataFrame({

@@ -116,16 +116,23 @@ def bucketed_hash_join(
         how: str = "inner", num_buckets: int = 32,
         left_prepare: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
         right_prepare: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+        left_schema: pa.Schema | None = None,
+        right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Distributed equi-join of two Datasets on column ``on``.
 
     ``how``: ``inner`` | ``left`` | ``semi`` | ``anti`` (semi/anti return
     left columns only; ``anti`` = left rows with NO match — the scale-safe
     NOT IN). Returns a Dataset; one output block per non-empty bucket.
+
+    ``left_schema``/``right_schema`` override schema inference — pass them
+    when a side may be EMPTY behind a transform (Ray reports ``schema() is
+    None`` for those, since there is no block to infer from).
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
-    lsa, rsa = _arrow_schema(left), _arrow_schema(right)
+    lsa = left_schema if left_schema is not None else _arrow_schema(left)
+    rsa = right_schema if right_schema is not None else _arrow_schema(right)
     unified = _unified_schema(lsa, rsa, on)
     lcols = [on] + [n for n in lsa.names if n != on]
     rcols = [on] + [n for n in rsa.names if n != on]
@@ -137,7 +144,23 @@ def bucketed_hash_join(
         _make_tagger(1, frozenset(rsa.names), unified, on, num_buckets),
         batch_format="pyarrow")
 
-    def join_bucket(g: pa.Table) -> pd.DataFrame:
+    type_of = {f.name: f.type for f in unified}
+
+    def finalize(out: pd.DataFrame) -> pa.Table:
+        # pin output types from the unified schema so EMPTY bucket results
+        # keep a full Arrow schema (an empty pandas frame would degrade to
+        # schemaless blocks and break chained joins / downstream schema())
+        known = [type_of.get(c) for c in out.columns]
+        if all(t is not None for t in known):
+            try:
+                return pa.Table.from_pandas(
+                    out, schema=pa.schema(list(zip(out.columns, known))),
+                    preserve_index=False)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                pass   # e.g. left-join NaN padding in an int column
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g.column(_SIDE), pa.scalar(0, pa.int8()))
         l = g.filter(lmask).select(lcols).to_pandas()
         r = g.filter(pc.invert(lmask)).select(rcols).to_pandas()
@@ -146,10 +169,10 @@ def bucketed_hash_join(
         if right_prepare is not None:
             r = right_prepare(r)
         if how == "semi":
-            return l[l[on].isin(set(r[on]))]
+            return finalize(l[l[on].isin(set(r[on]))])
         if how == "anti":
-            return l[~l[on].isin(set(r[on]))]
-        return l.merge(r, on=on, how=how)
+            return finalize(l[~l[on].isin(set(r[on]))])
+        return finalize(l.merge(r, on=on, how=how))
 
     return tagged_l.union(tagged_r).groupby(_BUCKET).map_groups(
         join_bucket, batch_format="pyarrow")

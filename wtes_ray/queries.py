@@ -614,6 +614,64 @@ def dedup_filter_docs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+PLANTED_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000000 AS doc_id, text FROM
+    (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+"""
+
+
+def dedup_filter_exact_docs(sf_dir: str) -> pd.DataFrame:
+    """The full cluster-dedup pipeline (LSH candidates → Jaccard verify →
+    connected components → drop non-representatives) run at verify
+    threshold 1.0, where it must reduce to exact text dedup — which IS
+    SQL-expressible (GROUP BY text, keep MIN(doc_id)), so the whole
+    pairs→CC→filter chain gets a value-hash oracle, not just row counts.
+    (Identical texts always share every MinHash band, so LSH recall of
+    exact dups is 1 barring max_bucket truncation; char-5-gram Jaccard
+    is 1.0 only for equal shingle SETS — byte-identical on this corpus.)"""
+    from .ops.dedup import (dedup_filter, minhash_lsh_pairs,
+                            verify_pairs_jaccard)
+    docs = _docs_with_planted_dups(sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, concurrency=(1, 8))
+    exact = verify_pairs_jaccard(pairs, docs, threshold=1.0)
+    kept = dedup_filter(docs, exact)
+    df = kept.select_columns(["doc_id"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_FILTER_EXACT_SQL = f"""
+WITH planted AS ({PLANTED_SQL})
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM planted GROUP BY text ORDER BY doc_id
+"""
+
+
+def neardup_clusters_exact_docs(sf_dir: str) -> pd.DataFrame:
+    """Cluster membership of the exact-dup (verify-at-1.0) pipeline —
+    SQL-expressible as text-equality groups of size > 1 (window form)."""
+    from .ops.dedup import (minhash_lsh_pairs, neardup_clusters,
+                            verify_pairs_jaccard)
+    docs = _docs_with_planted_dups(sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, concurrency=(1, 8))
+    exact = verify_pairs_jaccard(pairs, docs, threshold=1.0)
+    return neardup_clusters(exact).sort_values("doc_id") \
+                                  .reset_index(drop=True)
+
+
+NEARDUP_CLUSTERS_EXACT_SQL = f"""
+WITH planted AS ({PLANTED_SQL}),
+g AS (SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY text) AS cluster_id,
+             COUNT(*) OVER (PARTITION BY text) AS n
+      FROM planted)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id
+FROM g WHERE n > 1 ORDER BY doc_id
+"""
+
+
 def frontier_buckets(sf_dir: str) -> pd.DataFrame:
     """M20/M21: crawl-frontier URL classification over the synthetic corpus'
     doc_id URLs (rows-only: lexicon heuristic)."""
@@ -1113,6 +1171,10 @@ REGISTRY: dict = {
                                  ORDERS_WITHOUT_LINEITEMS_SQL),
     "neardup_clusters_docs": (neardup_clusters_docs, None),
     "dedup_filter_docs": (dedup_filter_docs, None),
+    "dedup_filter_exact_docs": (dedup_filter_exact_docs,
+                                DEDUP_FILTER_EXACT_SQL),
+    "neardup_clusters_exact_docs": (neardup_clusters_exact_docs,
+                                    NEARDUP_CLUSTERS_EXACT_SQL),
     "extract_error_stats": (extract_error_stats, None),
     "frontier_buckets": (frontier_buckets, None),
     "part_brand_qty": (part_brand_qty, PART_BRAND_SQL),

@@ -226,3 +226,38 @@ def test_multimodal_pipeline(ray_session):
     out2 = media_feature_pipeline(docs, concurrency=1).to_pandas()
     assert out.drop(columns=["features"]).equals(
         out2.drop(columns=["features"]))
+
+
+def test_decode_real_image_via_pil():
+    """Real-codec branch with actual PIL (skips where PIL is absent)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from wtes_ray.ops.multimodal import DecodeStub
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7)).save(buf, format="PNG")
+    w, h, c = DecodeStub().decode_meta(buf.getvalue())
+    assert (w, h, c) == (12, 7, 3)
+
+
+def test_decode_pil_branch_wiring(monkeypatch):
+    """The PIL dispatch path itself (header sniff → _image_open → w/h/mode),
+    exercised without PIL via an injected opener."""
+    from wtes_ray.ops.multimodal import DecodeStub
+
+    class FakeImg:
+        width, height, mode = 33, 21, "RGBA"
+
+    stub = DecodeStub()
+    opened = []
+    stub._image_open = lambda f: (opened.append(f.read(4)), FakeImg)[1]
+    assert stub.decode_meta(b"\x89PNG\r\n\x1a\nrest") == (33, 21, 4)
+    assert opened[0] == b"\x89PNG"   # full payload reaches the codec
+
+    def boom(f):
+        raise OSError("cannot identify image file")
+    stub._image_open = boom
+    with pytest.raises(NotImplementedError, match="could not decode"):
+        stub.decode_meta(b"not an image")

@@ -295,3 +295,38 @@ def test_nodes_fusion(ray_session, extracted):
     exp_key = {(n["name"], n["url"]): n["props"] for n in expect}
     got_key = {(n["name"], n["url"]): dict(n["props"]) for n in nodes}
     assert got_key == exp_key
+
+
+def test_nodes_fusion_hot_subject_across_blocks(ray_session):
+    """Hot-name salting: ONE subject spanning many blocks (the 100 TB skew
+    case) must fuse identically to the sequential reference fold."""
+    import ray.data
+
+    import pandas as _pd
+    from wtes_ray.fusion import fuse_entity_group
+
+    rows = []
+    # 400 entities for one hot subject over a handful of url classes with
+    # interleaved prop priority, plus a cold subject as a control
+    urls = ["http://hot/a", "http://hot/a/b", "", "http://other",
+            "http://hot"]
+    for i in range(400):
+        rows.append({"doc_id": f"d{i:04d}", "seq": i, "subject": "热门",
+                     "subject_url": urls[i % len(urls)],
+                     "props": [(f"k{i % 7}", f"v{i}")]})
+    rows.append({"doc_id": "x", "seq": 0, "subject": "冷门",
+                 "subject_url": "http://cold", "props": [("a", "1")]})
+    ds = ray.data.from_pandas(_pd.DataFrame(rows)).repartition(16)
+
+    got = P.build_nodes(ds, salt_buckets=4).take_all()
+    expect = []
+    for subj in ("热门", "冷门"):
+        g = [dict(r, props=dict(r["props"])) for r in rows
+             if r["subject"] == subj]
+        expect.extend(fuse_entity_group(g))
+    exp_key = {(n["name"], n["url"]): (n["props"], n["n_sources"])
+               for n in expect}
+    got_key = {(n["name"], n["url"]): (dict(n["props"]), n["n_sources"])
+               for n in got}
+    assert got_key == exp_key
+    assert len(got) == len(expect)

@@ -228,23 +228,42 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over whitespace tokens; vectorized bit accumulation."""
+    """64-bit SimHash over whitespace tokens; vectorized bit accumulation.
+
+    The per-token blake2b (the only per-item Python step) runs once per
+    UNIQUE token: tokens collapse through ``np.unique`` with counts (the
+    weighted bit-sum is identical to summing per occurrence), and the
+    token→hash map is memoized per ACTOR across batches (Zipfian corpus
+    vocabulary ≪ token count), bounded to cap actor memory. Output is
+    bit-identical to hashing every occurrence."""
+
+    _CACHE_MAX = 2_000_000
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
         self.bits = np.arange(64, dtype=_U64)
+        self._cache: dict[str, int] = {}
+
+    def _token_hash(self, tok: str) -> int:
+        v = self._cache.get(tok)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"),
+                                digest_size=8).digest(), "little")
+            if len(self._cache) < self._CACHE_MAX:
+                self._cache[tok] = v
+        return v
 
     def simhash(self, text: str) -> int:
         toks = text.split()
         if not toks:
             return 0
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode("utf-8"),
-                                            digest_size=8).digest(),
-                            "little") for t in toks),
-            dtype=_U64, count=len(toks))
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        hs = np.fromiter((self._token_hash(t) for t in uniq),
+                         dtype=_U64, count=len(uniq))
         bits = ((hs[:, None] >> self.bits) & _U64(1)).astype(np.int64)
-        score = (2 * bits - 1).sum(axis=0)
+        score = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
         return int(((score > 0).astype(np.uint64) << self.bits).sum())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

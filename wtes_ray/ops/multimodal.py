@@ -53,17 +53,33 @@ def synth_media_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
     })
 
 
+_CHANNELS_OF = {"1": 1, "L": 1, "P": 1, "I": 1, "F": 1, "LA": 2,
+                "RGB": 3, "YCbCr": 3, "RGBA": 4, "CMYK": 4}
+
+
 class DecodeStub:
-    """Actor-pool decode stage. Real codecs are gated behind import-try; the
-    deterministic fake format always decodes. Use with a SMALL batch_size —
-    payloads are large rows."""
+    """Actor-pool decode stage. Real codecs are gated behind import-try
+    (resolved ONCE per actor in ``__init__``); the deterministic fake
+    format always decodes; any other payload goes through PIL when it is
+    importable, else raises. Use with a SMALL batch_size — payloads are
+    large rows."""
 
     def __init__(self):
-        try:  # pragma: no cover - PIL absent in this container
-            from PIL import Image  # noqa: F401
-            self.has_pil = True
+        try:  # PIL absent in this container; wired + tested where present
+            from PIL import Image
+            self._image_open = Image.open
         except ImportError:
-            self.has_pil = False
+            self._image_open = None
+
+    def _decode_pil(self, payload: bytes) -> tuple[int, int, int]:
+        import io
+        img = self._image_open(io.BytesIO(payload))
+        # identify-only: PIL reads the header lazily — w/h/mode cost no
+        # full pixel decode, which is what a metadata stage wants
+        channels = _CHANNELS_OF.get(img.mode)
+        if channels is None:
+            channels = len(img.getbands())
+        return int(img.width), int(img.height), channels
 
     def decode_meta(self, payload: bytes) -> tuple[int, int, int]:
         if payload is None:
@@ -73,8 +89,11 @@ class DecodeStub:
             h = int.from_bytes(payload[12:16], "little")
             c = int.from_bytes(payload[16:20], "little")
             return w, h, c
-        if self.has_pil:  # pragma: no cover
-            raise NotImplementedError("real image decode not wired up yet")
+        if self._image_open is not None:
+            try:
+                return self._decode_pil(payload)
+            except Exception as e:   # undecodable bytes → quarantined row
+                raise NotImplementedError(f"PIL could not decode: {e}")
         raise NotImplementedError(
             "no codec available for non-synthetic payload (PIL absent)")
 

@@ -72,8 +72,9 @@ DEFAULT_MAX_SPANS_PER_CHUNK = 64
 # Checkpoint layout version. Bump whenever the on-disk shard/manifest layout
 # changes incompatibly: resume and load_extracted REFUSE silently mixing
 # layouts (a v1 checkpoint read by the v2 reader produced duplicate rows —
-# chunk rows misread as whole docs).
-LAYOUT_VERSION = 2
+# chunk rows misread as whole docs). v3: manifests carry shard FILE lists
+# in lineage; load_extracted is manifest-driven (no directory listing).
+LAYOUT_VERSION = 3
 
 
 def _part_of(doc_id: str, num_partitions: int) -> int:
@@ -321,14 +322,16 @@ def make_shard_writer(out_dir: str):
             singles = sub.filter(single_mask).select(EXTRACTED.names) \
                          .cast(EXTRACTED)
             chunked = sub.filter(pc.invert(single_mask))
+            files = []
             for tbl, suffix in ((singles, ""), (chunked, "-chunks")):
                 if tbl.num_rows == 0:
                     continue
                 tmp = os.path.join(part_dir,
                                    f".tmp-{shard_id}{suffix}-{os.getpid()}")
                 pq.write_table(tbl, tmp)
-                os.replace(tmp, os.path.join(
-                    part_dir, f"shard-{shard_id}{suffix}.parquet"))
+                name = f"shard-{shard_id}{suffix}.parquet"
+                os.replace(tmp, os.path.join(part_dir, name))
+                files.append(name)
             n_whole = int(pc.sum(pc.cast(
                 pc.equal(sub.column("chunk"), 0), pa.int64())).as_py() or 0)
             metas.append({
@@ -347,6 +350,9 @@ def make_shard_writer(out_dir: str):
                 "doc_id_min": min(doc_ids),
                 "doc_id_max": max(doc_ids),
                 "content_hash": h.hexdigest(),
+                # file basenames written for this shard — folded into the
+                # manifest lineage so load_extracted never lists directories
+                "files": json.dumps(files),
             })
         return pa.Table.from_pylist(metas)
 
@@ -379,6 +385,8 @@ def commit_manifests(out_dir: str, shard_metas: list[dict],
             "content_hash": h.hexdigest(),
             "lineage": json.dumps({
                 "shards": [m["shard_id"] for m in metas],
+                "files": sorted(f for m in metas
+                                for f in json.loads(m.get("files", "[]"))),
                 "doc_id_min": min((m["doc_id_min"] for m in metas),
                                   default=""),
                 "doc_id_max": max((m["doc_id_max"] for m in metas),
@@ -567,7 +575,14 @@ def load_extracted(out_dir: str) -> ray.data.Dataset:
     """Read the extraction checkpoint back as whole documents (EXTRACTED
     schema). Salted chunk rows (``n_chunks > 1``, rare) are reassembled
     lazily with a doc_id groupby over ONLY that subset (parquet filter
-    pushdown keeps the common path untouched)."""
+    pushdown keeps the common path untouched).
+
+    Manifest-driven: the shard file list comes from the committed
+    per-partition manifests (lineage.files) — the driver touches O(#parts)
+    manifest files, never lists the shard directories, so a 10⁵⁺-shard
+    checkpoint costs the same driver time as a 10-shard one. Orphan shard
+    files from a crashed run are invisible by construction (their partition
+    has no manifest)."""
     from .schema import EXTRACTED_PARQUET
     marker = _layout_marker(out_dir)
     if marker is None or marker[0] != LAYOUT_VERSION:
@@ -577,14 +592,18 @@ def load_extracted(out_dir: str) -> ray.data.Dataset:
             f"{LAYOUT_VERSION} — re-run the extraction (a mixed-layout "
             f"read would produce duplicate rows)")
     single_paths, chunk_paths = [], []
-    for d in sorted(os.listdir(out_dir)):
-        if not d.startswith("part="):
+    man_dir = os.path.join(out_dir, "_manifests")
+    manifest_names = (sorted(os.listdir(man_dir))
+                      if os.path.isdir(man_dir) else [])
+    for name in manifest_names:
+        if not (name.startswith("part-") and name.endswith(".json")):
             continue
-        for f in sorted(os.listdir(os.path.join(out_dir, d))):
-            if not f.endswith(".parquet"):
-                continue
-            (chunk_paths if f.endswith("-chunks.parquet")
-             else single_paths).append(os.path.join(out_dir, d, f))
+        with open(os.path.join(man_dir, name), encoding="utf-8") as f:
+            manifest = json.load(f)
+        part_dir = os.path.join(out_dir, f"part={manifest['part']:05d}")
+        for fn in json.loads(manifest["lineage"]).get("files", []):
+            (chunk_paths if fn.endswith("-chunks.parquet")
+             else single_paths).append(os.path.join(part_dir, fn))
 
     def reassemble_group(g: pa.Table) -> pa.Table:
         return pa.Table.from_pylist([_reassemble_doc(g.to_pylist())],
@@ -683,33 +702,95 @@ def dedup_relations(relations: ray.data.Dataset) -> ray.data.Dataset:
     return pre.groupby(_REL_KEY).map_groups(first_row, batch_format="pandas")
 
 
-def build_nodes(entities: ray.data.Dataset) -> ray.data.Dataset:
-    """J1/A3: entity fusion → nodes Dataset (grouped by subject name; the
-    URL-containment matching stays group-local, fusion.py)."""
-    from .fusion import fuse_entity_group
+def _nodes_table(nodes: list[dict]) -> pa.Table:
+    return pa.table({
+        "name": pa.array([n["name"] for n in nodes], pa.string()),
+        "url": pa.array([n["url"] for n in nodes], pa.string()),
+        "props": pa.array([list(n["props"].items()) for n in nodes],
+                          pa.map_(pa.string(), pa.string())),
+        "n_sources": pa.array([n["n_sources"] for n in nodes], pa.int64())})
 
-    def fuse_group(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        for r in rows:
-            r["props"] = dict(r["props"])
-        nodes = fuse_entity_group(rows)
-        for n in nodes:
-            n["props"] = list(n["props"].items())
-        if not nodes:
-            return pa.table({
-                "name": pa.array([], pa.string()),
-                "url": pa.array([], pa.string()),
-                "props": pa.array([], pa.map_(pa.string(), pa.string())),
-                "n_sources": pa.array([], pa.int64())})
+
+def build_nodes(entities: ray.data.Dataset, *,
+                salt_buckets: int = 16) -> ray.data.Dataset:
+    """J1/A3: entity fusion → nodes Dataset, hot-name-safe.
+
+    Three-stage salted dataflow (SCALING.md hot-key design), EXACTLY
+    equivalent to ``fusion.fuse_entity_group`` per subject (equivalence
+    derived + property-tested in fusion.py / tests/test_fusion.py):
+
+      1. per-batch ``class_partials``: entities collapse to per-(subject,
+         url-class) summaries — a hot subject shrinks to (#batches ×
+         #distinct urls) rows before anything shuffles;
+      2. ``groupby(subject, salt)`` with ``salt = hash(url) % B`` merges
+         partials per class (all rows of one url share a salt, so each
+         class completes in one group; a hot NAME spreads over B groups);
+      3. ``groupby(subject)`` folds the per-class summaries — group size is
+         the subject's DISTINCT-url count, not its row count, which is the
+         node count the output carries anyway (irreducible).
+    """
+    import zlib
+
+    from .fusion import (class_partials, fuse_class_summaries,
+                         merge_class_partials)
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        parts = class_partials(rows)
         return pa.table({
-            "name": pa.array([n["name"] for n in nodes], pa.string()),
-            "url": pa.array([n["url"] for n in nodes], pa.string()),
-            "props": pa.array([n["props"] for n in nodes],
-                              pa.map_(pa.string(), pa.string())),
-            "n_sources": pa.array([n["n_sources"] for n in nodes],
-                                  pa.int64())})
+            "subject": pa.array([c["subject"] for c in parts], pa.string()),
+            "__salt": pa.array(
+                [zlib.crc32(c["url"].encode("utf-8")) % salt_buckets
+                 for c in parts], pa.int32()),
+            "url": pa.array([c["url"] for c in parts], pa.string()),
+            "first_doc": pa.array([c["first_doc"] for c in parts],
+                                  pa.string()),
+            "first_seq": pa.array([c["first_seq"] for c in parts],
+                                  pa.int32()),
+            "n": pa.array([c["n"] for c in parts], pa.int64()),
+            "props_json": pa.array(
+                [json.dumps({k: list(v) for k, v in c["props"].items()})
+                 for c in parts], pa.string()),
+        })
 
-    return entities.groupby("subject").map_groups(fuse_group,
+    def _parse(row: dict) -> dict:
+        return {"subject": row["subject"], "url": row["url"],
+                "first_doc": row["first_doc"],
+                "first_seq": row["first_seq"], "n": row["n"],
+                "props": {k: tuple(v) for k, v in
+                          json.loads(row["props_json"]).items()}}
+
+    def stage2(group: pa.Table) -> pa.Table:
+        by_url: dict[str, dict] = {}
+        salt = group.column("__salt")[0].as_py()
+        for row in group.to_pylist():
+            c = _parse(row)
+            by_url[c["url"]] = (merge_class_partials(by_url[c["url"]], c)
+                                if c["url"] in by_url else c)
+        parts = list(by_url.values())
+        return pa.table({
+            "subject": pa.array([c["subject"] for c in parts], pa.string()),
+            "__salt": pa.array([salt] * len(parts), pa.int32()),
+            "url": pa.array([c["url"] for c in parts], pa.string()),
+            "first_doc": pa.array([c["first_doc"] for c in parts],
+                                  pa.string()),
+            "first_seq": pa.array([c["first_seq"] for c in parts],
+                                  pa.int32()),
+            "n": pa.array([c["n"] for c in parts], pa.int64()),
+            "props_json": pa.array(
+                [json.dumps({k: list(v) for k, v in c["props"].items()})
+                 for c in parts], pa.string()),
+        })
+
+    def stage3(group: pa.Table) -> pa.Table:
+        classes = [_parse(r) for r in group.to_pylist()]
+        nodes = fuse_class_summaries(classes[0]["subject"], classes)
+        return _nodes_table(nodes)
+
+    partials = entities.map_batches(stage1, batch_format="pyarrow")
+    combined = partials.groupby(["subject", "__salt"]).map_groups(
+        stage2, batch_format="pyarrow")
+    return combined.groupby("subject").map_groups(stage3,
                                                   batch_format="pyarrow")
 
 

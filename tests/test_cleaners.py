@@ -50,3 +50,17 @@ def test_append_entity_triple_guards():
     acc = []
     append_entity_triple(acc, "a", "b", "名字（注释）", is_name=True)
     assert acc == [["a", "b", "名字"]]
+
+
+def test_angle_brackets_not_stripped_in_person_paths():
+    """The reference's _notNullAppend/__clearPersonNameList bracket regex
+    contains an empty '||' alternation that makes the \\<.*?\\> branch
+    unreachable — those paths NEVER strip <...> (while _clearNameOrRel
+    does). Reproduced faithfully (ADVICE r1)."""
+    from wtes_ray.cleaners import (append_entity_triple, clean_person_name,
+                                   clear_name_or_rel)
+    assert clean_person_name("张三<注>") == "张三<注>"
+    assert clear_name_or_rel("张三<注>") == "张三"   # the no-|| variant strips
+    acc = []
+    append_entity_triple(acc, "张<三>", "字", "某值")
+    assert acc == [["张<三>", "字", "某值"]]

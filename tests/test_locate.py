@@ -131,3 +131,16 @@ def test_change_tag_to_table_spans_hrefs():
     t.extend_table()
     assert [[c.content for c in r] for r in t.rows] == [
         ["序号", "姓名"], ["1", "孔丘"], ["2", "孔丘"]]
+
+
+def test_caption_two_child_title_keeps_markup():
+    """Reference getCaption assigns the RAW second child of a two-child
+    title node and str()s it — a Tag yields MARKUP, not inner text
+    (tableExtractor.py:470-471,500; ADVICE r1)."""
+    from wtes_ray.dom import parse_html
+    from wtes_ray.locate import get_caption
+    root = parse_html(
+        '<div><div><div class="big-title">前缀<span class="x">标题文字'
+        "</span></div></div><table><tr><td>a</td></tr></table></div>")
+    table = root.find("table")
+    assert get_caption(table) == '<span class="x">标题文字</span>'

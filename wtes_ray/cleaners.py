@@ -20,6 +20,13 @@ import re
 # Bracket styles stripped from names/relations (table.py:29). The reference
 # pattern for ASCII parens is non-greedy single-char "\(.?\)"; kept verbatim.
 _BRACKETS = re.compile(r"\(.?\)|（.*?）|\{.*?}|\[.*?]|【.*?】|<.*?>")
+# _notNullAppend (table.py:73) and __clearPersonNameList (table.py:457) use
+# a variant with a stray "||" — an EMPTY alternation branch before the
+# angle-bracket one. Ordered alternation tries the empty branch at every
+# position before \<.*?\> is ever reached, so those two paths NEVER strip
+# <...> (while _clearNameOrRel, whose pattern lacks the "||", does).
+# Faithfully reproduced: no angle-bracket branch here.
+_BRACKETS_NO_ANGLE = re.compile(r"\(.?\)|（.*?）|\{.*?}|\[.*?]|【.*?】")
 # Punctuation stripped from names/relations (table.py:30).
 _PUNCT = re.compile(r"[\s+.!/_,$%^*(+\"']+|[+——！，。？?、~@#￥%……&*（）]+")
 # Citation refs like ``[12]`` stripped from cell text (table.py:1214).
@@ -41,9 +48,10 @@ def clean_cell_text(s: str) -> str:
 
 
 def clean_person_name(s: str) -> str:
-    """Person-name cleanup: brackets, ``/``-split, punctuation
-    (table.py:449-461 ``__clearPersonNameList``)."""
-    s = _BRACKETS.sub("", s)
+    """Person-name cleanup: brackets (sans ``<...>`` — see
+    ``_BRACKETS_NO_ANGLE``), ``/``-split, punctuation (table.py:449-461
+    ``__clearPersonNameList``)."""
+    s = _BRACKETS_NO_ANGLE.sub("", s)
     s = s.split("/")[0]
     return _PUNCT.sub("", s)
 
@@ -75,7 +83,7 @@ def append_entity_triple(acc: list, a: str, b: str, c: str,
         return
     if len(a) > 7 or len(b) > 7:
         return
-    parts = [_BRACKETS.sub("", x) for x in (a, b, c)]
+    parts = [_BRACKETS_NO_ANGLE.sub("", x) for x in (a, b, c)]
     parts[0] = _PUNCT.sub("", parts[0])
     parts[1] = _PUNCT.sub("", parts[1])
     if is_name:

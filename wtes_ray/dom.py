@@ -122,6 +122,19 @@ class Element:
                     stack.extend(cs[::-1])
         return "".join(parts)
 
+    def markup(self) -> str:
+        """Outer-HTML rendering (bs4 ``str(tag)`` shape: source-order
+        attributes, double quotes, void elements self-closed). Used where
+        the reference str()s a raw Tag — e.g. a two-child title node's
+        second child becomes the table CAPTION as markup, not inner text
+        (tableExtractor.py:470-471,489-490 assign the node; :500 str()s)."""
+        attrs = "".join(f' {k}="{v}"' for k, v in self.attrs.items())
+        if self.name in VOID_ELEMENTS and not self.children:
+            return f"<{self.name}{attrs}/>"
+        inner = "".join(c.data if c.__class__ is TextNode else c.markup()
+                        for c in self.children)
+        return f"<{self.name}{attrs}>{inner}</{self.name}>"
+
     def append(self, node: Node) -> None:
         node.parent = self
         self.children.append(node)

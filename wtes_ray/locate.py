@@ -252,6 +252,16 @@ def _node_text(node) -> str:
     return str(node)
 
 
+def _node_markup(node) -> str:
+    """bs4 ``str(node)`` semantics: NavigableString → its text, Tag → its
+    outer-HTML markup."""
+    if isinstance(node, TextNode):
+        return node.data
+    if isinstance(node, Element):
+        return node.markup()
+    return str(node)
+
+
 def get_caption(tag: Element) -> str:
     """M6 (tableExtractor.py:453-500): caption = ``<caption>`` (extracted and
     removed from the table) else walk up to 2 previous siblings looking for a
@@ -270,7 +280,10 @@ def get_caption(tag: Element) -> str:
         if isinstance(prev, Element) else None
     if title:
         if len(title.contents) == 2:
-            caption = _node_text(title.contents[1])
+            # the reference assigns the RAW node and str()s it at the end
+            # (tableExtractor.py:470-471, :500) — a Tag child yields its
+            # MARKUP string, not its inner text
+            caption = _node_markup(title.contents[1])
         elif len(title.contents) == 1:
             # single-child title returns immediately (tableExtractor.py:476)
             return str(_node_text(title.contents[0]))
@@ -288,7 +301,7 @@ def get_caption(tag: Element) -> str:
         title = prev2.find(attrs={"class": _TITLE_CLASS})
         if title:
             if len(title.contents) == 2:
-                caption = _node_text(title.contents[1])
+                caption = _node_markup(title.contents[1])   # see above
             elif len(title.contents) == 1:
                 caption = _node_text(title.contents[0])
     return str(caption)

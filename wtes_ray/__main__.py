@@ -4,6 +4,8 @@
     python -m wtes_ray gen --n-docs 1000 --out /tmp/docs.parquet
     python -m wtes_ray extract --input /tmp/docs.parquet --out /tmp/ext [--resume]
     python -m wtes_ray graph --input /tmp/docs.parquet --out /tmp/kg [--resume]
+    python -m wtes_ray docx2parquet --input a.docx b.docx --out /tmp/docs.parquet
+    python -m wtes_ray report --graph-dir /tmp/kg [--out report.json]
 
 Owns its Ray session (CLI scripts and bench.py are the only Ray owners —
 driver contract)."""
@@ -37,6 +39,18 @@ def main(argv=None) -> int:
     k.add_argument("--num-partitions", type=int, default=64)
     k.add_argument("--resume", action="store_true")
 
+    d = sub.add_parser("docx2parquet",
+                       help="adapt .docx table docs into the (doc_id, "
+                            "spans) input table (S12)")
+    d.add_argument("--input", nargs="+", required=True)
+    d.add_argument("--out", required=True)
+
+    r = sub.add_parser("report", help="knowledge-graph summary report "
+                                      "(S13 re-expressed)")
+    r.add_argument("--graph-dir", required=True)
+    r.add_argument("--out", default=None)
+    r.add_argument("--top-k", type=int, default=20)
+
     args = p.parse_args(argv)
 
     import ray
@@ -69,6 +83,29 @@ def main(argv=None) -> int:
                 args.input, args.out, num_partitions=args.num_partitions,
                 resume=args.resume)
             print(json.dumps(summary))
+        elif args.cmd == "docx2parquet":
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from .docx_io import docx_to_spans_row
+            from .schema import SPAN_STRUCT
+
+            rows = [docx_to_spans_row(f) for f in args.input]
+            table = pa.table({
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+                "spans": pa.array([r["spans"] for r in rows],
+                                  pa.list_(SPAN_STRUCT))})
+            pq.write_table(table, args.out)
+            print(json.dumps({"ok": True, "n_docs": len(rows),
+                              "out": args.out}))
+        elif args.cmd == "report":
+            from .report import graph_report
+
+            rep = graph_report(args.graph_dir, top_k=args.top_k)
+            if args.out:
+                with open(args.out, "w", encoding="utf-8") as f:
+                    json.dump(rep, f, ensure_ascii=False)
+            print(json.dumps(rep, ensure_ascii=False))
     finally:
         ray.shutdown()
     return 0

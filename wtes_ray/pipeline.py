@@ -819,10 +819,16 @@ def build_knowledge_graph(input_path: str, out_dir: str, *,
     nodes = build_nodes(entities_dataset(ext))
     nodes.write_parquet(os.path.join(out_dir, "nodes"))
     import pyarrow.dataset as pads
-    summary["n_edges"] = pads.dataset(
-        os.path.join(out_dir, "edges")).count_rows()
-    summary["n_nodes"] = pads.dataset(
-        os.path.join(out_dir, "nodes")).count_rows()
+
+    def _count(path: str) -> int:
+        # an all-empty dataset writes no files at all (Ray skips empty
+        # blocks) — count that as 0, not FileNotFoundError
+        if not os.path.isdir(path):
+            return 0
+        return pads.dataset(path).count_rows()
+
+    summary["n_edges"] = _count(os.path.join(out_dir, "edges"))
+    summary["n_nodes"] = _count(os.path.join(out_dir, "nodes"))
     return summary
 
 

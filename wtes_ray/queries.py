@@ -153,7 +153,14 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     joined = bucketed_hash_join(
         li_p, orders_f, "l_orderkey", num_buckets=32,
         left_prepare=lambda l: l.groupby("l_orderkey", as_index=False)
-                                ["revenue"].sum())
+                                ["revenue"].sum(),
+        # static side schemas: skip the schema-inference probe, which would
+        # execute the upstream read+map once more just to sample types
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("revenue", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderpriority", pa.string())]))
 
     # rank by the ROUNDED value — the SQL ORDER BY resolves to the rounded
     # alias, so boundary ties must break identically on both sides
@@ -368,7 +375,11 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     joined = bucketed_hash_join(
         li_p, orders_n, "l_orderkey", num_buckets=32,
         left_prepare=lambda l: l.groupby("l_orderkey", as_index=False)
-                                ["revenue"].sum())
+                                ["revenue"].sum(),
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("revenue", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("n_name", pa.string())]))
     per_nation = joined.map_batches(
         lambda df: df.groupby("n_name", as_index=False)["revenue"].sum(),
         batch_format="pandas")
@@ -497,7 +508,10 @@ def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
 
     anti = bucketed_hash_join(
         orders, li_keys, "o_orderkey", how="anti", num_buckets=32,
-        right_prepare=lambda r: r.drop_duplicates("o_orderkey"))
+        right_prepare=lambda r: r.drop_duplicates("o_orderkey"),
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]))
     partials = anti.map_batches(
         lambda df: df.groupby("o_orderpriority", as_index=False).agg(
             n=("o_orderkey", "size")), batch_format="pandas")
@@ -794,7 +808,11 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     joined = bucketed_hash_join(
         li_p, orders_k, "l_orderkey", num_buckets=32,
         left_prepare=lambda l: l.groupby("l_orderkey", as_index=False)
-                                ["revenue"].sum())
+                                ["revenue"].sum(),
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("revenue", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("c_custkey", pa.int64())]))
     per_cust = joined.map_batches(
         lambda df: df.groupby("c_custkey", as_index=False)["revenue"].sum(),
         batch_format="pandas")

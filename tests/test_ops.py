@@ -261,3 +261,31 @@ def test_decode_pil_branch_wiring(monkeypatch):
     stub._image_open = boom
     with pytest.raises(NotImplementedError, match="could not decode"):
         stub.decode_meta(b"not an image")
+
+
+def test_ivf_topk_exact_when_probing_all(emb_ds):
+    """nprobe == n_centroids scans everything → identical to brute force."""
+    ds, vecs = emb_ds
+    exact = S.topk_cosine(ds, vecs[3], k=5).to_pandas()
+    ivf = S.ivf_topk_cosine(ds, vecs[3], k=5, n_centroids=8,
+                            nprobe=8).to_pandas()
+    assert list(ivf["vec_id"]) == list(exact["vec_id"])
+    assert np.allclose(ivf["cosine"], exact["cosine"], atol=1e-12)
+
+
+def test_ivf_probe_finds_self_and_neardup(emb_ds):
+    ds, vecs = emb_ds
+    out = S.ivf_topk_cosine(ds, vecs[3], k=5, n_centroids=8,
+                            nprobe=2).to_pandas()
+    got = set(out["vec_id"])
+    assert 3 in got and 7 in got    # query's own list holds it + near-dup
+
+
+def test_ivf_assignment_covers_all_rows(emb_ds):
+    ds, _ = emb_ds
+    cent = S.train_ivf_centroids(ds, n_centroids=8)
+    assert cent.shape == (8, 16)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+    tagged = S.assign_ivf(ds, cent).to_pandas()
+    assert len(tagged) == 50
+    assert tagged["centroid_id"].between(0, 7).all()

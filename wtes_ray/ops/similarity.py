@@ -5,9 +5,17 @@
 matmul and keeps only its LOCAL top-k (partial top-k = the pre-aggregation
 that keeps the global sort tiny), then a small global sort finishes.
 
-``lsh_topk_cosine`` is the scale path: random-hyperplane bucket signatures
+``lsh_topk_cosine`` is a scale path: random-hyperplane bucket signatures
 restrict the scan to buckets within Hamming ≤ ``probe`` of the query's
 signature (multi-probe LSH) — recall < 1.0 by design, documented per call.
+
+The IVF family is the second scale path (coarse quantizer → probe lists):
+``train_ivf_centroids`` (seeded spherical k-means on a driver-side sample —
+the SAMPLE is small, the corpus never leaves the cluster), ``assign_ivf``
+(per-batch argmax matmul adds a ``centroid_id`` column — write the corpus
+partitioned by it so a query prunes whole partitions at the READ), and
+``ivf_topk_cosine`` (scan only the query's ``nprobe`` nearest centroid
+lists; recall < 1.0 by design).
 """
 
 from __future__ import annotations
@@ -50,6 +58,92 @@ def topk_cosine(ds: ray.data.Dataset, query: np.ndarray, k: int = 10, *,
         # local partial top-k with the SAME (cosine desc, id asc) tie-break
         # as the global sort — nlargest alone would drop boundary ties
         # nondeterministically by block order
+        return out.sort_values(["cosine", id_col],
+                               ascending=[False, True]).head(k)
+
+    return ds.map_batches(score, batch_format="pandas") \
+             .sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def train_ivf_centroids(ds: ray.data.Dataset, *, n_centroids: int = 16,
+                        vec_col: str = "embedding",
+                        train_size: int = 4096, iters: int = 8,
+                        seed: int = 13) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a bounded sample
+    (``ds.limit(train_size)`` — the only data that reaches the driver;
+    deterministic seeded init). Returns unit-norm centroids
+    (n_centroids × dim)."""
+    sample = _as_matrix(ds.limit(train_size).to_pandas()[vec_col])
+    if len(sample) == 0:
+        raise ValueError("cannot train IVF centroids on an empty dataset")
+    x = _unit_rows(sample)
+    rng = np.random.RandomState(seed)
+    n_c = min(n_centroids, len(x))
+    cent = x[rng.choice(len(x), size=n_c, replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(n_c):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit_rows(cent)
+    return cent
+
+
+def assign_ivf(ds: ray.data.Dataset, centroids: np.ndarray, *,
+               vec_col: str = "embedding") -> ray.data.Dataset:
+    """Add a ``centroid_id`` column (nearest-centroid by cosine, per-batch
+    matmul). At scale, write the result partitioned by ``centroid_id`` so
+    :func:`ivf_topk_cosine` prunes whole partitions at the read."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            batch["centroid_id"] = pd.Series([], dtype="int64")
+            return batch
+        unit = _unit_rows(_as_matrix(batch[vec_col]))
+        batch["centroid_id"] = (unit @ cent.T).argmax(axis=1).astype("int64")
+        return batch
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+def ivf_topk_cosine(ds: ray.data.Dataset, query: np.ndarray, k: int = 10, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    centroids: np.ndarray | None = None,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    seed: int = 13) -> ray.data.Dataset:
+    """Approximate top-k via IVF probe lists: score only rows assigned to
+    the query's ``nprobe`` nearest centroids (recall < 1.0 by design —
+    raise ``nprobe`` toward ``n_centroids`` for exactness). Same output
+    schema as :func:`topk_cosine`."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, n_centroids=n_centroids,
+                                        vec_col=vec_col, seed=seed)
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+    nprobe = min(nprobe, len(cent))
+    probes = set(np.argsort(-(cent @ q))[:nprobe].tolist())
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_scores(batch, id_col)
+        unit = _unit_rows(_as_matrix(batch[vec_col]))
+        assign = (unit @ cent.T).argmax(axis=1)
+        keep = np.isin(assign, list(probes))
+        if not keep.any():
+            return _empty_scores(batch, id_col)
+        cos = unit[keep] @ q
+        out = pd.DataFrame({id_col: batch[id_col].values[keep],
+                            "cosine": cos})
         return out.sort_values(["cosine", id_col],
                                ascending=[False, True]).head(k)
 

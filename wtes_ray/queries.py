@@ -1031,6 +1031,18 @@ def topk_cosine_lsh(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def topk_cosine_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-probe approximate variant (rows-only check: recall < 1 by
+    design; see ops/similarity.py IVF family)."""
+    from .ops.similarity import ivf_topk_cosine
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    df = ivf_topk_cosine(ds, _query_vec(sf_dir), k=10,
+                         n_centroids=16, nprobe=4).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
 def embedding_label_count(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label"])
     df = ds.groupby("label").aggregate(Count(alias_name="n")).to_pandas()
@@ -1214,6 +1226,7 @@ REGISTRY: dict = {
     "embedding_neardup": (embedding_neardup, None),
     "topk_cosine_bruteforce": (topk_cosine_bruteforce, TOPK_COSINE_SQL),
     "topk_cosine_lsh": (topk_cosine_lsh, None),
+    "topk_cosine_ivf": (topk_cosine_ivf, None),
     "embedding_label_count": (embedding_label_count, EMB_LABEL_SQL),
     "extract_spans_synthetic": (extract_spans_synthetic, None),
     "extract_relations_dedup": (extract_relations_dedup, None),

@@ -330,3 +330,25 @@ def test_nodes_fusion_hot_subject_across_blocks(ray_session):
                for n in got}
     assert got_key == exp_key
     assert len(got) == len(expect)
+
+
+def test_load_extracted_is_manifest_driven(ray_session, extracted):
+    """Layout v3: the reader builds its file list from manifest lineage —
+    an orphan parquet dropped into a part dir (e.g. from a crashed writer
+    that never committed) is INVISIBLE, not double-counted."""
+    import pyarrow.parquet as pq
+
+    out, _ = extracted
+    n_before = P.load_extracted(out).count()
+    part_dir = next(os.path.join(out, d) for d in sorted(os.listdir(out))
+                    if d.startswith("part="))
+    legit = next(f for f in os.listdir(part_dir) if f.endswith(".parquet")
+                 and not f.endswith("-chunks.parquet"))
+    orphan = os.path.join(part_dir, "shard-deadbeefdeadbeef.parquet")
+    shutil.copyfile(os.path.join(part_dir, legit), orphan)
+    try:
+        assert P.load_extracted(out).count() == n_before
+        # sanity: the orphan rows WOULD have inflated a directory listing
+        assert pq.ParquetFile(orphan).metadata.num_rows > 0
+    finally:
+        os.remove(orphan)

@@ -132,3 +132,55 @@ def test_graph_report_over_knowledge_graph(ray_session, tmp_path):
     assert 0 < len(rep["top_degree"]) <= 5
     degrees = [d for _, d in rep["top_degree"]]
     assert degrees == sorted(degrees, reverse=True)
+
+
+def test_docx_append_preserves_foreign_parts(tmp_path):
+    """Appending must not destroy other package parts (styles, images,
+    document rels) of an externally-produced .docx."""
+    path = str(tmp_path / "ext.docx")
+    write_table_docx(_sample_table(), path)
+    # simulate a Word-produced package with extra parts
+    with zipfile.ZipFile(path) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["word/styles.xml"] = b"<styles/>"
+    parts["word/media/image1.png"] = b"\x89PNGfake"
+    parts["word/_rels/document.xml.rels"] = b"<Relationships/>"
+    with zipfile.ZipFile(path, "w") as z:
+        for n, b in parts.items():
+            z.writestr(n, b)
+    write_table_docx(Table([[Cell("x")]], name="追加"), path)
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {"word/styles.xml", "word/media/image1.png",
+                "word/_rels/document.xml.rels"} <= names
+        assert z.read("word/media/image1.png") == b"\x89PNGfake"
+    assert len(read_docx_tables(path)) == 2
+
+
+def test_docx_nested_table_text_stays_out_of_parent_cell(tmp_path):
+    """python-docx _Cell.text lists only DIRECT paragraphs — a nested
+    table's text must not leak into the parent cell."""
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{W}"><w:body><w:tbl>'
+        "<w:tr><w:tc><w:p><w:r><w:t>标题</w:t></w:r></w:p></w:tc></w:tr>"
+        "<w:tr><w:tc><w:p><w:r><w:t>outer</w:t></w:r></w:p>"
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>inner</w:t></w:r></w:p>"
+        "</w:tc></w:tr></w:tbl></w:tc></w:tr>"
+        "</w:tbl></w:body></w:document>")
+    path = str(tmp_path / "nested.docx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("word/document.xml", doc)
+    tables = read_docx_tables(path)
+    assert len(tables) == 1
+    assert [[c.content for c in r] for r in tables[0].rows] == [["outer"]]
+
+
+def test_markup_reescapes_entities():
+    """bs4 str(tag) re-escapes what the parser unescaped."""
+    from wtes_ray.dom import parse_html
+    el = parse_html('<div><span class="x" title="a&quot;b">A &amp; B '
+                    "&lt;b&gt;</span></div>").find("span")
+    assert el.markup() == ('<span class="x" title="a&quot;b">'
+                           "A &amp; B &lt;b&gt;</span>")

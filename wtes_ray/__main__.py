@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -90,6 +91,15 @@ def main(argv=None) -> int:
             from .docx_io import docx_to_spans_row
             from .schema import SPAN_STRUCT
 
+            seen: dict[str, str] = {}
+            for f in args.input:
+                base = os.path.basename(f)
+                if base in seen:
+                    raise SystemExit(
+                        f"duplicate doc_id {base!r} from inputs "
+                        f"{seen[base]!r} and {f!r} — doc ids derive from "
+                        f"file basenames; rename or pass distinct names")
+                seen[base] = f
             rows = [docx_to_spans_row(f) for f in args.input]
             table = pa.table({
                 "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),

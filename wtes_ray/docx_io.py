@@ -45,10 +45,12 @@ def _t(name: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _cell_text(tc: ET.Element) -> str:
-    """python-docx ``_Cell.text``: paragraphs joined by newline, runs
-    concatenated."""
+    """python-docx ``_Cell.text``: the cell's DIRECT paragraphs joined by
+    newline, runs concatenated — a nested table inside the cell does NOT
+    leak its text into the parent cell (matches python-docx, whose
+    ``_Cell.paragraphs`` lists only child ``w:p`` elements)."""
     paras = []
-    for p in tc.iter(_t("p")):
+    for p in tc.findall(_t("p")):
         paras.append("".join(t.text or "" for t in p.iter(_t("t"))))
     return "\n".join(paras)
 
@@ -195,21 +197,30 @@ def _table_xml(table: Table) -> str:
 def write_table_docx(table: Table, filepath: str) -> None:
     """S11 (table.py:609-647 ``writeTable2Doc``): append the table (plus a
     trailing paragraph, as the reference does) to ``filepath``, creating a
-    minimal valid .docx when absent."""
+    minimal valid .docx when absent. Appending PRESERVES every other part
+    of an existing package (styles, images, relationship parts) — only
+    ``word/document.xml`` is rewritten, like python-docx's
+    ``Document(filepath)`` round-trip."""
+    existing: dict[str, bytes] = {}
     if os.path.exists(filepath):
         with zipfile.ZipFile(filepath) as z:
-            doc = z.read("word/document.xml").decode("utf-8")
+            for name in z.namelist():
+                existing[name] = z.read(name)
+        doc = existing["word/document.xml"].decode("utf-8")
     else:
         doc = _DOC_SHELL
     tbl = _table_xml(table)
     m = re.search(r"<w:sectPr[ >]", doc)
     insert_at = m.start() if m else doc.rindex("</w:body>")
     doc = doc[:insert_at] + tbl + doc[insert_at:]
+    parts = dict(existing) if existing else {
+        "[Content_Types].xml": _CONTENT_TYPES.encode("utf-8"),
+        "_rels/.rels": _RELS.encode("utf-8")}
+    parts["word/document.xml"] = doc.encode("utf-8")
     tmp = f"{filepath}.tmp-{os.getpid()}"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
-        z.writestr("_rels/.rels", _RELS)
-        z.writestr("word/document.xml", doc)
+        for name, blob in parts.items():
+            z.writestr(name, blob)
     os.replace(tmp, filepath)
 
 

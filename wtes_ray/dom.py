@@ -124,15 +124,27 @@ class Element:
 
     def markup(self) -> str:
         """Outer-HTML rendering (bs4 ``str(tag)`` shape: source-order
-        attributes, double quotes, void elements self-closed). Used where
-        the reference str()s a raw Tag — e.g. a two-child title node's
-        second child becomes the table CAPTION as markup, not inner text
-        (tableExtractor.py:470-471,489-490 assign the node; :500 str()s)."""
-        attrs = "".join(f' {k}="{v}"' for k, v in self.attrs.items())
+        attributes, double quotes, void elements self-closed; text and
+        attribute values RE-ESCAPED — the parser unescaped entities at
+        parse time, and bs4's formatter re-emits ``&amp;``/``&lt;``/
+        ``&gt;`` in text and ``&amp;``/``&quot;`` in attributes). Used
+        where the reference str()s a raw Tag — e.g. a two-child title
+        node's second child becomes the table CAPTION as markup, not
+        inner text (tableExtractor.py:470-471,489-490 assign the node;
+        :500 str()s)."""
+        def esc_attr(v: str) -> str:
+            return v.replace("&", "&amp;").replace('"', "&quot;")
+
+        def esc_text(t: str) -> str:
+            return (t.replace("&", "&amp;").replace("<", "&lt;")
+                     .replace(">", "&gt;"))
+
+        attrs = "".join(f' {k}="{esc_attr(v)}"'
+                        for k, v in self.attrs.items())
         if self.name in VOID_ELEMENTS and not self.children:
             return f"<{self.name}{attrs}/>"
-        inner = "".join(c.data if c.__class__ is TextNode else c.markup()
-                        for c in self.children)
+        inner = "".join(esc_text(c.data) if c.__class__ is TextNode
+                        else c.markup() for c in self.children)
         return f"<{self.name}{attrs}>{inner}</{self.name}>"
 
     def append(self, node: Node) -> None:

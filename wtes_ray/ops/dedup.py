@@ -515,6 +515,9 @@ def neardup_clusters(pairs: ray.data.Dataset, *,
     propagation (:func:`neardup_clusters_ds`) and only the final
     candidate-sized labelling is collected (callers wanting a Dataset out
     should call ``neardup_clusters_ds`` directly)."""
+    # candidate-pair sized (LSH-output contract): materialize so the count
+    # probe and the chosen path don't each re-execute the upstream plan
+    pairs = pairs.materialize()
     if pairs.count() > driver_max_pairs:
         df = neardup_clusters_ds(pairs).to_pandas()
         return df.astype({"doc_id": "int64", "cluster_id": "int64"}) \

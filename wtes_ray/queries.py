@@ -431,9 +431,14 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
     The field pull is a real JSON parse per row (``json.loads`` — JSON
     decode is inherently per-value; the parse batches inside map_batches),
     so arbitrary key sets/nesting around ``k`` are handled, not just the
-    seeded ``{"k": N}`` shape. SQL NULL semantics exactly: rows whose props
-    lack an integer ``k`` still count in ``n`` (COUNT(*)) but are skipped
-    by ``sum_k`` (SUM ignores NULL; pandas sum ignores NaN)."""
+    seeded ``{"k": N}`` shape. SQL semantics: rows whose props lack an
+    integer ``k`` still count in ``n`` (COUNT(*)) but are skipped by
+    ``sum_k`` (SUM ignores NULL; pandas sum ignores NaN). JSON ``true``/
+    ``false`` are NOT integers (DuckDB's CAST('true' AS BIGINT) errors —
+    excluded here, so a boolean-k corpus diverges only where the oracle
+    itself would fail). Recorded deviation: a group with NO integer k
+    yields sum_k = 0 where SQL SUM gives NULL (unreachable on the seeded
+    corpus; int64 output column keeps the driver compare well-typed)."""
     import json as _json
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "props"])
@@ -443,7 +448,9 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
             v = _json.loads(s)["k"]
         except (TypeError, ValueError, KeyError):
             return np.nan
-        return float(v) if isinstance(v, (int, np.integer)) else np.nan
+        if isinstance(v, bool) or not isinstance(v, (int, np.integer)):
+            return np.nan
+        return float(v)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         k = df["props"].map(_k_of)

@@ -352,3 +352,15 @@ def test_load_extracted_is_manifest_driven(ray_session, extracted):
         assert pq.ParquetFile(orphan).metadata.num_rows > 0
     finally:
         os.remove(orphan)
+
+
+def test_read_documents_lance_gate(ray_session):
+    """.lance paths route to the Lance reader; absent pylance → a clear
+    ImportError, not a deep stack failure (import-gated source)."""
+    try:
+        import lance  # noqa: F401
+        pytest.skip("pylance present — gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="pylance"):
+        P.read_documents("/tmp/whatever.lance")

@@ -82,8 +82,22 @@ def _part_of(doc_id: str, num_partitions: int) -> int:
 
 
 def read_documents(path: str, **kwargs) -> ray.data.Dataset:
-    """Source: the interleaved documents table (S2). Parquet here; swap to
-    ``ray.data.read_lance`` where Lance exists (SURVEY.md §7.0)."""
+    """Source: the interleaved documents table (S2), column-pruned to
+    (doc_id, spans). A ``.lance`` path streams through
+    ``ray.data.read_lance`` (the production north-star format — fragment-
+    parallel scans with column projection pushdown); anything else reads
+    as Parquet. The Lance branch is import-gated: this container has no
+    ``pylance``, so it raises a clear error rather than a deep one."""
+    if str(path).rstrip("/").endswith(".lance"):
+        try:
+            import lance  # noqa: F401 — presence check only
+        except ImportError as e:
+            raise ImportError(
+                "reading a .lance table requires the `pylance` package "
+                "(absent in this environment); convert to parquet or "
+                "install pylance") from e
+        return ray.data.read_lance(path, columns=["doc_id", "spans"],
+                                   **kwargs)
     return ray.data.read_parquet(path, columns=["doc_id", "spans"], **kwargs)
 
 

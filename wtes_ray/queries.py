@@ -582,6 +582,48 @@ ORDER BY event_id
 """
 
 
+def clicks_before_purchase_1h(sf_dir: str) -> pd.DataFrame:
+    """Range join (non-equi interval predicate — an operator Ray Data
+    lacks): for each purchase, the count of the same user's clicks in the
+    preceding hour. Partitioned by the equi key (user) via groupby, the
+    interval predicate resolved per group with a vectorized double
+    ``searchsorted`` over the sorted click timestamps — no per-row loops,
+    no cross-user data movement beyond the one groupby."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def count_window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        clicks = g.loc[g["event_type"] == "click", "ts"].values
+        purch = g[g["event_type"] == "purchase"]
+        if purch.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_clicks_1h":
+                                     pd.Series([], dtype="int64")})
+        ts = purch["ts"].values
+        lo = np.searchsorted(clicks, ts - np.timedelta64(3600, "s"),
+                             side="left")
+        hi = np.searchsorted(clicks, ts, side="left")   # strictly before
+        return pd.DataFrame({"event_id": purch["event_id"].values,
+                             "n_clicks_1h": (hi - lo).astype("int64")})
+
+    df = ds.groupby("user_id").map_groups(count_window,
+                                          batch_format="pandas").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+CLICKS_BEFORE_PURCHASE_SQL = """
+SELECT p.event_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id ORDER BY p.event_id
+"""
+
+
 def events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """Sliding-window aggregate (1 h windows every 30 min): each event is
     exploded to its two covering windows inside ``map_batches`` (vectorized),
@@ -1221,6 +1263,8 @@ REGISTRY: dict = {
     "last_click_before_purchase": (last_click_before_purchase,
                                    LAST_CLICK_SQL),
     "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_SQL),
+    "clicks_before_purchase_1h": (clicks_before_purchase_1h,
+                                  CLICKS_BEFORE_PURCHASE_SQL),
     "lang_count": (lang_count, LANG_COUNT_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),

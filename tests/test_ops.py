@@ -289,3 +289,12 @@ def test_ivf_assignment_covers_all_rows(emb_ds):
     tagged = S.assign_ivf(ds, cent).to_pandas()
     assert len(tagged) == 50
     assert tagged["centroid_id"].between(0, 7).all()
+
+
+def test_neardup_clusters_ds_max_iters_guard(ray_session):
+    import ray.data
+
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"a": [1, 2, 3, 4], "b": [2, 3, 4, 5]}))   # diameter-4 chain
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.neardup_clusters_ds(pairs, max_iters=1)

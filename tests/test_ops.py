@@ -298,3 +298,13 @@ def test_neardup_clusters_ds_max_iters_guard(ray_session):
         {"a": [1, 2, 3, 4], "b": [2, 3, 4, 5]}))   # diameter-4 chain
     with pytest.raises(RuntimeError, match="did not converge"):
         D.neardup_clusters_ds(pairs, max_iters=1)
+
+
+def test_stopword_stats(docs_ds):
+    out = T.stopword_stats(docs_ds).to_pandas().set_index("doc_id")
+    # doc 0 has 19 word tokens of which the×3 + and×1 are stopwords
+    row0 = out.loc[0]
+    assert row0["n_words"] == 19
+    assert row0["n_stopwords"] == 4
+    assert abs(row0["stopword_ratio"] - round(4 / 19, 6)) < 1e-9
+    assert (out["n_stopwords"] <= out["n_words"]).all()

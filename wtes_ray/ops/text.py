@@ -111,6 +111,36 @@ def token_stats(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(f, batch_format="pandas")
 
 
+def stopword_stats(ds: ray.data.Dataset, *, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lang: str = "en") -> ray.data.Dataset:
+    """Per-doc stopword counting (the Gopher-style quality signal): number
+    and fraction of word tokens (``\\w+``, lowercased) that are stopwords
+    of ``lang``. Frozenset membership is C-speed per token; the token walk
+    is the irreducible per-row work (same shape as language id)."""
+    stops = _STOPWORDS[lang]
+    word_re = re.compile(r"\w+", re.UNICODE)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        n_words, n_stop = [], []
+        for t in texts:
+            toks = word_re.findall(t.lower())
+            n_words.append(len(toks))
+            n_stop.append(sum(1 for w in toks if w in stops))
+        n_words = pd.Series(n_words, index=batch.index)
+        n_stop = pd.Series(n_stop, index=batch.index)
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_words": n_words.astype("int64"),
+            "n_stopwords": n_stop.astype("int64"),
+            "stopword_ratio": (n_stop / n_words.replace(0, 1))
+            .where(n_words > 0, 0.0).round(6),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
                  id_col: str = "doc_id") -> ray.data.Dataset:
     """Content fingerprints: md5 hex (exact-dup key, SQL-checkable) and a

@@ -929,6 +929,31 @@ def doc_fingerprints(sf_dir: str):
 DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
 
 
+def stopword_stats_docs(sf_dir: str):
+    from .ops.text import stopword_stats
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = stopword_stats(ds).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_STOP_EN_SQL = ("'the','of','and','to','a','in','is','it','you','that','he',"
+                "'was','for','on','are','as','with','his','they','i','at',"
+                "'be','this','have','from','or','had','by'")
+
+STOPWORD_STATS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_words,
+  CAST(len(list_filter(toks, t -> t IN ({_STOP_EN_SQL}))) AS BIGINT)
+    AS n_stopwords,
+  ROUND(len(list_filter(toks, t -> t IN ({_STOP_EN_SQL}))) * 1.0
+        / greatest(len(toks), 1), 6) AS stopword_ratio
+FROM base ORDER BY doc_id
+"""
+
+
 def quality_scores(sf_dir: str) -> pd.DataFrame:
     from .ops.text import TextScorer
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1035,6 +1060,69 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
     df = pairs.to_pandas()
     df["cosine"] = df["cosine"].round(4)
     return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+EMB_PLANTED_SQL = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10)
+"""
+
+
+def embedding_neardup_planted(sf_dir: str) -> pd.DataFrame:
+    """The hyperplane-LSH + in-bucket-cosine pipeline at a near-exact
+    threshold (0.9999), where it must find exactly the planted identical
+    vectors — identical vectors share every hyperplane sign, so LSH recall
+    of exact duplicates is 1 — making the whole bucketed pipeline
+    SQL-checkable against an exhaustive cross-join (the oracle's O(n²) is
+    fine at gate scale; the Ray side stays bucketed)."""
+    from .ops.dedup import embedding_neardup_pairs
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    head = pq.read_table(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"]).slice(0, 10)
+    dup = pa.table({"vec_id": pc.add(head["vec_id"], pa.scalar(10**12)),
+                    "embedding": head["embedding"]})
+    pairs = embedding_neardup_pairs(ds.union(rd.from_arrow(dup)),
+                                    threshold=0.9999)
+    df = pairs.to_pandas()[["a", "b", "cosine"]]
+    df["cosine"] = df["cosine"].round(4)
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+EMBEDDING_NEARDUP_PLANTED_SQL = f"""
+WITH planted AS ({EMB_PLANTED_SQL})
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(x.e, y.e), 4) AS cosine
+FROM planted x JOIN planted y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.e, y.e) >= 0.9999
+ORDER BY a, b
+"""
+
+
+def simhash_exact_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    """SimHash candidates at max_hamming=0 VERIFIED at Jaccard 1.0 on the
+    planted corpus. SimHash is a similarity hash — distinct-but-similar
+    soup docs do collide at Hamming 0 (measured: 6 of 26 candidates at
+    sf0.01), so the exact-dup pipeline is candidates → verify, and the
+    verified output must equal the text-equality pairs SQL expresses as
+    same-text-group pairs. (Identical texts always hash identically, so
+    candidate recall of true dups is 1.)"""
+    from .ops.dedup import simhash_pairs, verify_pairs_jaccard
+    docs = _docs_with_planted_dups(sf_dir)
+    pairs = simhash_pairs(docs, max_hamming=0, concurrency=(1, 8))
+    exact = verify_pairs_jaccard(pairs, docs, threshold=1.0)
+    df = exact.to_pandas()[["a", "b", "hamming"]]
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SIMHASH_EXACT_SQL = f"""
+WITH planted AS ({PLANTED_SQL})
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS BIGINT) AS hamming
+FROM planted x JOIN planted y ON x.text = y.text AND x.doc_id < y.doc_id
+ORDER BY a, b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1269,12 +1357,17 @@ REGISTRY: dict = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
+    "stopword_stats_docs": (stopword_stats_docs, STOPWORD_STATS_SQL),
     "lang_id_scores": (lang_id_scores, None),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "minhash_neardup_docs": (minhash_neardup_docs, None),
     "simhash_neardup_docs": (simhash_neardup_docs, None),
     "jaccard_verified_neardup_docs": (jaccard_verified_neardup_docs, None),
     "embedding_neardup": (embedding_neardup, None),
+    "embedding_neardup_planted": (embedding_neardup_planted,
+                                  EMBEDDING_NEARDUP_PLANTED_SQL),
+    "simhash_exact_neardup_docs": (simhash_exact_neardup_docs,
+                                   SIMHASH_EXACT_SQL),
     "topk_cosine_bruteforce": (topk_cosine_bruteforce, TOPK_COSINE_SQL),
     "topk_cosine_lsh": (topk_cosine_lsh, None),
     "topk_cosine_ivf": (topk_cosine_ivf, None),

@@ -119,6 +119,161 @@ class DecodeStub:
                 .append_column("decoded", pa.array(ok, pa.bool_())))
 
 
+class ResizeStub:
+    """Actor-pool resize stage: nearest-neighbor downscale of the synthetic
+    format's pixel buffer (REAL vectorized numpy compute — the stand-in
+    for a codec-backed resize); PIL-gated path for real images when the
+    library exists. Non-decodable payloads pass through untouched with
+    ``resized=False`` (quarantine-style, never an exception)."""
+
+    def __init__(self, target_w: int = 16, target_h: int = 16):
+        self.tw, self.th = target_w, target_h
+        try:
+            from PIL import Image
+            self._image_open = Image.open
+        except ImportError:
+            self._image_open = None
+
+    def _resize_synth(self, payload: bytes) -> bytes:
+        w = int.from_bytes(payload[8:12], "little")
+        h = int.from_bytes(payload[12:16], "little")
+        c = int.from_bytes(payload[16:20], "little")
+        px = np.frombuffer(payload[20:20 + w * h * c], dtype=np.uint8)
+        if px.size != w * h * c:
+            raise ValueError("truncated pixel buffer")
+        img = px.reshape(h, w, c)
+        # nearest-neighbor index maps (vectorized gather)
+        yi = (np.arange(self.th) * h // self.th)
+        xi = (np.arange(self.tw) * w // self.tw)
+        small = img[yi][:, xi]
+        header = (self.tw.to_bytes(4, "little")
+                  + self.th.to_bytes(4, "little") + c.to_bytes(4, "little"))
+        return _MAGIC + header + small.tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out, ok = [], []
+        for p in batch.column("payload").to_pylist():
+            try:
+                if p is not None and p[:8] == _MAGIC:
+                    out.append(self._resize_synth(p))
+                    ok.append(True)
+                    continue
+                if p is not None and self._image_open is not None:
+                    import io
+                    img = self._image_open(io.BytesIO(p))
+                    img = img.resize((self.tw, self.th))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out.append(buf.getvalue())
+                    ok.append(True)
+                    continue
+            except Exception:  # noqa: BLE001 — quarantine, don't kill batch
+                pass
+            out.append(p)
+            ok.append(False)
+        cols = {n: batch.column(n) for n in batch.column_names
+                if n != "payload"}
+        cols["payload"] = pa.array(out, pa.binary())
+        cols["resized"] = pa.array(ok, pa.bool_())
+        return pa.table(cols)
+
+
+# synthetic video: magic + (n_frames, w, h, c) header + frame pixel planes
+_VMAGIC = b"WTESVID1"
+
+
+def synth_video_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
+    """Deterministic fake video payloads (seeded per doc id): a frame count
+    and per-frame pixel planes in the synthetic format — realistic row
+    sizes for the frame-sampling stage."""
+    import zlib
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    refs, types_, payloads = [], [], []
+    for d in doc_ids:
+        rng = np.random.RandomState(
+            (seed + zlib.crc32(f"v{d}".encode("utf-8"))) % (2 ** 31))
+        n_frames = int(rng.randint(4, 17))
+        w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+        frames = rng.randint(0, 256, size=n_frames * w * h * 3,
+                             dtype=np.uint8)
+        header = (n_frames.to_bytes(4, "little") + w.to_bytes(4, "little")
+                  + h.to_bytes(4, "little") + (3).to_bytes(4, "little"))
+        payloads.append(_VMAGIC + header + frames.tobytes())
+        refs.append(f"vid://{d}.fake")
+        types_.append("video")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "media_ref": pa.array(refs, pa.string()),
+        "media_type": pa.array(types_, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class FrameSampler:
+    """Actor-pool frame sampling: every ``stride``-th frame of a video
+    payload becomes its OWN output row carrying a single-image synthetic
+    payload — the flat-map shape a real decoder (ffmpeg/pyav, absent
+    here) would use. Non-video payloads yield zero rows."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "media_ref": [], "frame_index": [],
+               "payload": []}
+        for doc_id, ref, p in zip(batch.column("doc_id").to_pylist(),
+                                  batch.column("media_ref").to_pylist(),
+                                  batch.column("payload").to_pylist()):
+            if p is None or p[:8] != _VMAGIC:
+                continue
+            n = int.from_bytes(p[8:12], "little")
+            w = int.from_bytes(p[12:16], "little")
+            h = int.from_bytes(p[16:20], "little")
+            c = int.from_bytes(p[20:24], "little")
+            frame_bytes = w * h * c
+            body = p[24:]
+            for i in range(0, n, self.stride):
+                px = body[i * frame_bytes:(i + 1) * frame_bytes]
+                if len(px) != frame_bytes:
+                    break   # truncated payload — stop, don't mis-slice
+                header = (w.to_bytes(4, "little") + h.to_bytes(4, "little")
+                          + c.to_bytes(4, "little"))
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(f"{ref}#f{i}")
+                out["frame_index"].append(i)
+                out["payload"].append(_MAGIC + header + px)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"],
+                               batch.column("doc_id").type),
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            "frame_index": pa.array(out["frame_index"], pa.int32()),
+            "payload": pa.array(out["payload"], pa.binary()),
+        })
+
+
+def video_frame_pipeline(docs: ray.data.Dataset, *, stride: int = 4,
+                         target: int = 8, concurrency=2,
+                         batch_size: int = 32) -> ray.data.Dataset:
+    """docs → synth video payloads → frame sample (actor pool, flat-map) →
+    resize → decode metadata. Output: one row per sampled frame with
+    (doc_id, media_ref, frame_index, width, height, channels, decoded,
+    resized)."""
+    media = docs.map_batches(synth_video_batch, batch_format="pyarrow")
+    frames = media.map_batches(FrameSampler, batch_format="pyarrow",
+                               batch_size=batch_size,
+                               fn_constructor_kwargs={"stride": stride},
+                               concurrency=concurrency)
+    resized = frames.map_batches(
+        ResizeStub, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"target_w": target, "target_h": target},
+        concurrency=concurrency)
+    decoded = resized.map_batches(DecodeStub, batch_format="pyarrow",
+                                  batch_size=batch_size,
+                                  concurrency=concurrency)
+    return decoded.drop_columns(["payload"])
+
+
 class ByteHistogramFeatures:
     """Feature extraction that is REAL compute (vectorized byte histogram →
     16-bin density vector) — the stand-in for model-based image features."""

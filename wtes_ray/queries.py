@@ -1319,6 +1319,17 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def media_video_frames(sf_dir: str) -> pd.DataFrame:
+    """Multimodal frame pipeline: synthetic video → frame-sample → resize →
+    decode (rows-only: payloads are seeded fakes). One row per sampled
+    frame; all frames resized to 8×8 and decodable."""
+    from .ops.multimodal import video_frame_pipeline
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    out = video_frame_pipeline(ds, stride=4, target=8, concurrency=(1, 4))
+    df = out.to_pandas()
+    return df.sort_values(["doc_id", "frame_index"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1377,4 +1388,5 @@ REGISTRY: dict = {
     "extract_nodes_fused": (extract_nodes_fused, None),
     "extract_flagship_documents": (extract_flagship_documents, None),
     "media_features": (media_features, None),
+    "media_video_frames": (media_video_frames, None),
 }

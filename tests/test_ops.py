@@ -353,3 +353,17 @@ def test_resize_quarantines_undecodable(ray_session):
     out = ResizeStub(8, 8)(batch)
     assert out.column("resized").to_pylist() == [False]
     assert out.column("payload").to_pylist() == [b"not media"]
+
+
+def test_ivf_assigned_mode_matches_unassigned(emb_ds):
+    """Scale path: a pre-assigned centroid_id column gives the same probe
+    results as per-batch re-assignment, without the assignment matmul."""
+    ds, vecs = emb_ds
+    cent = S.train_ivf_centroids(ds, n_centroids=8)
+    tagged = S.assign_ivf(ds, cent)
+    a = S.ivf_topk_cosine(tagged, vecs[3], k=5, centroids=cent,
+                          nprobe=2, assigned=True).to_pandas()
+    b = S.ivf_topk_cosine(ds, vecs[3], k=5, centroids=cent,
+                          nprobe=2, assigned=False).to_pandas()
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    assert np.allclose(a["cosine"], b["cosine"], atol=1e-12)

@@ -210,8 +210,12 @@ def write_table_docx(table: Table, filepath: str) -> None:
     else:
         doc = _DOC_SHELL
     tbl = _table_xml(table)
-    m = re.search(r"<w:sectPr[ >]", doc)
-    insert_at = m.start() if m else doc.rindex("</w:body>")
+    # insert before the body-level sectPr — always the LAST sectPr in
+    # document order (OOXML keeps the final section's properties as the
+    # body's last child; earlier w:pPr/w:sectPr section breaks must not
+    # capture the insert, which would nest the table inside a paragraph)
+    ms = list(re.finditer(r"<w:sectPr[ >]", doc))
+    insert_at = ms[-1].start() if ms else doc.rindex("</w:body>")
     doc = doc[:insert_at] + tbl + doc[insert_at:]
     parts = dict(existing) if existing else {
         "[Content_Types].xml": _CONTENT_TYPES.encode("utf-8"),

@@ -143,8 +143,14 @@ class Element:
                         for k, v in self.attrs.items())
         if self.name in VOID_ELEMENTS and not self.children:
             return f"<{self.name}{attrs}/>"
-        inner = "".join(esc_text(c.data) if c.__class__ is TextNode
-                        else c.markup() for c in self.children)
+        if self.name in ("script", "style"):
+            # raw-text elements: bs4 emits their content verbatim (the
+            # parser never entity-decoded it) — escaping would corrupt it
+            inner = "".join(c.data if c.__class__ is TextNode else c.markup()
+                            for c in self.children)
+        else:
+            inner = "".join(esc_text(c.data) if c.__class__ is TextNode
+                            else c.markup() for c in self.children)
         return f"<{self.name}{attrs}>{inner}</{self.name}>"
 
     def append(self, node: Node) -> None:

@@ -25,6 +25,22 @@ import ray.data
 _MAGIC = b"WTESIMG1"
 
 
+def _pack_img(w: int, h: int, c: int, pixels: bytes) -> bytes:
+    """Synthetic image payload: magic + little-endian (w, h, c) + pixels.
+    The ONE place the byte layout lives — synth/resize/frame-sample all
+    build through here and decode through :func:`_unpack_img_header`."""
+    return (_MAGIC + int(w).to_bytes(4, "little")
+            + int(h).to_bytes(4, "little") + int(c).to_bytes(4, "little")
+            + pixels)
+
+
+def _unpack_img_header(payload: bytes) -> tuple[int, int, int]:
+    w = int.from_bytes(payload[8:12], "little")
+    h = int.from_bytes(payload[12:16], "little")
+    c = int.from_bytes(payload[16:20], "little")
+    return w, h, c
+
+
 def synth_media_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
     """Deterministic fake media payloads derived from doc ids: an 8-byte
     magic, a 12-byte header (width, height, channels) and seeded pixel
@@ -40,9 +56,7 @@ def synth_media_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
             (seed + zlib.crc32(str(d).encode("utf-8"))) % (2 ** 31))
         w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
         pixels = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8)
-        header = (int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little")
-                  + (3).to_bytes(4, "little"))
-        payloads.append(_MAGIC + header + pixels.tobytes())
+        payloads.append(_pack_img(w, h, 3, pixels.tobytes()))
         refs.append(f"img://{d}.fake")
         types_.append("image")
     return pa.table({
@@ -85,10 +99,7 @@ class DecodeStub:
         if payload is None:
             raise NotImplementedError("null payload")
         if payload[:8] == _MAGIC:
-            w = int.from_bytes(payload[8:12], "little")
-            h = int.from_bytes(payload[12:16], "little")
-            c = int.from_bytes(payload[16:20], "little")
-            return w, h, c
+            return _unpack_img_header(payload)
         if self._image_open is not None:
             try:
                 return self._decode_pil(payload)
@@ -135,9 +146,7 @@ class ResizeStub:
             self._image_open = None
 
     def _resize_synth(self, payload: bytes) -> bytes:
-        w = int.from_bytes(payload[8:12], "little")
-        h = int.from_bytes(payload[12:16], "little")
-        c = int.from_bytes(payload[16:20], "little")
+        w, h, c = _unpack_img_header(payload)
         px = np.frombuffer(payload[20:20 + w * h * c], dtype=np.uint8)
         if px.size != w * h * c:
             raise ValueError("truncated pixel buffer")
@@ -146,9 +155,7 @@ class ResizeStub:
         yi = (np.arange(self.th) * h // self.th)
         xi = (np.arange(self.tw) * w // self.tw)
         small = img[yi][:, xi]
-        header = (self.tw.to_bytes(4, "little")
-                  + self.th.to_bytes(4, "little") + c.to_bytes(4, "little"))
-        return _MAGIC + header + small.tobytes()
+        return _pack_img(self.tw, self.th, c, small.tobytes())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out, ok = [], []
@@ -237,12 +244,10 @@ class FrameSampler:
                 px = body[i * frame_bytes:(i + 1) * frame_bytes]
                 if len(px) != frame_bytes:
                     break   # truncated payload — stop, don't mis-slice
-                header = (w.to_bytes(4, "little") + h.to_bytes(4, "little")
-                          + c.to_bytes(4, "little"))
                 out["doc_id"].append(doc_id)
                 out["media_ref"].append(f"{ref}#f{i}")
                 out["frame_index"].append(i)
-                out["payload"].append(_MAGIC + header + px)
+                out["payload"].append(_pack_img(w, h, c, px))
         return pa.table({
             "doc_id": pa.array(out["doc_id"],
                                batch.column("doc_id").type),

@@ -118,11 +118,21 @@ def ivf_topk_cosine(ds: ray.data.Dataset, query: np.ndarray, k: int = 10, *,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     centroids: np.ndarray | None = None,
                     n_centroids: int = 16, nprobe: int = 4,
+                    assigned: bool = False,
                     seed: int = 13) -> ray.data.Dataset:
-    """Approximate top-k via IVF probe lists: score only rows assigned to
-    the query's ``nprobe`` nearest centroids (recall < 1.0 by design —
+    """Approximate top-k via IVF probe lists: score only rows in the
+    query's ``nprobe`` nearest centroid lists (recall < 1.0 by design —
     raise ``nprobe`` toward ``n_centroids`` for exactness). Same output
-    schema as :func:`topk_cosine`."""
+    schema as :func:`topk_cosine`.
+
+    ``assigned=True`` is the scale path: the dataset already carries the
+    ``centroid_id`` column from :func:`assign_ivf` (at production scale,
+    written PARTITIONED by it so the read itself prunes non-probed
+    lists), and the probe filter is a cheap integer ``isin`` — no
+    re-assignment matmul. ``assigned=False`` re-derives the assignment
+    per batch (n×n_centroids×d FLOPs over the FULL corpus — more compute
+    than brute force; useful only to exercise probe recall without a
+    prepared index)."""
     if centroids is None:
         centroids = train_ivf_centroids(ds, n_centroids=n_centroids,
                                         vec_col=vec_col, seed=seed)
@@ -131,19 +141,28 @@ def ivf_topk_cosine(ds: ray.data.Dataset, query: np.ndarray, k: int = 10, *,
     qn = np.linalg.norm(q)
     q = q / (qn if qn else 1.0)
     nprobe = min(nprobe, len(cent))
-    probes = set(np.argsort(-(cent @ q))[:nprobe].tolist())
+    probe_list = np.argsort(-(cent @ q))[:nprobe].tolist()
+    probes = set(probe_list)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return _empty_scores(batch, id_col)
-        unit = _unit_rows(_as_matrix(batch[vec_col]))
-        assign = (unit @ cent.T).argmax(axis=1)
-        keep = np.isin(assign, list(probes))
-        if not keep.any():
-            return _empty_scores(batch, id_col)
-        cos = unit[keep] @ q
-        out = pd.DataFrame({id_col: batch[id_col].values[keep],
-                            "cosine": cos})
+        if assigned:
+            keep = batch["centroid_id"].isin(probes).values
+            if not keep.any():
+                return _empty_scores(batch, id_col)
+            unit = _unit_rows(_as_matrix(batch[vec_col].iloc[keep]))
+            cos = unit @ q
+            out = pd.DataFrame({id_col: batch[id_col].values[keep],
+                                "cosine": cos})
+        else:
+            unit = _unit_rows(_as_matrix(batch[vec_col]))
+            assign = (unit @ cent.T).argmax(axis=1)
+            keep = np.isin(assign, probe_list)
+            if not keep.any():
+                return _empty_scores(batch, id_col)
+            out = pd.DataFrame({id_col: batch[id_col].values[keep],
+                                "cosine": unit[keep] @ q})
         return out.sort_values(["cosine", id_col],
                                ascending=[False, True]).head(k)
 

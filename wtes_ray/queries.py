@@ -942,7 +942,9 @@ _STOP_EN_SQL = ("'the','of','and','to','a','in','is','it','you','that','he',"
 
 STOPWORD_STATS_SQL = rf"""
 WITH base AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  -- coalesce NULL text to '' so counts are 0/0/0.0 like the Ray side's
+  -- fillna('') (instead of NULL-propagating through the whole row)
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
   FROM documents)
 SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_words,
@@ -1012,8 +1014,11 @@ def _docs_with_planted_dups(sf_dir: str):
     near-dup operators have guaranteed positives at every sf (the sf tables
     themselves are all-distinct word soup)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    # sort before slicing: the SQL oracles plant ORDER BY doc_id LIMIT 20,
+    # so the Ray side must not depend on parquet file order
     head = pq.read_table(_t(sf_dir, "documents"),
-                         columns=["doc_id", "text"]).slice(0, 20)
+                         columns=["doc_id", "text"]) \
+             .sort_by("doc_id").slice(0, 20)
     dup = pa.table({
         "doc_id": pc.add(head["doc_id"], pa.scalar(10**12)),
         "text": head["text"]})
@@ -1052,7 +1057,8 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     head = pq.read_table(_t(sf_dir, "embeddings"),
-                         columns=["vec_id", "embedding"]).slice(0, 10)
+                         columns=["vec_id", "embedding"]) \
+             .sort_by("vec_id").slice(0, 10)   # match ORDER BY vec_id
     dup = pa.table({"vec_id": pc.add(head["vec_id"], pa.scalar(10**12)),
                     "embedding": head["embedding"]})
     pairs = embedding_neardup_pairs(ds.union(rd.from_arrow(dup)),
@@ -1081,7 +1087,8 @@ def embedding_neardup_planted(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     head = pq.read_table(_t(sf_dir, "embeddings"),
-                         columns=["vec_id", "embedding"]).slice(0, 10)
+                         columns=["vec_id", "embedding"]) \
+             .sort_by("vec_id").slice(0, 10)   # match ORDER BY vec_id
     dup = pa.table({"vec_id": pc.add(head["vec_id"], pa.scalar(10**12)),
                     "embedding": head["embedding"]})
     pairs = embedding_neardup_pairs(ds.union(rd.from_arrow(dup)),

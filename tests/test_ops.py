@@ -367,3 +367,33 @@ def test_ivf_assigned_mode_matches_unassigned(emb_ds):
                           nprobe=2, assigned=False).to_pandas()
     assert list(a["vec_id"]) == list(b["vec_id"])
     assert np.allclose(a["cosine"], b["cosine"], atol=1e-12)
+
+
+def test_audio_feature_pipeline(ray_session):
+    import ray.data
+
+    from wtes_ray.ops.multimodal import audio_feature_pipeline
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(8, dtype="int64")}))
+    out = audio_feature_pipeline(docs, concurrency=1).to_pandas()
+    assert len(out) == 8
+    assert out["decoded"].all()
+    # 0.25–1 s clips of a bounded-amplitude tone+noise mix
+    assert out["duration_s"].between(0.25, 1.0).all()
+    assert (out["rms"] > 0).all() and (out["rms"] < 1).all()
+    assert (out["zcr"] > 0).all()
+    # deterministic across runs
+    again = audio_feature_pipeline(docs, concurrency=1).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_audio_features_quarantine(ray_session):
+    import pyarrow as pa
+
+    from wtes_ray.ops.multimodal import AudioFeatures
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([b"garbage"], pa.binary())})
+    out = AudioFeatures()(batch)
+    assert out.column("decoded").to_pylist() == [False]

@@ -185,6 +185,110 @@ class ResizeStub:
         return pa.table(cols)
 
 
+# synthetic audio: magic + (sample_rate, n_samples) header + int16 PCM
+_AMAGIC = b"WTESAUD1"
+
+
+def synth_audio_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
+    """Deterministic fake audio payloads (seeded per doc id): a sample-rate
+    header and an int16 PCM buffer — realistic row sizes for the audio
+    feature stage."""
+    import zlib
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    refs, types_, payloads = [], [], []
+    for d in doc_ids:
+        rng = np.random.RandomState(
+            (seed + zlib.crc32(f"a{d}".encode("utf-8"))) % (2 ** 31))
+        sr = 16000
+        n = int(rng.randint(sr // 4, sr))      # 0.25–1 s clips
+        t = np.arange(n, dtype=np.float64)
+        tone = np.sin(2 * np.pi * rng.uniform(100, 2000) * t / sr)
+        noise = 0.1 * rng.standard_normal(n)
+        pcm = np.clip((tone + noise) * 0.5, -1, 1)
+        samples = (pcm * 32767).astype("<i2")
+        header = sr.to_bytes(4, "little") + n.to_bytes(4, "little")
+        payloads.append(_AMAGIC + header + samples.tobytes())
+        refs.append(f"aud://{d}.fake")
+        types_.append("audio")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "media_ref": pa.array(refs, pa.string()),
+        "media_type": pa.array(types_, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class AudioFeatures:
+    """Actor-pool audio feature stage (REAL vectorized numpy compute over
+    the synthetic PCM format — the stand-in for model-backed audio
+    embeddings): duration, RMS level, zero-crossing rate. Real containers
+    (wav/flac/...) route through soundfile when importable (absent here);
+    undecodable payloads quarantine with ``decoded=false``."""
+
+    def __init__(self):
+        try:
+            import soundfile
+            self._sf_read = soundfile.read
+        except ImportError:
+            self._sf_read = None
+
+    def _features(self, payload: bytes) -> tuple[float, float, float]:
+        if payload[:8] == _AMAGIC:
+            sr = int.from_bytes(payload[8:12], "little")
+            n = int.from_bytes(payload[12:16], "little")
+            pcm = np.frombuffer(payload[16:16 + 2 * n], dtype="<i2")
+            if pcm.size != n:
+                raise ValueError("truncated PCM buffer")
+            x = pcm.astype(np.float64) / 32767.0
+        elif self._sf_read is not None:
+            import io
+            data, sr = self._sf_read(io.BytesIO(payload))
+            x = np.asarray(data, dtype=np.float64)
+            if x.ndim > 1:
+                x = x.mean(axis=1)
+        else:
+            raise ValueError("no audio codec (soundfile absent)")
+        dur = len(x) / sr if sr else 0.0
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        zcr = (float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+               if len(x) > 1 else 0.0)
+        return round(dur, 6), round(rms, 6), round(zcr, 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, zcr, ok = [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            try:
+                if p is None:
+                    raise ValueError("null payload")
+                d, r, z = self._features(p)
+                dur.append(d)
+                rms.append(r)
+                zcr.append(z)
+                ok.append(True)
+            except Exception:  # noqa: BLE001 — quarantine row
+                dur.append(0.0)
+                rms.append(0.0)
+                zcr.append(0.0)
+                ok.append(False)
+        return (batch
+                .append_column("duration_s", pa.array(dur, pa.float64()))
+                .append_column("rms", pa.array(rms, pa.float64()))
+                .append_column("zcr", pa.array(zcr, pa.float64()))
+                .append_column("decoded", pa.array(ok, pa.bool_())))
+
+
+def audio_feature_pipeline(docs: ray.data.Dataset, *, concurrency=2,
+                           batch_size: int = 64) -> ray.data.Dataset:
+    """docs → synth audio payloads → features (actor pool). Output:
+    doc_id, media_ref, duration_s, rms, zcr, decoded."""
+    media = docs.map_batches(synth_audio_batch, batch_format="pyarrow")
+    feats = media.map_batches(AudioFeatures, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency)
+    return feats.drop_columns(["payload", "media_type"])
+
+
 # synthetic video: magic + (n_frames, w, h, c) header + frame pixel planes
 _VMAGIC = b"WTESVID1"
 

@@ -1337,6 +1337,16 @@ def media_video_frames(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["doc_id", "frame_index"]).reset_index(drop=True)
 
 
+def media_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Audio modality plumbing: synthetic PCM payloads → actor-pool
+    features (rows-only: payloads are seeded fakes)."""
+    from .ops.multimodal import audio_feature_pipeline
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    out = audio_feature_pipeline(ds, concurrency=(1, 4))
+    df = out.to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1396,4 +1406,5 @@ REGISTRY: dict = {
     "extract_flagship_documents": (extract_flagship_documents, None),
     "media_features": (media_features, None),
     "media_video_frames": (media_video_frames, None),
+    "media_audio_features": (media_audio_features, None),
 }

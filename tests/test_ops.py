@@ -397,3 +397,22 @@ def test_audio_features_quarantine(ray_session):
                       "payload": pa.array([b"garbage"], pa.binary())})
     out = AudioFeatures()(batch)
     assert out.column("decoded").to_pylist() == [False]
+
+
+def test_audio_corrupt_header_quarantines(ray_session):
+    import pyarrow as pa
+
+    from wtes_ray.ops.multimodal import AudioFeatures
+    # magic alone (header parses as sr=0, n=0) must NOT read as a valid
+    # silent clip
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "payload": pa.array([b"WTESAUD1", b"WTESAUD1" + b"\x00" * 8],
+                                          pa.binary())})
+    out = AudioFeatures()(batch)
+    assert out.column("decoded").to_pylist() == [False, False]
+
+
+def test_ivf_assigned_requires_centroids(emb_ds):
+    ds, vecs = emb_ds
+    with pytest.raises(ValueError, match="assigned=True requires"):
+        S.ivf_topk_cosine(ds, vecs[3], assigned=True)

@@ -214,7 +214,7 @@ def write_table_docx(table: Table, filepath: str) -> None:
     # document order (OOXML keeps the final section's properties as the
     # body's last child; earlier w:pPr/w:sectPr section breaks must not
     # capture the insert, which would nest the table inside a paragraph)
-    ms = list(re.finditer(r"<w:sectPr[ >]", doc))
+    ms = list(re.finditer(r"<w:sectPr[\s/>]", doc))
     insert_at = ms[-1].start() if ms else doc.rindex("</w:body>")
     doc = doc[:insert_at] + tbl + doc[insert_at:]
     parts = dict(existing) if existing else {

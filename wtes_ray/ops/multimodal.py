@@ -189,6 +189,19 @@ class ResizeStub:
 _AMAGIC = b"WTESAUD1"
 
 
+def _pack_audio(sr: int, samples: bytes) -> bytes:
+    """Synthetic audio payload layout in ONE place (mirrors _pack_img)."""
+    n = len(samples) // 2
+    return (_AMAGIC + int(sr).to_bytes(4, "little")
+            + int(n).to_bytes(4, "little") + samples)
+
+
+def _unpack_audio_header(payload: bytes) -> tuple[int, int]:
+    sr = int.from_bytes(payload[8:12], "little")
+    n = int.from_bytes(payload[12:16], "little")
+    return sr, n
+
+
 def synth_audio_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
     """Deterministic fake audio payloads (seeded per doc id): a sample-rate
     header and an int16 PCM buffer — realistic row sizes for the audio
@@ -207,8 +220,7 @@ def synth_audio_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
         noise = 0.1 * rng.standard_normal(n)
         pcm = np.clip((tone + noise) * 0.5, -1, 1)
         samples = (pcm * 32767).astype("<i2")
-        header = sr.to_bytes(4, "little") + n.to_bytes(4, "little")
-        payloads.append(_AMAGIC + header + samples.tobytes())
+        payloads.append(_pack_audio(sr, samples.tobytes()))
         refs.append(f"aud://{d}.fake")
         types_.append("audio")
     return pa.table({
@@ -235,8 +247,11 @@ class AudioFeatures:
 
     def _features(self, payload: bytes) -> tuple[float, float, float]:
         if payload[:8] == _AMAGIC:
-            sr = int.from_bytes(payload[8:12], "little")
-            n = int.from_bytes(payload[12:16], "little")
+            sr, n = _unpack_audio_header(payload)
+            # a header claiming sr<=0 or n<=0 is corruption, not a valid
+            # silent clip — quarantine instead of emitting zero features
+            if sr <= 0 or n <= 0:
+                raise ValueError("corrupt audio header (sr/n <= 0)")
             pcm = np.frombuffer(payload[16:16 + 2 * n], dtype="<i2")
             if pcm.size != n:
                 raise ValueError("truncated PCM buffer")

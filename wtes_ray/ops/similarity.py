@@ -133,6 +133,13 @@ def ivf_topk_cosine(ds: ray.data.Dataset, query: np.ndarray, k: int = 10, *,
     per batch (n×n_centroids×d FLOPs over the FULL corpus — more compute
     than brute force; useful only to exercise probe recall without a
     prepared index)."""
+    if assigned and centroids is None:
+        # retraining here would produce a centroid index space that need
+        # not match the dataset's existing centroid_id tags → silently
+        # wrong probes; the caller must pass the SAME centroids used by
+        # assign_ivf
+        raise ValueError("assigned=True requires the centroids the "
+                         "dataset was tagged with (from assign_ivf)")
     if centroids is None:
         centroids = train_ivf_centroids(ds, n_centroids=n_centroids,
                                         vec_col=vec_col, seed=seed)

@@ -416,3 +416,14 @@ def test_ivf_assigned_requires_centroids(emb_ds):
     ds, vecs = emb_ds
     with pytest.raises(ValueError, match="assigned=True requires"):
         S.ivf_topk_cosine(ds, vecs[3], assigned=True)
+
+
+def test_dedup_filter_join_path_matches_broadcast(ray_session, docs_ds):
+    pairs = D.minhash_lsh_pairs(docs_ds, threshold=0.6, concurrency=1)
+    pairs = pairs.materialize()
+    kept_b = sorted(D.dedup_filter(docs_ds, pairs)
+                    .to_pandas()["doc_id"])
+    kept_j = sorted(D.dedup_filter(docs_ds, pairs, use_join=True)
+                    .to_pandas()["doc_id"])
+    assert kept_j == kept_b
+    assert 0 in kept_j and not {5, 6} & set(kept_j)

@@ -547,11 +547,25 @@ def neardup_clusters(pairs: ray.data.Dataset, *,
 
 
 def dedup_filter(docs: ray.data.Dataset, pairs: ray.data.Dataset,
-                 id_col: str = "doc_id") -> ray.data.Dataset:
+                 id_col: str = "doc_id", *,
+                 use_join: bool = False) -> ray.data.Dataset:
     """Training-data cleaning: drop near-duplicates, keeping each cluster's
-    minimum id. The drop set (non-representative cluster members) is small —
-    broadcast once, filtered vectorized per batch."""
+    minimum id.
+
+    Default: the drop set (non-representative cluster members) is small —
+    broadcast once, filtered vectorized per batch. ``use_join=True`` is
+    the path for a drop set too big to broadcast: the clusters stay a
+    Dataset (distributed CC) and the corpus anti-joins the drop ids
+    through the bucketed hash join — the driver never holds any ids."""
     import ray as _ray
+
+    if use_join:
+        from .joins import bucketed_hash_join
+        drop_ds = neardup_clusters_ds(pairs).map_batches(
+            lambda df: df.loc[df["doc_id"] != df["cluster_id"],
+                              ["doc_id"]].rename(columns={"doc_id": id_col}),
+            batch_format="pandas")
+        return bucketed_hash_join(docs, drop_ds, id_col, how="anti")
 
     clusters = neardup_clusters(pairs)
     drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"],

@@ -400,9 +400,17 @@ GROUP BY n_name ORDER BY n_name
 
 def top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
     """Per-group top-k (window function shape): top-2 orders by totalprice
-    per customer via groupby().map_groups with a deterministic tiebreak."""
+    per customer, deterministic tiebreak. Per-batch LOCAL top-2 per
+    customer first (top-2 of the union of per-batch top-2s = the global
+    top-2), so the groupby exchange carries ≤ 2·blocks rows per customer
+    instead of every order."""
     ds = rd.read_parquet(_t(sf_dir, "orders"),
                          columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def local_top2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True])
+        return df.groupby("o_custkey", as_index=False).head(2)
 
     def top2(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice", "o_orderkey"],
@@ -410,7 +418,8 @@ def top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
         g["rn"] = range(1, len(g) + 1)
         return g
 
-    df = ds.groupby("o_custkey").map_groups(
+    df = ds.map_batches(local_top2, batch_format="pandas") \
+           .groupby("o_custkey").map_groups(
         top2, batch_format="pandas").to_pandas()
     df["rn"] = df["rn"].astype("int64")
     return df.sort_values(["o_custkey", "rn"]).reset_index(drop=True)

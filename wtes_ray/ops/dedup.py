@@ -29,6 +29,38 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min
 
+
+def _arrow(df: pd.DataFrame) -> pa.Table:
+    """pandas → Arrow block for stages feeding an exchange (Ray's
+    sort-based groupby is ~16× slower on pandas blocks — measured).
+    Every block of one dataset must be the SAME type (the sort's boundary
+    sampler asserts homogeneity), so empty early-returns convert too."""
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _as_arrow_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Force a dataset's blocks to Arrow (Ray's aggregate can emit pandas
+    blocks on some inputs; a later union with Arrow blocks would trip the
+    sort sampler's homogeneity assertion)."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def _consolidate(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Consolidate a small pre-reduced dataset before a groupby: Ray's
+    sort reduce merges one slice per (input block × partition), so MANY
+    small blocks (e.g. one per LSH bucket) make per-slice overhead
+    dominate (queries._for_agg documents the measurement). The datasets
+    here are signature/pair-sized — orders of magnitude below the
+    corpus — so materializing is scale-safe."""
+    return ds.materialize()
+
+
+def _id_type(series: pd.Series) -> pa.DataType:
+    """Arrow type of an id column for typed EMPTY outputs (an empty object
+    column would infer as null and clash with non-empty blocks)."""
+    t = pa.Array.from_pandas(series.iloc[:0]).type
+    return pa.string() if pa.types.is_null(t) else t
+
 _U64 = np.uint64
 _MERSENNE = _U64((1 << 61) - 1)
 
@@ -55,12 +87,12 @@ def exact_dedup_ids(ds: ray.data.Dataset, text_col: str = "text",
     blocks. Returns one row per distinct text: (id_col,). md5 collisions
     are negligible (~2^-64 at 10^12 docs)."""
 
-    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+    def hash_batch(df: pd.DataFrame) -> pa.Table:
+        return _arrow(pd.DataFrame({
             id_col: df[id_col],
             "__h": [hashlib.md5((t or "").encode("utf-8")).digest()
                     for t in df[text_col]],
-        })
+        }))
 
     agg = ds.map_batches(hash_batch, batch_format="pandas") \
             .groupby("__h").aggregate(Min(id_col, alias_name=id_col))
@@ -159,10 +191,11 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"band": pd.Series([], dtype="int64"),
-                                 "band_hash": pd.Series([], dtype="object"),
-                                 id_col: batch[id_col],
-                                 "sig": pd.Series([], dtype="object")})
+            return pa.table({
+                "band": pa.array([], pa.int64()),
+                "band_hash": pa.array([], pa.string()),
+                id_col: pa.array([], _id_type(batch[id_col])),
+                "sig": pa.array([], pa.list_(pa.int64()))})
         ids = batch[id_col].tolist()
         sig_list = batch["sig"].tolist()
         sig_mat = np.asarray(sig_list, dtype=np.int64)
@@ -175,17 +208,17 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                 for c in chunks)
             out[id_col].extend(ids)
             out["sig"].extend(sig_list)
-        return pd.DataFrame(out)
+        return _arrow(pd.DataFrame(out))
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].tolist()
         if len(ids) < 2:
-            return pd.DataFrame({"a": g[id_col].iloc[:0],
-                                 "b": g[id_col].iloc[:0],
-                                 "est_jaccard": pd.Series([], dtype="float64"),
-                                 "truncated": pd.Series([], dtype="bool")})
+            return _arrow(pd.DataFrame(
+                {"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0],
+                 "est_jaccard": pd.Series([], dtype="float64"),
+                 "truncated": pd.Series([], dtype="bool")}))
         truncated = len(ids) > max_bucket
         # sort before truncating: Ray's groupby does not guarantee stable
         # within-group row order, so an order-based cut would make the
@@ -206,21 +239,21 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                     out["b"].append(b)
                     out["est_jaccard"].append(float(e))
                     out["truncated"].append(truncated)
-        return pd.DataFrame(out)
+        return _arrow(pd.DataFrame(out))
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+    pairs = _consolidate(exploded).groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    def combine(g: pd.DataFrame) -> pa.Table:
         # deterministic pair combine: est_jaccard is identical across bands
         # (computed from the full signatures); `truncated` is per-bucket, so
         # any-True wins regardless of which band's row arrives first
         out = g.head(1).copy()
         out["truncated"] = bool(g["truncated"].any())
-        return out
+        return _arrow(out)
 
-    return pairs.groupby(["a", "b"]).map_groups(combine,
-                                                batch_format="pandas")
+    return _consolidate(pairs).groupby(["a", "b"]).map_groups(
+        combine, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -288,10 +321,11 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"band": pd.Series([], dtype="int64"),
-                                 "band_hash": pd.Series([], dtype="int64"),
-                                 id_col: batch[id_col],
-                                 "simhash": pd.Series([], dtype="int64")})
+            return pa.table({
+                "band": pa.array([], pa.int64()),
+                "band_hash": pa.array([], pa.int64()),
+                id_col: pa.array([], _id_type(batch[id_col])),
+                "simhash": pa.array([], pa.int64())})
         sh = batch["simhash"].values.astype(np.int64)
         ids = batch[id_col].values
         frames = []
@@ -300,7 +334,7 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
             frames.append(pd.DataFrame({
                 "band": band, "band_hash": chunk.astype(np.int64),
                 id_col: ids, "simhash": sh}))
-        return pd.concat(frames, ignore_index=True)
+        return _arrow(pd.concat(frames, ignore_index=True))
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
@@ -323,24 +357,24 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                 out["hamming"].append(int(ham[j_off]))
                 out["truncated"].append(truncated)
         if not out["a"]:
-            return pd.DataFrame({"a": g[id_col].iloc[:0],
-                                 "b": g[id_col].iloc[:0],
-                                 "hamming": pd.Series([], dtype="int64"),
-                                 "truncated": pd.Series([], dtype="bool")})
+            return _arrow(pd.DataFrame(
+                {"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0],
+                 "hamming": pd.Series([], dtype="int64"),
+                 "truncated": pd.Series([], dtype="bool")}))
         df = pd.DataFrame(out)
         df["hamming"] = df["hamming"].astype("int64")
-        return df
+        return _arrow(df)
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+    pairs = _consolidate(exploded).groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    def combine(g: pd.DataFrame) -> pa.Table:
         out = g.head(1).copy()   # hamming identical across bands
         out["truncated"] = bool(g["truncated"].any())
-        return out
+        return _arrow(out)
 
-    return pairs.groupby(["a", "b"]).map_groups(combine,
-                                                batch_format="pandas")
+    return _consolidate(pairs).groupby(["a", "b"]).map_groups(
+        combine, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -437,10 +471,10 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
 
 def _cc_edges(pairs: ray.data.Dataset) -> ray.data.Dataset:
     """Symmetric edge list (node, nbr) from undirected candidate pairs."""
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+    def both_dirs(df: pd.DataFrame) -> pa.Table:
+        return _arrow(pd.DataFrame({
             "node": pd.concat([df["a"], df["b"]], ignore_index=True),
-            "nbr": pd.concat([df["b"], df["a"]], ignore_index=True)})
+            "nbr": pd.concat([df["b"], df["a"]], ignore_index=True)}))
     return pairs.select_columns(["a", "b"]).map_batches(
         both_dirs, batch_format="pandas")
 
@@ -467,19 +501,20 @@ def neardup_clusters_ds(pairs: ray.data.Dataset, *,
     edges = _cc_edges(pairs).materialize()   # reused every round
     # init = one propagation step: label(n) = min(n, min nbr)
     labels = edges.map_batches(
-        lambda df: pd.DataFrame({
+        lambda df: _arrow(pd.DataFrame({
             "node": df["node"],
-            "label": df[["node", "nbr"]].min(axis=1)}),
+            "label": df[["node", "nbr"]].min(axis=1)})),
         batch_format="pandas") \
         .groupby("node").aggregate(Min("label", alias_name="label"))
 
     to_nbr = edges.map_batches(
-        lambda df: pd.DataFrame({"__k": df["nbr"], "__dst": df["node"]}),
+        lambda df: _arrow(pd.DataFrame({"__k": df["nbr"],
+                                        "__dst": df["node"]})),
         batch_format="pandas")
 
     prev_sum = None
     for _ in range(max_iters):
-        labels = labels.materialize()
+        labels = _as_arrow_blocks(labels).materialize()
         cur = labels.aggregate(_Sum("label", alias_name="s"))["s"]
         if cur == prev_sum:
             return labels.map_batches(
@@ -494,8 +529,8 @@ def neardup_clusters_ds(pairs: ray.data.Dataset, *,
             "__k",
             left_prepare=lambda l: l.drop_duplicates(),
         ).map_batches(
-            lambda df: pd.DataFrame({"node": df["__dst"],
-                                     "label": df["label"]}),
+            lambda df: _arrow(pd.DataFrame({"node": df["__dst"],
+                                            "label": df["label"]})),
             batch_format="pandas")
         labels = labels.union(msgs).groupby("node").aggregate(
             Min("label", alias_name="label"))
@@ -594,9 +629,10 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({id_col: batch[id_col],
-                                 "bucket": pd.Series([], dtype="int64"),
-                                 "unit": pd.Series([], dtype="object")})
+            return pa.table({
+                id_col: pa.array([], _id_type(batch[id_col])),
+                "bucket": pa.array([], pa.int64()),
+                "unit": pa.array([], pa.list_(pa.float64()))})
         mat = np.stack(batch[vec_col].values).astype(np.float64)
         dim = mat.shape[1]
         rng = np.random.RandomState(seed)
@@ -607,11 +643,11 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
-        return pd.DataFrame({
+        return _arrow(pd.DataFrame({
             id_col: batch[id_col].values,
             "bucket": bucket.astype(np.int64),
             "unit": [u.tolist() for u in unit],
-        })
+        }))
 
     bucketed = ds.map_batches(bucketize, batch_format="pandas")
 
@@ -626,7 +662,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
                 "truncated": pd.Series([], dtype="bool")})
 
         if len(g) < 2:
-            return empty()
+            return _arrow(empty())
         mat = np.stack([np.asarray(u) for u in g["unit"]])
         ids = g[id_col].tolist()
         cos = mat @ mat.T
@@ -641,16 +677,16 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
                 out["cosine"].append(float(cos[i, i + 1 + j]))
                 out["truncated"].append(truncated)
         if not out["a"]:
-            return empty()
-        return pd.DataFrame(out)
+            return _arrow(empty())
+        return _arrow(pd.DataFrame(out))
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
-                                                  batch_format="pandas")
+    pairs = _consolidate(bucketed).groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    def combine(g: pd.DataFrame) -> pa.Table:
         out = g.head(1).copy()   # cosine identical across buckets
         out["truncated"] = bool(g["truncated"].any())
-        return out
+        return _arrow(out)
 
-    return pairs.groupby(["a", "b"]).map_groups(combine,
-                                                batch_format="pandas")
+    return _consolidate(pairs).groupby(["a", "b"]).map_groups(
+        combine, batch_format="pandas")

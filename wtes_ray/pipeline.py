@@ -804,8 +804,13 @@ def build_nodes(entities: ray.data.Dataset, *,
     partials = entities.map_batches(stage1, batch_format="pyarrow")
     combined = partials.groupby(["subject", "__salt"]).map_groups(
         stage2, batch_format="pyarrow")
-    return combined.groupby("subject").map_groups(stage3,
-                                                  batch_format="pyarrow")
+    # consolidate between the exchanges: stage2 emits one small block per
+    # (subject, salt) group, and Ray's sort reduce pays per (block ×
+    # partition) slice — class summaries are bounded by distinct urls,
+    # far below the entity rows, so materializing is scale-safe
+    # (SCALING.md "exchange-feeding rules")
+    return combined.materialize().groupby("subject").map_groups(
+        stage3, batch_format="pyarrow")
 
 
 def build_knowledge_graph(input_path: str, out_dir: str, *,

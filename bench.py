@@ -15,6 +15,14 @@ throughputs plus scaling efficiency = thr(16) / (4 · thr(4)) — the sandbox
 stand-in for the N vs 4N cluster-size criterion (BASELINE.md explains the
 level choice and host-noise protocol).
 
+The scaling protocol is interference-aware: a single-thread fixed-work CPU
+probe (sha256 over a fixed buffer, fresh subprocess) runs before and after
+every measured leg. A leg is accepted only if BOTH probes are within 15% of
+the session's calm reference (the fastest probe observed); otherwise the
+host was contended during the window and the leg is re-run (bounded
+retries). Every attempt's probe pair is recorded in the output so rejected
+windows are evidence, not silence.
+
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
 """
@@ -147,8 +155,40 @@ def run_bench(headline_only: bool = False) -> dict:
     return result
 
 
+# Single-thread fixed-work CPU probe: hashes 1 GiB with sha256 in a fresh
+# subprocess (~0.5-1.5 s depending on host calm-ness). Per-core frequency /
+# steal swings on this VM show up directly as probe-time inflation, which is
+# exactly the signal the scaling protocol gates on.
+_PROBE_SRC = (
+    "import time,hashlib\n"
+    "buf = b'\\xa5' * (1 << 20)\n"
+    "h = hashlib.sha256()\n"
+    "t0 = time.perf_counter()\n"
+    "for _ in range(1024):\n"
+    "    h.update(buf)\n"
+    "print(time.perf_counter() - t0)\n"
+)
+
+PROBE_TOL = 1.15  # accept a leg only if both probes <= 1.15 x calm reference
+
+
+def _probe_sec() -> float:
+    out = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                         capture_output=True, text=True, check=True).stdout
+    return float(out.strip())
+
+
 def run_scaling() -> dict:
-    """Fresh-process runs at two parallelism levels on the same input."""
+    """Fresh-process runs at two parallelism levels on the same input.
+
+    Interference-aware (round 3): each measured leg is sandwiched between
+    two single-thread fixed-work probes; the leg is accepted only when both
+    probes are within PROBE_TOL of the calm reference (the minimum probe
+    time seen this session — updated monotonically, with already-accepted
+    legs re-validated when the reference drops). Contended windows are
+    rejected and retried rather than averaged in; every attempt's probe
+    pair is recorded in the output.
+    """
     # pre-generate the cached input at full parallelism so neither measured
     # leg pays (or is perturbed by) first-time generation
     import pyarrow.parquet as pq
@@ -169,11 +209,36 @@ def run_scaling() -> dict:
             env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # two fresh processes per level, keep the faster (host-VM noise is
-        # ±20%; the faster run estimates steady-state throughput)
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
+    # calibrate the calm reference: fastest of 3 probes (monotonically
+    # refined below as more probes run)
+    probe_ref = min(_probe_sec() for _ in range(3))
+    attempts: list[dict] = []
+
+    def run(ncpu: int, want: int = 2, max_tries: int = 6) -> dict:
+        # accept up to `want` probe-clean fresh processes, keep the faster
+        # (the faster clean run estimates steady-state throughput)
+        nonlocal probe_ref
+        accepted: list[tuple[dict, float, float]] = []
+        tried: list[tuple[dict, float, float]] = []
+        while len(accepted) < want and len(tried) < max_tries:
+            p0 = _probe_sec()
+            r = run_once(ncpu)
+            p1 = _probe_sec()
+            probe_ref = min(probe_ref, p0, p1)
+            tried.append((r, p0, p1))
+            # re-validate everything against the (possibly lowered) ref
+            lim = probe_ref * PROBE_TOL
+            accepted = [t for t in tried if t[1] <= lim and t[2] <= lim]
+        lim = probe_ref * PROBE_TOL
+        for r, p0, p1 in tried:
+            attempts.append({
+                "cpus": ncpu, "sec": r["value"],
+                "probe_before": round(p0, 3), "probe_after": round(p1, 3),
+                "accepted": bool(p0 <= lim and p1 <= lim),
+            })
+        # fallback if the host never went calm: least-contended attempt
+        pool = accepted or [min(tried, key=lambda t: max(t[1], t[2]))]
+        return min((t[0] for t in pool), key=lambda r: r["value"])
 
     # N=4 → 4N=16: both levels inside the machine's 16 PHYSICAL cores, so
     # the ratio measures the pipeline's scaling, not hyperthread sharing
@@ -191,6 +256,9 @@ def run_scaling() -> dict:
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "docs_per_sec_lo": thr_lo, "docs_per_sec_hi": thr_hi,
+        "probe_ref_sec": round(probe_ref, 3),
+        "probe_tolerance": PROBE_TOL,
+        "attempts": attempts,
         "n_docs": r_lo["n_docs"],
         "sf": r_lo["sf"],
     }

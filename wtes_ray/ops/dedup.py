@@ -34,8 +34,12 @@ def _arrow(df: pd.DataFrame) -> pa.Table:
     """pandas → Arrow block for stages feeding an exchange (Ray's
     sort-based groupby is ~16× slower on pandas blocks — measured).
     Every block of one dataset must be the SAME type (the sort's boundary
-    sampler asserts homogeneity), so empty early-returns convert too."""
-    return pa.Table.from_pandas(df, preserve_index=False)
+    sampler asserts homogeneity), so empty early-returns convert too.
+    Schema metadata is stripped: from_pandas attaches a b'pandas' dict that
+    makes Schema.__hash__ raise ('Failed to hash the schemas' log spam in
+    Ray's block-schema dedup)."""
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
 
 
 def _as_arrow_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -382,8 +386,10 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def _char_jaccard(ta: str, tb: str, ngram: int) -> float:
-    # true k-shingles: EMPTY set for texts shorter than ngram, so a
-    # missing/empty text verifies at 0.0, never spuriously at 1.0
+    # true k-shingles: EMPTY set for texts shorter than ngram, so an
+    # empty/short text verifies at 0.0, never spuriously at 1.0. (A pair
+    # member whose id is ABSENT from docs never reaches here — the inner
+    # joins in verify_pairs_jaccard drop such pairs; see its docstring.)
     sa = {ta[i:i + ngram] for i in range(len(ta) - ngram + 1)}
     sb = {tb[i:i + ngram] for i in range(len(tb) - ngram + 1)}
     if not sa or not sb:
@@ -403,7 +409,12 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
     (id, text) rows are then attached to the pairs through two bucketed
     hash joins (``hash(id) % num_buckets`` co-partition, ops/joins.py) —
     one for each pair member — and the exact Jaccard runs per joined row.
-    Only candidate texts enter the exchanges, each exactly once per side."""
+    Only candidate texts enter the exchanges, each exactly once per side.
+
+    Contract: pairs whose member id is absent from ``docs`` are DROPPED by
+    the inner joins (they cannot be verified), not returned with
+    jaccard=0.0 — callers passing a threshold of 0.0 to "see everything"
+    still only see pairs whose both texts exist."""
     import ray as _ray
     from .joins import _arrow_schema as _pairs_schema
     from .joins import bucketed_hash_join
@@ -555,8 +566,12 @@ def neardup_clusters(pairs: ray.data.Dataset, *,
     pairs = pairs.materialize()
     if pairs.count() > driver_max_pairs:
         df = neardup_clusters_ds(pairs).to_pandas()
-        return df.astype({"doc_id": "int64", "cluster_id": "int64"}) \
-                 .sort_values("doc_id").reset_index(drop=True)
+        # normalize numeric ids to int64 for a stable driver-facing dtype;
+        # string ids (the extraction pipeline's doc ids) pass through —
+        # neardup_clusters_ds itself is id-type-agnostic
+        if pd.api.types.is_numeric_dtype(df["doc_id"]):
+            df = df.astype({"doc_id": "int64", "cluster_id": "int64"})
+        return df.sort_values("doc_id").reset_index(drop=True)
     parent: dict = {}
 
     def find(x):
@@ -575,9 +590,12 @@ def neardup_clusters(pairs: ray.data.Dataset, *,
                 ra, rb = rb, ra
             parent[rb] = ra
     nodes = sorted({x for r in rows for x in (r["a"], r["b"])})
+    labels = [find(n) for n in nodes]
+    dtype = ("int64" if all(isinstance(n, (int, np.integer))
+                            for n in nodes) else None)
     return pd.DataFrame({
-        "doc_id": pd.Series(nodes, dtype="int64"),
-        "cluster_id": pd.Series([find(n) for n in nodes], dtype="int64"),
+        "doc_id": pd.Series(nodes, dtype=dtype),
+        "cluster_id": pd.Series(labels, dtype=dtype),
     })
 
 

@@ -71,7 +71,8 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
     if all(isinstance(t, pa.DataType) for t in types):
         return pa.schema(list(zip(s.names, types)))
     return pa.Table.from_pandas(
-        ds.limit(1).to_pandas(), preserve_index=False).schema
+        ds.limit(1).to_pandas(), preserve_index=False) \
+        .replace_schema_metadata(None).schema
 
 
 def _unified_schema(ls: pa.Schema, rs: pa.Schema, on: str) -> pa.Schema:
@@ -149,16 +150,22 @@ def bucketed_hash_join(
     def finalize(out: pd.DataFrame) -> pa.Table:
         # pin output types from the unified schema so EMPTY bucket results
         # keep a full Arrow schema (an empty pandas frame would degrade to
-        # schemaless blocks and break chained joins / downstream schema())
+        # schemaless blocks and break chained joins / downstream schema()),
+        # and so left-join NaN padding in int columns becomes Arrow NULLs
+        # in the PINNED type (Array.from_pandas treats NaN as null) — a
+        # per-bucket float64 fallback would hand one Dataset heterogeneous
+        # block schemas and break any downstream groupby/sort/join
         known = [type_of.get(c) for c in out.columns]
         if all(t is not None for t in known):
             try:
-                return pa.Table.from_pandas(
-                    out, schema=pa.schema(list(zip(out.columns, known))),
-                    preserve_index=False)
+                arrays = [pa.Array.from_pandas(out[c], type=t)
+                          for c, t in zip(out.columns, known)]
+                return pa.Table.from_arrays(
+                    arrays, schema=pa.schema(list(zip(out.columns, known))))
             except (pa.ArrowInvalid, pa.ArrowTypeError):
-                pass   # e.g. left-join NaN padding in an int column
-        return pa.Table.from_pandas(out, preserve_index=False)
+                pass   # non-coercible payload: keep the data, infer types
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def join_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g.column(_SIDE), pa.scalar(0, pa.int8()))

@@ -117,9 +117,16 @@ def stopword_stats(ds: ray.data.Dataset, *, text_col: str = "text",
     """Per-doc stopword counting (the Gopher-style quality signal): number
     and fraction of word tokens (``\\w+``, lowercased) that are stopwords
     of ``lang``. Frozenset membership is C-speed per token; the token walk
-    is the irreducible per-row work (same shape as language id)."""
+    is the irreducible per-row work (same shape as language id).
+
+    The token class is pinned to ASCII ``\\w`` (``re.ASCII``) so it means
+    the same thing as the DuckDB/RE2 oracle's ``\\w`` (RE2 is ASCII-only):
+    non-ASCII word characters are token BOUNDARIES on both sides. For the
+    English stopword signal this is the right class anyway — stopwords are
+    ASCII — and it keeps the parity exact on any corpus, not just ASCII
+    ones."""
     stops = _STOPWORDS[lang]
-    word_re = re.compile(r"\w+", re.UNICODE)
+    word_re = re.compile(r"\w+", re.ASCII)
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[text_col].fillna("")

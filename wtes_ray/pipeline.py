@@ -98,7 +98,13 @@ def read_documents(path: str, **kwargs) -> ray.data.Dataset:
                 "install pylance") from e
         return ray.data.read_lance(path, columns=["doc_id", "spans"],
                                    **kwargs)
-    return ray.data.read_parquet(path, columns=["doc_id", "spans"], **kwargs)
+    # strip the b'pandas' schema metadata pandas-written input parquet can
+    # carry — it makes Schema.__hash__ raise, spamming 'Failed to hash the
+    # schemas' warnings from Ray's block-schema dedup (metadata-only
+    # zero-copy map, fuses into the read task)
+    return ray.data.read_parquet(
+        path, columns=["doc_id", "spans"], **kwargs).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
 
 
 def split_and_key(batch: pa.Table, *, num_partitions: int,
@@ -700,7 +706,8 @@ def _batch_dedup_relations(batch: pa.Table) -> pa.Table:
     per 5-tuple within the batch."""
     df = batch.to_pandas()
     df = df.sort_values("doc_id").drop_duplicates(_REL_KEY, keep="first")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
 
 
 def dedup_relations(relations: ray.data.Dataset) -> ray.data.Dataset:

@@ -37,12 +37,47 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Dimension-attach strategy (size-budget cutover): a join side is broadcast
+# (one ray.put dict, read inside every task) only while its row count —
+# taken from the parquet FOOTER, no data read — fits this budget; above it
+# the attach runs through the bucketed hash join (ops/joins.py), which
+# never materializes the side on the driver. ~1M rows ≈ tens of MB of dict
+# per worker heap; dimensions scale with sf, so at the 100 TB design point
+# the join path is the one that runs.
+BROADCAST_ROWS_BUDGET = 1_000_000
+
+
+def _n_rows(sf_dir: str, name: str) -> int:
+    return pq.ParquetFile(_t(sf_dir, name)).metadata.num_rows
+
+
+def _read_pq(path, *, columns: list[str] | None = None,
+             **kwargs) -> rd.Dataset:
+    """``read_parquet`` with an explicit, metadata-free schema (pruned to
+    ``columns``) taken from the parquet FOOTER. pandas-written parquet
+    carries a ``b'pandas'`` schema-metadata dict which makes
+    ``Schema.__hash__`` raise, degrading Ray's block-schema dedup to a
+    'Failed to hash the schemas' warning inside the READ stage itself —
+    passing the clean schema silences it at the source (field-level
+    metadata, e.g. the tensor-extension tag on embeddings, survives)."""
+    p0 = path[0] if isinstance(path, (list, tuple)) else path
+    s = pq.read_schema(p0)
+    if columns is not None:
+        s = pa.schema([s.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns,
+                           schema=s.remove_metadata(), **kwargs)
+
+
 def _arrow(df: pd.DataFrame) -> pa.Table:
     """pandas → Arrow block for any stage FEEDING an exchange: Ray's
     sort-based groupby/aggregate is ~16× slower on pandas blocks than on
     Arrow blocks (measured at sf0.1: 21 s vs 1.3 s for an identical
-    110k-row aggregate), so partial-aggregate outputs convert here."""
-    return pa.Table.from_pandas(df, preserve_index=False)
+    110k-row aggregate), so partial-aggregate outputs convert here.
+    Schema METADATA is stripped: from_pandas attaches a b'pandas' dict that
+    makes Schema.__hash__ raise, degrading Ray's block-schema dedup to a
+    logged warning per unify ('Failed to hash the schemas')."""
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
 
 
 def _for_agg(ds: "rd.Dataset") -> "rd.Dataset":
@@ -64,7 +99,7 @@ def _for_agg(ds: "rd.Dataset") -> "rd.Dataset":
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped grouped aggregate over lineitem (vectorized arrow
     filter + computed columns, hash aggregate, tiny result to pandas)."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = _read_pq(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_linestatus", "l_quantity",
                                   "l_extendedprice", "l_discount", "l_tax",
                                   "l_shipdate"])
@@ -121,38 +156,75 @@ def _topk(df: pd.DataFrame, by: list[str], ascending: list[bool],
     return df.sort_values(by, ascending=ascending).head(k)
 
 
-def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q3-shaped. Scale shape: customer (a TRUE dimension) is the only
-    broadcast; orders and lineitem — the big sides — meet in a bucketed hash
-    join on orderkey (ops/joins.py), with lineitem pre-aggregated to one
-    (orderkey, revenue) partial per batch so the exchange never carries raw
-    line items; the top-10 is per-block top-k then a ≤10×blocks driver
+def q3_shipping_priority(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """TPC-H Q3-shaped. Scale shape: the customer segment filter is a
+    size-budget cutover — broadcast set while customer fits
+    ``broadcast_rows_budget``, bucketed SEMI join on custkey above it (a
+    customer table at the 100 TB design point is not a broadcastable
+    dimension); orders and lineitem — the big sides — meet in a bucketed
+    hash join on orderkey (ops/joins.py), with lineitem pre-aggregated to
+    one (orderkey, revenue) partial per batch so the exchange never carries
+    raw line items; the top-10 is per-block top-k then a ≤10×blocks driver
     finish. Nothing orders/lineitem-sized ever materializes on the driver."""
     from .ops.joins import bucketed_hash_join
     date = pd.Timestamp("1995-03-15")
     cutoff = pa.scalar(date, pa.timestamp("us"))
-    cust = pq.read_table(_t(sf_dir, "customer"),
-                         columns=["c_custkey", "c_mktsegment"])
-    building = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
-        ["c_custkey"].to_pylist())
-    bref = ray.put(building)
 
-    def orders_side(t: pa.Table) -> pa.Table:
-        keys = ray.get(bref)
-        t = t.filter(pc.less(t["o_orderdate"], cutoff))
-        mask = pd.Index(t["o_custkey"].to_numpy(zero_copy_only=False)) \
-                 .isin(keys)
-        t = t.filter(pa.array(mask))
-        return pa.table({"l_orderkey": t["o_orderkey"],
-                         "o_orderdate": t["o_orderdate"],
-                         "o_orderpriority": t["o_orderpriority"]})
+    if _n_rows(sf_dir, "customer") <= broadcast_rows_budget:
+        cust = pq.read_table(_t(sf_dir, "customer"),
+                             columns=["c_custkey", "c_mktsegment"])
+        building = set(
+            cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+            ["c_custkey"].to_pylist())
+        bref = ray.put(building)
 
-    orders_f = rd.read_parquet(
-        _t(sf_dir, "orders"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate",
-                 "o_orderpriority"]) \
-        .map_batches(orders_side, batch_format="pyarrow")
+        def orders_side(t: pa.Table) -> pa.Table:
+            keys = ray.get(bref)
+            t = t.filter(pc.less(t["o_orderdate"], cutoff))
+            mask = pd.Index(t["o_custkey"].to_numpy(zero_copy_only=False)) \
+                     .isin(keys)
+            t = t.filter(pa.array(mask))
+            return pa.table({"l_orderkey": t["o_orderkey"],
+                             "o_orderdate": t["o_orderdate"],
+                             "o_orderpriority": t["o_orderpriority"]})
+
+        orders_f = _read_pq(
+            _t(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"]) \
+            .map_batches(orders_side, batch_format="pyarrow")
+    else:
+        # bucketed semi join: only (custkey) leaves the customer scan
+        def cust_side(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+            return pa.table({"o_custkey": t["c_custkey"]})
+
+        cust_b = _read_pq(_t(sf_dir, "customer"),
+                                 columns=["c_custkey", "c_mktsegment"]) \
+                   .map_batches(cust_side, batch_format="pyarrow")
+
+        def orders_date(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less(t["o_orderdate"], cutoff))
+
+        orders_d = _read_pq(
+            _t(sf_dir, "orders"),
+            columns=["o_custkey", "o_orderkey", "o_orderdate",
+                     "o_orderpriority"]) \
+            .map_batches(orders_date, batch_format="pyarrow")
+        orders_semi = bucketed_hash_join(
+            orders_d, cust_b, "o_custkey", how="semi", num_buckets=32,
+            left_schema=pa.schema([
+                ("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string())]),
+            right_schema=pa.schema([("o_custkey", pa.int64())]))
+        orders_f = orders_semi.map_batches(
+            lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                                "o_orderdate": t["o_orderdate"],
+                                "o_orderpriority": t["o_orderpriority"]}),
+            batch_format="pyarrow")
 
     def li_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], cutoff))
@@ -163,9 +235,10 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         # (batch, key)
         return pa.Table.from_pandas(
             sub.to_pandas().groupby("l_orderkey", as_index=False)
-            ["revenue"].sum(), preserve_index=False)
+            ["revenue"].sum(), preserve_index=False) \
+            .replace_schema_metadata(None)
 
-    li_p = rd.read_parquet(_t(sf_dir, "lineitem"),
+    li_p = _read_pq(_t(sf_dir, "lineitem"),
                            columns=["l_orderkey", "l_extendedprice",
                                     "l_discount", "l_shipdate"]) \
              .map_batches(li_partial, batch_format="pyarrow")
@@ -208,26 +281,62 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 
-def part_brand_qty(sf_dir: str) -> pd.DataFrame:
-    """Broadcast dimension join: part (small) shipped once via ray.put,
-    looked up per batch; grouped sum of quantities by brand."""
-    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
-    brand_of = dict(zip(part["p_partkey"].to_pylist(),
-                        part["p_brand"].to_pylist()))
-    ref = ray.put(brand_of)
-
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+def part_brand_qty(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """Dimension join with a size-budget cutover: part shipped once via
+    ray.put and looked up per batch while it fits ``broadcast_rows_budget``;
+    above it, lineitem's per-batch (partkey, sum_qty, n) partials meet part
+    in a bucketed hash join on partkey — part scales with sf, so the join
+    path is the 100 TB one. Grouped sum of quantities by brand either way."""
+    ds = _read_pq(_t(sf_dir, "lineitem"),
                          columns=["l_partkey", "l_quantity"])
 
-    def add_brand(df: pd.DataFrame) -> pa.Table:
-        lut = ray.get(ref)
-        df["p_brand"] = df["l_partkey"].map(lut)
-        return _arrow(df.groupby("p_brand", as_index=False).agg(
-            sum_qty=("l_quantity", "sum"), n=("l_quantity", "size")))
+    if _n_rows(sf_dir, "part") <= broadcast_rows_budget:
+        part = pq.read_table(_t(sf_dir, "part"),
+                             columns=["p_partkey", "p_brand"])
+        brand_of = dict(zip(part["p_partkey"].to_pylist(),
+                            part["p_brand"].to_pylist()))
+        ref = ray.put(brand_of)
 
-    agg = ds.map_batches(add_brand, batch_format="pandas") \
-            .groupby("p_brand").aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                                          Sum("n", alias_name="n"))
+        def add_brand(df: pd.DataFrame) -> pa.Table:
+            lut = ray.get(ref)
+            df["p_brand"] = df["l_partkey"].map(lut)
+            return _arrow(df.groupby("p_brand", as_index=False).agg(
+                sum_qty=("l_quantity", "sum"), n=("l_quantity", "size")))
+
+        per_brand = ds.map_batches(add_brand, batch_format="pandas")
+    else:
+        from .ops.joins import bucketed_hash_join
+
+        def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("l_partkey", as_index=False).agg(
+                sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+
+        li_p = ds.map_batches(li_partial, batch_format="pandas")
+        part_b = _read_pq(_t(sf_dir, "part"),
+                                 columns=["p_partkey", "p_brand"]) \
+            .map_batches(lambda t: pa.table({"l_partkey": t["p_partkey"],
+                                             "p_brand": t["p_brand"]}),
+                         batch_format="pyarrow")
+        joined = bucketed_hash_join(
+            li_p, part_b, "l_partkey", num_buckets=32,
+            left_prepare=lambda l: l.groupby("l_partkey", as_index=False)
+                                    .agg(sum_qty=("sum_qty", "sum"),
+                                         n=("n", "sum")),
+            left_schema=pa.schema([("l_partkey", pa.int64()),
+                                   ("sum_qty", pa.float64()),
+                                   ("n", pa.int64())]),
+            right_schema=pa.schema([("l_partkey", pa.int64()),
+                                    ("p_brand", pa.string())]))
+        per_brand = joined.map_batches(
+            lambda df: _arrow(df.groupby("p_brand", as_index=False)
+                              .agg(sum_qty=("sum_qty", "sum"),
+                                   n=("n", "sum"))),
+            batch_format="pandas")
+
+    agg = _for_agg(per_brand).groupby("p_brand").aggregate(
+        Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n"))
     df = agg.to_pandas()
     df["sum_qty"] = df["sum_qty"].round(2)
     df["n"] = df["n"].astype("int64")
@@ -243,7 +352,7 @@ GROUP BY p_brand ORDER BY p_brand
 
 
 def orders_priority_count(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority"])
+    ds = _read_pq(_t(sf_dir, "orders"), columns=["o_orderpriority"])
     df = ds.groupby("o_orderpriority").aggregate(
         Count(alias_name="n")).to_pandas()
     df["n"] = df["n"].astype("int64")
@@ -259,7 +368,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling-window aggregate (streaming-shaped workload, ray_guide):
     window key computed vectorized in arrow, then grouped."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _read_pq(_t(sf_dir, "events"),
                          columns=["user_id", "ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
@@ -290,7 +399,7 @@ FROM events GROUP BY 1, 2 ORDER BY user_id, hour_bucket
 def sessionize_events(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-min gap) per user: sort-within-group pandas body
     under ``groupby(user).map_groups`` — the engine's window pattern."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
@@ -322,7 +431,7 @@ GROUP BY user_id ORDER BY user_id
 def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q6-shaped scalar aggregate: fully-vectorized arrow filter +
     per-batch partial sums, one global combine."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = _read_pq(_t(sf_dir, "lineitem"),
                          columns=["l_shipdate", "l_discount", "l_quantity",
                                   "l_extendedprice"])
     lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
@@ -355,39 +464,72 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
-def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q5-shaped. Scale shape: nation ⋈ customer collapse into one
-    custkey→nation dict (true dimensions — broadcast); orders (big) carries
-    that nation name per row and meets lineitem's per-batch (orderkey,
-    revenue) partials in a bucketed hash join; per-bucket partial sums by
-    nation feed a 25-row global combine. The orders-sized orderkey→nation
-    map of round 1 never exists anywhere."""
+def revenue_by_nation(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """TPC-H Q5-shaped. Scale shape: nation (25 rows, a TRUE dimension) is
+    always a broadcast dict; customer gets a size-budget cutover —
+    collapsed into a broadcast custkey→nation dict while it fits
+    ``broadcast_rows_budget``, else orders ⋈ customer run through the
+    bucketed hash join on custkey (only (custkey, n_name) leaves the
+    customer scan). Either way orders carries a nation name per row and
+    meets lineitem's per-batch (orderkey, revenue) partials in a bucketed
+    hash join; per-bucket partial sums by nation feed a 25-row global
+    combine. The orders-sized orderkey→nation map of round 1 never exists
+    anywhere."""
     from .ops.joins import bucketed_hash_join
     nation = pq.read_table(_t(sf_dir, "nation"),
                            columns=["n_nationkey", "n_name"])
     n_name = dict(zip(nation["n_nationkey"].to_pylist(),
                       nation["n_name"].to_pylist()))
-    cust = pq.read_table(_t(sf_dir, "customer"),
-                         columns=["c_custkey", "c_nationkey"])
-    cust_nation = {c: n_name[n] for c, n in
-                   zip(cust["c_custkey"].to_pylist(),
-                       cust["c_nationkey"].to_pylist())}
-    ref = ray.put(cust_nation)
 
-    def orders_side(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(ref)
-        return pd.DataFrame({"l_orderkey": df["o_orderkey"],
-                             "n_name": df["o_custkey"].map(lut)})
+    if _n_rows(sf_dir, "customer") <= broadcast_rows_budget:
+        cust = pq.read_table(_t(sf_dir, "customer"),
+                             columns=["c_custkey", "c_nationkey"])
+        cust_nation = {c: n_name[n] for c, n in
+                       zip(cust["c_custkey"].to_pylist(),
+                           cust["c_nationkey"].to_pylist())}
+        ref = ray.put(cust_nation)
 
-    orders_n = rd.read_parquet(_t(sf_dir, "orders"),
-                               columns=["o_orderkey", "o_custkey"]) \
-                 .map_batches(orders_side, batch_format="pandas")
+        def orders_side(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(ref)
+            return pd.DataFrame({"l_orderkey": df["o_orderkey"],
+                                 "n_name": df["o_custkey"].map(lut)})
+
+        orders_n = _read_pq(_t(sf_dir, "orders"),
+                                   columns=["o_orderkey", "o_custkey"]) \
+                     .map_batches(orders_side, batch_format="pandas")
+    else:
+        # customer too big to broadcast: bucketed join on custkey; only
+        # nation (25 rows) rides along as a broadcast dict
+        nref = ray.put(n_name)
+
+        def cust_side(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(nref)
+            return pd.DataFrame({"o_custkey": df["c_custkey"],
+                                 "n_name": df["c_nationkey"].map(lut)})
+
+        cust_n = _read_pq(_t(sf_dir, "customer"),
+                                 columns=["c_custkey", "c_nationkey"]) \
+                   .map_batches(cust_side, batch_format="pandas")
+        orders_ds = _read_pq(_t(sf_dir, "orders"),
+                                    columns=["o_orderkey", "o_custkey"])
+        orders_n = bucketed_hash_join(
+            orders_ds, cust_n, "o_custkey", num_buckets=32,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())]),
+            right_schema=pa.schema([("o_custkey", pa.int64()),
+                                    ("n_name", pa.string())])) \
+            .map_batches(
+                lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                                    "n_name": t["n_name"]}),
+                batch_format="pyarrow")
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
         return df.groupby("l_orderkey", as_index=False)["revenue"].sum()
 
-    li_p = rd.read_parquet(_t(sf_dir, "lineitem"),
+    li_p = _read_pq(_t(sf_dir, "lineitem"),
                            columns=["l_orderkey", "l_extendedprice",
                                     "l_discount"]) \
              .map_batches(li_partial, batch_format="pandas")
@@ -425,7 +567,7 @@ def top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
     customer first (top-2 of the union of per-batch top-2s = the global
     top-2), so the groupby exchange carries ≤ 2·blocks rows per customer
     instead of every order."""
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
+    ds = _read_pq(_t(sf_dir, "orders"),
                          columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
     def local_top2(df: pd.DataFrame) -> pa.Table:
@@ -470,7 +612,7 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
     yields sum_k = 0 where SQL SUM gives NULL (unreachable on the seeded
     corpus; int64 output column keeps the driver compare well-typed)."""
     import json as _json
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _read_pq(_t(sf_dir, "events"),
                          columns=["event_type", "props"])
 
     def _k_of(s) -> float:
@@ -509,7 +651,7 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     """COUNT(DISTINCT …): per-batch pair dedup (partial) → pair-level
     aggregate (one row per unique pair, no per-group Python callbacks) →
     grouped count. Both exchanges carry unique pairs / pair-counts only."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _read_pq(_t(sf_dir, "events"),
                          columns=["event_type", "user_id"])
     pre = ds.map_batches(
         lambda df: _arrow(df.drop_duplicates(["event_type", "user_id"])),
@@ -535,9 +677,9 @@ def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
     ``right_prepare``); the round-1 driver-materialized lineitem key set is
     gone. Per-bucket priority counts feed a 5-row global combine."""
     from .ops.joins import bucketed_hash_join
-    orders = rd.read_parquet(_t(sf_dir, "orders"),
+    orders = _read_pq(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderpriority"])
-    li_keys = rd.read_parquet(_t(sf_dir, "lineitem"),
+    li_keys = _read_pq(_t(sf_dir, "lineitem"),
                               columns=["l_orderkey"]) \
         .map_batches(lambda df: pd.DataFrame(
             {"o_orderkey": df["l_orderkey"].unique()}),
@@ -573,7 +715,7 @@ def last_click_before_purchase(sf_dir: str) -> pd.DataFrame:
     for each purchase, the most recent prior click by the same user —
     sort-within-group + ``pd.merge_asof`` under ``groupby(user)``.
     Purchases with no prior click are dropped (NULL-free compare)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _read_pq(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "event_type", "ts"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
@@ -619,7 +761,7 @@ def clicks_before_purchase_1h(sf_dir: str) -> pd.DataFrame:
     interval predicate resolved per group with a vectorized double
     ``searchsorted`` over the sorted click timestamps — no per-row loops,
     no cross-user data movement beyond the one groupby."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _read_pq(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "event_type", "ts"])
 
     def count_window(g: pd.DataFrame) -> pd.DataFrame:
@@ -659,7 +801,7 @@ def events_sliding_window(sf_dir: str) -> pd.DataFrame:
     exploded to its two covering windows inside ``map_batches`` (vectorized),
     then a grouped combine — the window assignment stays embarrassingly
     parallel, only (key, window) partials shuffle."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "value"])
     W, S = 3_600_000_000, 1_800_000_000  # 1 h window, 30 min slide (µs)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -817,7 +959,7 @@ def q14_promo_revenue_ratio(sf_dir: str) -> pd.DataFrame:
     lo = pa.scalar(pd.Timestamp("1996-03-01"), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("1996-04-01"), pa.timestamp("us"))
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = _read_pq(_t(sf_dir, "lineitem"),
                          columns=["l_partkey", "l_extendedprice",
                                   "l_discount", "l_shipdate"])
 
@@ -858,17 +1000,13 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     Scale shape: lineitem's R-filtered per-batch (orderkey, revenue)
     partials meet orders' (orderkey, custkey) projection in a bucketed hash
     join; per-bucket custkey partials feed a customer-sized global groupby,
-    then per-block top-k with a ≤20×blocks driver finish. Only customer
-    (a true dimension) is driver-read, for the final name/acctbal attach."""
+    then per-block top-k with a ≤20×blocks driver finish. The final
+    name/acctbal attach reads customer with a custkey pushdown filter —
+    only row groups that can contain the 20 winners are ever decoded, so
+    no customer-sized structure exists anywhere at any sf."""
     from .ops.joins import bucketed_hash_join
-    cust = pq.read_table(_t(sf_dir, "customer"),
-                         columns=["c_custkey", "c_name", "c_acctbal"])
-    cust_info = {k: (n, b) for k, n, b in
-                 zip(cust["c_custkey"].to_pylist(),
-                     cust["c_name"].to_pylist(),
-                     cust["c_acctbal"].to_pylist())}
 
-    orders_k = rd.read_parquet(_t(sf_dir, "orders"),
+    orders_k = _read_pq(_t(sf_dir, "orders"),
                                columns=["o_orderkey", "o_custkey"]) \
         .map_batches(lambda df: pd.DataFrame(
             {"l_orderkey": df["o_orderkey"], "c_custkey": df["o_custkey"]}),
@@ -879,7 +1017,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
         return df.groupby("l_orderkey", as_index=False)["revenue"].sum()
 
-    li_p = rd.read_parquet(_t(sf_dir, "lineitem"),
+    li_p = _read_pq(_t(sf_dir, "lineitem"),
                            columns=["l_orderkey", "l_returnflag",
                                     "l_extendedprice", "l_discount"]) \
              .map_batches(li_partial, batch_format="pandas")
@@ -905,6 +1043,14 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
 
     df = _topk(agg.map_batches(block_topk, batch_format="pandas")
                .to_pandas(), ["revenue", "c_custkey"], [False, True], 20)
+    winners = [int(k) for k in df["c_custkey"]]
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_acctbal"],
+                         filters=[("c_custkey", "in", winners)])
+    cust_info = {k: (n, b) for k, n, b in
+                 zip(cust["c_custkey"].to_pylist(),
+                     cust["c_name"].to_pylist(),
+                     cust["c_acctbal"].to_pylist())}
     df["c_name"] = df["c_custkey"].map(lambda k: cust_info[k][0])
     df["c_acctbal"] = df["c_custkey"].map(lambda k: round(cust_info[k][1], 2))
     df["c_custkey"] = df["c_custkey"].astype("int64")
@@ -928,7 +1074,7 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 # ---------------------------------------------------------------------------
 
 def lang_count(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang"])
     df = ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
     df["n"] = df["n"].astype("int64")
     return df.sort_values("lang").reset_index(drop=True)
@@ -939,7 +1085,7 @@ LANG_COUNT_SQL = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER 
 
 def doc_token_stats(sf_dir: str):
     from .ops.text import token_stats
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return token_stats(ds)
 
 
@@ -953,7 +1099,7 @@ FROM documents
 
 def doc_fingerprints(sf_dir: str):
     from .ops.text import fingerprints
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return fingerprints(ds).select_columns(["doc_id", "fp_md5"])
 
 
@@ -962,7 +1108,7 @@ DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
 
 def stopword_stats_docs(sf_dir: str):
     from .ops.text import stopword_stats
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     df = stopword_stats(ds).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -989,7 +1135,7 @@ FROM base ORDER BY doc_id
 
 def quality_scores(sf_dir: str) -> pd.DataFrame:
     from .ops.text import TextScorer
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(TextScorer, batch_format="pandas",
                          concurrency=(1, 8))
     df = out.to_pandas()[["doc_id", "n_tokens", "punct_ratio", "digit_ratio",
@@ -1016,7 +1162,7 @@ FROM base ORDER BY doc_id
 def lang_id_scores(sf_dir: str) -> pd.DataFrame:
     """Heuristic language id (no SQL oracle — lexicon heuristic)."""
     from .ops.text import TextScorer
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(TextScorer, batch_format="pandas",
                          concurrency=(1, 8))
     return out.to_pandas()[["doc_id", "lang_id"]] \
@@ -1029,7 +1175,7 @@ def lang_id_scores(sf_dir: str) -> pd.DataFrame:
 
 def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
     from .ops.dedup import exact_dedup
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return exact_dedup(ds).to_pandas().sort_values("doc_id") \
                           .reset_index(drop=True)
 
@@ -1040,16 +1186,29 @@ FROM documents GROUP BY text ORDER BY doc_id
 """
 
 
+def _sorted_head(path: str, key: str, columns: list[str],
+                 n: int) -> pa.Table:
+    """First ``n`` rows by ``key`` WITHOUT a driver-side full-table read:
+    per-block local head (partial top-k inside map_batches), then a global
+    sort over only the ≤ n-per-block survivors; exactly ``n`` rows ever
+    reach the driver. (The SQL oracles express this as ORDER BY key
+    LIMIT n, so the result must not depend on parquet file order.)"""
+    ds = _read_pq(path, columns=columns)
+
+    def local_head(t: pa.Table) -> pa.Table:
+        return t.sort_by(key).slice(0, n)
+
+    return ds.map_batches(local_head, batch_format="pyarrow") \
+             .sort(key).limit(n).take_batch(n, batch_format="pyarrow")
+
+
 def _docs_with_planted_dups(sf_dir: str):
     """documents ∪ copies of the first 20 docs (doc_id + 10**12) so the
     near-dup operators have guaranteed positives at every sf (the sf tables
     themselves are all-distinct word soup)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    # sort before slicing: the SQL oracles plant ORDER BY doc_id LIMIT 20,
-    # so the Ray side must not depend on parquet file order
-    head = pq.read_table(_t(sf_dir, "documents"),
-                         columns=["doc_id", "text"]) \
-             .sort_by("doc_id").slice(0, 20)
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    head = _sorted_head(_t(sf_dir, "documents"), "doc_id",
+                        ["doc_id", "text"], 20)
     dup = pa.table({
         "doc_id": pc.add(head["doc_id"], pa.scalar(10**12)),
         "text": head["text"]})
@@ -1085,11 +1244,10 @@ def jaccard_verified_neardup_docs(sf_dir: str) -> pd.DataFrame:
 
 def embedding_neardup(sf_dir: str) -> pd.DataFrame:
     from .ops.dedup import embedding_neardup_pairs
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = _read_pq(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    head = pq.read_table(_t(sf_dir, "embeddings"),
-                         columns=["vec_id", "embedding"]) \
-             .sort_by("vec_id").slice(0, 10)   # match ORDER BY vec_id
+    head = _sorted_head(_t(sf_dir, "embeddings"), "vec_id",
+                        ["vec_id", "embedding"], 10)
     dup = pa.table({"vec_id": pc.add(head["vec_id"], pa.scalar(10**12)),
                     "embedding": head["embedding"]})
     pairs = embedding_neardup_pairs(ds.union(rd.from_arrow(dup)),
@@ -1115,11 +1273,10 @@ def embedding_neardup_planted(sf_dir: str) -> pd.DataFrame:
     SQL-checkable against an exhaustive cross-join (the oracle's O(n²) is
     fine at gate scale; the Ray side stays bucketed)."""
     from .ops.dedup import embedding_neardup_pairs
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = _read_pq(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    head = pq.read_table(_t(sf_dir, "embeddings"),
-                         columns=["vec_id", "embedding"]) \
-             .sort_by("vec_id").slice(0, 10)   # match ORDER BY vec_id
+    head = _sorted_head(_t(sf_dir, "embeddings"), "vec_id",
+                        ["vec_id", "embedding"], 10)
     dup = pa.table({"vec_id": pc.add(head["vec_id"], pa.scalar(10**12)),
                     "embedding": head["embedding"]})
     pairs = embedding_neardup_pairs(ds.union(rd.from_arrow(dup)),
@@ -1168,15 +1325,16 @@ ORDER BY a, b
 # ---------------------------------------------------------------------------
 
 def _query_vec(sf_dir: str) -> np.ndarray:
-    t = pq.read_table(_t(sf_dir, "embeddings"),
-                      columns=["vec_id", "embedding"])
-    idx = t["vec_id"].to_pylist().index(0)
-    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+    # row-group/predicate pushdown: only fragments that can contain
+    # vec_id=0 are decoded — never the full embeddings table
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"],
+                      filters=[("vec_id", "==", 0)])
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
 def topk_cosine_bruteforce(sf_dir: str) -> pd.DataFrame:
     from .ops.similarity import topk_cosine
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = _read_pq(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     df = topk_cosine(ds, _query_vec(sf_dir), k=10).to_pandas()
     df["cosine"] = df["cosine"].round(6)
@@ -1199,27 +1357,77 @@ LIMIT 10
 def topk_cosine_lsh(sf_dir: str) -> pd.DataFrame:
     """Approximate variant (rows-only check: recall < 1 by design)."""
     from .ops.similarity import lsh_topk_cosine
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = _read_pq(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     df = lsh_topk_cosine(ds, _query_vec(sf_dir), k=10, probe=2).to_pandas()
     df["cosine"] = df["cosine"].round(6)
     return df.reset_index(drop=True)
 
 
-def topk_cosine_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF-probe approximate variant (rows-only check: recall < 1 by
-    design; see ops/similarity.py IVF family)."""
-    from .ops.similarity import ivf_topk_cosine
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+def topk_cosine_lsh_full_probe(sf_dir: str) -> pd.DataFrame:
+    """LSH ANN at ``probe == planes``: every signature is within Hamming ≤
+    planes of the query's, so the candidate filter keeps ALL rows and the
+    pipeline must equal brute force exactly — which makes the whole
+    signature→filter→score→top-k composition SQL-checkable
+    (TOPK_COSINE_SQL)."""
+    from .ops.similarity import lsh_topk_cosine
+    ds = _read_pq(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    df = ivf_topk_cosine(ds, _query_vec(sf_dir), k=10,
-                         n_centroids=16, nprobe=4).to_pandas()
+    df = lsh_topk_cosine(ds, _query_vec(sf_dir), k=10,
+                         planes=10, probe=10).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+_IVF_N_CENTROIDS = 16
+
+
+def _ivf_index(sf_dir: str) -> str:
+    """Build-once (cached under /tmp, keyed on sf tag + row count +
+    n_centroids) IVF index over the embeddings table: train → assign →
+    write hive-partitioned by ``centroid_id``. Returns the index dir."""
+    from .ops.similarity import build_ivf_index
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n_rows = pq.ParquetFile(_t(sf_dir, "embeddings")).metadata.num_rows
+    cache = f"/tmp/wtes_cache/ivf-{tag}-{n_rows}-c{_IVF_N_CENTROIDS}"
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil as _shutil
+        _shutil.rmtree(cache, ignore_errors=True)
+        ds = _read_pq(_t(sf_dir, "embeddings"),
+                             columns=["vec_id", "embedding"])
+        build_ivf_index(ds, cache, n_centroids=_IVF_N_CENTROIDS)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    return cache
+
+
+def topk_cosine_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-probe ANN on the SCALE path: the corpus is written partitioned
+    by ``centroid_id`` (build-once index) and the search reads ONLY the
+    nprobe probed partition directories — non-probed lists never leave
+    storage. Rows-only check (recall < 1 by design at nprobe=4); the
+    full-probe variant below is the hash-checked exactness witness."""
+    from .ops.similarity import ivf_search_index
+    df = ivf_search_index(_ivf_index(sf_dir), _query_vec(sf_dir), k=10,
+                          nprobe=4).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+def topk_cosine_ivf_full_probe(sf_dir: str) -> pd.DataFrame:
+    """IVF at ``nprobe == n_centroids``: every list is probed, so the
+    index path (train → assign → partitioned write → pruned read → top-k)
+    must equal brute force exactly — SQL-checkable (TOPK_COSINE_SQL)."""
+    from .ops.similarity import ivf_search_index
+    df = ivf_search_index(_ivf_index(sf_dir), _query_vec(sf_dir), k=10,
+                          nprobe=_IVF_N_CENTROIDS).to_pandas()
     df["cosine"] = df["cosine"].round(6)
     return df.reset_index(drop=True)
 
 
 def embedding_label_count(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label"])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["label"])
     df = ds.groupby("label").aggregate(Count(alias_name="n")).to_pandas()
     df["n"] = df["n"].astype("int64")
     return df.sort_values("label").reset_index(drop=True)
@@ -1322,7 +1530,7 @@ def extract_flagship_documents(sf_dir: str) -> pd.DataFrame:
     §4); plain text yields empty span sequences, proving the quarantine-free
     pass-through."""
     from .pipeline import ExtractChunks
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def adapt(t: pa.Table) -> pa.Table:
         ids = [str(d) for d in t.column("doc_id").to_pylist()]
@@ -1350,7 +1558,7 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthetic payloads → actor-pool decode →
     features (rows-only: payloads are seeded fakes)."""
     from .ops.multimodal import media_feature_pipeline
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
     out = media_feature_pipeline(ds, concurrency=(1, 4))
     df = out.select_columns(["doc_id", "media_ref", "width", "height",
                              "channels", "decoded"]).to_pandas()
@@ -1362,7 +1570,7 @@ def media_video_frames(sf_dir: str) -> pd.DataFrame:
     decode (rows-only: payloads are seeded fakes). One row per sampled
     frame; all frames resized to 8×8 and decodable."""
     from .ops.multimodal import video_frame_pipeline
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
     out = video_frame_pipeline(ds, stride=4, target=8, concurrency=(1, 4))
     df = out.to_pandas()
     return df.sort_values(["doc_id", "frame_index"]).reset_index(drop=True)
@@ -1372,7 +1580,7 @@ def media_audio_features(sf_dir: str) -> pd.DataFrame:
     """Audio modality plumbing: synthetic PCM payloads → actor-pool
     features (rows-only: payloads are seeded fakes)."""
     from .ops.multimodal import audio_feature_pipeline
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
     out = audio_feature_pipeline(ds, concurrency=(1, 4))
     df = out.to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -1429,7 +1637,11 @@ REGISTRY: dict = {
                                    SIMHASH_EXACT_SQL),
     "topk_cosine_bruteforce": (topk_cosine_bruteforce, TOPK_COSINE_SQL),
     "topk_cosine_lsh": (topk_cosine_lsh, None),
+    "topk_cosine_lsh_full_probe": (topk_cosine_lsh_full_probe,
+                                   TOPK_COSINE_SQL),
     "topk_cosine_ivf": (topk_cosine_ivf, None),
+    "topk_cosine_ivf_full_probe": (topk_cosine_ivf_full_probe,
+                                   TOPK_COSINE_SQL),
     "embedding_label_count": (embedding_label_count, EMB_LABEL_SQL),
     "extract_spans_synthetic": (extract_spans_synthetic, None),
     "extract_relations_dedup": (extract_relations_dedup, None),

@@ -80,9 +80,21 @@ def er_to_chart(entities: list, relations: list,
                       "value": [_dump_props(dict(props))]})
         url2name[url] = name
     links = []
-    for (s_name, _s_url), rel, (o_name, _o_url) in relations:
-        links.append({"source": str(s_name), "target": str(o_name),
+    # changeRList2linkList (tableExtractor.py:585-609): endpoints whose url
+    # was already seen are canonicalized through url2name, so links attach
+    # to the deduped node; then url→name is recorded unconditionally (the
+    # reference records even blank urls — reproduced exactly).
+    for (s_name, s_url), rel, (o_name, o_url) in relations:
+        s_name, o_name = str(s_name), str(o_name)
+        s_url, o_url = str(s_url), str(o_url)
+        if len(s_url.strip()) != 0 and s_url in url2name:
+            s_name = url2name[s_url]
+        if len(o_url.strip()) != 0 and o_url in url2name:
+            o_name = url2name[o_url]
+        links.append({"source": s_name, "target": o_name,
                       "value": str(rel)})
+        url2name[s_url] = s_name
+        url2name[o_url] = o_name
     return {"nodes": nodes, "links": links}
 
 

@@ -49,14 +49,25 @@ def _as_arrow_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
 
-def _consolidate(ds: ray.data.Dataset) -> ray.data.Dataset:
+def _consolidate(ds: ray.data.Dataset, *,
+                 min_rows_per_block: int = 20_000) -> ray.data.Dataset:
     """Consolidate a small pre-reduced dataset before a groupby: Ray's
     sort reduce merges one slice per (input block × partition), so MANY
     small blocks (e.g. one per LSH bucket) make per-slice overhead
-    dominate (queries._for_agg documents the measurement). The datasets
-    here are signature/pair-sized — orders of magnitude below the
-    corpus — so materializing is scale-safe."""
-    return ds.materialize()
+    dominate (queries._for_agg documents the measurement). On top of the
+    materialize, tiny blocks COALESCE to ~``min_rows_per_block`` rows
+    each (65 blocks × 1.2k rows → 2.0 s noop exchange; 16 blocks →
+    0.39 s, measured — the sort's slice count is blocks × partitions).
+    The target grows with row count, so a genuinely large input keeps
+    its parallelism. The datasets here are signature/pair-sized —
+    orders of magnitude below the corpus — so materializing is
+    scale-safe."""
+    ds = ds.materialize()
+    n, b = ds.count(), ds.num_blocks()
+    target = max(8, -(-n // min_rows_per_block))   # ceil, floor of 8
+    if b > target:
+        ds = ds.repartition(target).materialize()
+    return ds
 
 
 def _id_type(series: pd.Series) -> pa.DataType:
@@ -64,6 +75,44 @@ def _id_type(series: pd.Series) -> pa.DataType:
     column would infer as null and clash with non-empty blocks)."""
     t = pa.Array.from_pandas(series.iloc[:0]).type
     return pa.string() if pa.types.is_null(t) else t
+
+
+def _grouped_exchange(ds: ray.data.Dataset, bucket_key: str, block_fn, *,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """A fine-grained ``groupby(keys).map_groups(fn)`` re-expressed as a
+    BUCKETED exchange + per-bucket pandas pass.
+
+    Rows co-partition by a stable hash of ``bucket_key`` into
+    ``num_buckets`` coarse groups (``pd.util.hash_pandas_object`` — fixed
+    SipHash key, deterministic across processes), so every fine group is
+    fully contained in one bucket and ``block_fn`` handles the per-group
+    work vectorized inside it. This replaces Ray's one-Python-callback-
+    per-group ``map_groups`` dispatch — measured ~50 µs of scheduling +
+    slice overhead per group, i.e. ~4 s of pure overhead for a no-op over
+    the 80k (band, band_hash) groups of a 5k-doc MinHash corpus — with
+    ``num_buckets`` callbacks total. Size ``num_buckets`` so one bucket's
+    rows fit a worker's heap (rows/num_buckets ~ a normal batch); it
+    should grow with the corpus."""
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_pandas_object(df[bucket_key], index=False)
+        df["__bucket"] = (h % num_buckets).astype("int64")
+        return _arrow(df)
+
+    def run(g: pd.DataFrame) -> pa.Table:
+        return block_fn(g.drop(columns="__bucket"))
+
+    return ds.map_batches(tag, batch_format="pandas") \
+             .groupby("__bucket").map_groups(run, batch_format="pandas")
+
+
+def _combine_pairs_block(g: pd.DataFrame, val_col: str) -> pa.Table:
+    """Per-bucket (a, b) pair dedup: ``val_col`` is identical across a
+    pair's duplicate rows (computed from the full signatures/vectors, not
+    the band), ``truncated`` is per-source-bucket so any-True wins."""
+    out = g.sort_values(["a", "b"]).groupby(["a", "b"], as_index=False) \
+           .agg(**{val_col: (val_col, "first"), "truncated": ("truncated", "any")})
+    return _arrow(out)
 
 _U64 = np.uint64
 _MERSENNE = _U64((1 << 61) - 1)
@@ -216,48 +265,48 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].tolist()
-        if len(ids) < 2:
+    def pairs_block(g: pd.DataFrame) -> pa.Table:
+        # one hash BUCKET of (band, band_hash) groups; singleton groups —
+        # the overwhelming majority — drop in one vectorized pass
+        g = g[g.duplicated(["band", "band_hash"], keep=False)]
+        out = {"a": [], "b": [], "est_jaccard": [], "truncated": []}
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            truncated = len(grp) > max_bucket
+            # sort before truncating: Ray's exchange does not guarantee
+            # stable within-group row order, so an order-based cut would
+            # make the SURVIVING candidates (not just the flag) vary run
+            # to run
+            grp = grp.sort_values(id_col).iloc[:max_bucket]
+            sigs = np.stack([np.asarray(s, dtype=np.int64)
+                             for s in grp["sig"]])
+            ids = grp[id_col].tolist()
+            for i in range(len(ids)):
+                est = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+                for j_off, e in enumerate(est):
+                    if e >= threshold:
+                        x, y = ids[i], ids[i + 1 + j_off]
+                        if x == y:
+                            continue
+                        a, b = (x, y) if x < y else (y, x)
+                        out["a"].append(a)
+                        out["b"].append(b)
+                        out["est_jaccard"].append(float(e))
+                        out["truncated"].append(truncated)
+        if not out["a"]:
             return _arrow(pd.DataFrame(
                 {"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0],
                  "est_jaccard": pd.Series([], dtype="float64"),
                  "truncated": pd.Series([], dtype="bool")}))
-        truncated = len(ids) > max_bucket
-        # sort before truncating: Ray's groupby does not guarantee stable
-        # within-group row order, so an order-based cut would make the
-        # SURVIVING candidates (not just the flag) vary run to run
-        g = g.sort_values(id_col).iloc[:max_bucket]
-        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]])
-        ids = g[id_col].tolist()
-        out = {"a": [], "b": [], "est_jaccard": [], "truncated": []}
-        for i in range(len(ids)):
-            est = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            for j_off, e in enumerate(est):
-                if e >= threshold:
-                    x, y = ids[i], ids[i + 1 + j_off]
-                    if x == y:
-                        continue
-                    a, b = (x, y) if x < y else (y, x)
-                    out["a"].append(a)
-                    out["b"].append(b)
-                    out["est_jaccard"].append(float(e))
-                    out["truncated"].append(truncated)
         return _arrow(pd.DataFrame(out))
 
-    pairs = _consolidate(exploded).groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    # bucket on band_hash alone: equal band_hash ⇒ same bucket, so every
+    # (band, band_hash) group is fully contained in its bucket
+    pairs = _grouped_exchange(_consolidate(exploded), "band_hash",
+                              pairs_block)
 
-    def combine(g: pd.DataFrame) -> pa.Table:
-        # deterministic pair combine: est_jaccard is identical across bands
-        # (computed from the full signatures); `truncated` is per-bucket, so
-        # any-True wins regardless of which band's row arrives first
-        out = g.head(1).copy()
-        out["truncated"] = bool(g["truncated"].any())
-        return _arrow(out)
-
-    return _consolidate(pairs).groupby(["a", "b"]).map_groups(
-        combine, batch_format="pandas")
+    return _grouped_exchange(
+        _consolidate(pairs), "a",
+        lambda g: _combine_pairs_block(g, "est_jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -342,24 +391,26 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_block(g: pd.DataFrame) -> pa.Table:
+        g = g[g.duplicated(["band", "band_hash"], keep=False)]
         out = {"a": [], "b": [], "hamming": [], "truncated": []}
-        truncated = len(g) > max_bucket
-        g = g.sort_values(id_col).iloc[:max_bucket]   # deterministic cut
-        sh = g["simhash"].values.view(np.uint64)
-        ids = g[id_col].tolist()
-        for i in range(len(ids)):
-            x = sh[i + 1:] ^ sh[i]
-            ham = np.fromiter((bin(int(v)).count("1") for v in x),
-                              dtype=np.int64, count=len(x))
-            for j_off in np.nonzero(ham <= max_hamming)[0]:
-                if ids[i] == ids[i + 1 + j_off]:
-                    continue
-                a, b = sorted((ids[i], ids[i + 1 + j_off]))
-                out["a"].append(a)
-                out["b"].append(b)
-                out["hamming"].append(int(ham[j_off]))
-                out["truncated"].append(truncated)
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            truncated = len(grp) > max_bucket
+            grp = grp.sort_values(id_col).iloc[:max_bucket]  # determ. cut
+            sh = grp["simhash"].values.view(np.uint64)
+            ids = grp[id_col].tolist()
+            for i in range(len(ids)):
+                x = sh[i + 1:] ^ sh[i]
+                ham = np.fromiter((bin(int(v)).count("1") for v in x),
+                                  dtype=np.int64, count=len(x))
+                for j_off in np.nonzero(ham <= max_hamming)[0]:
+                    if ids[i] == ids[i + 1 + j_off]:
+                        continue
+                    a, b = sorted((ids[i], ids[i + 1 + j_off]))
+                    out["a"].append(a)
+                    out["b"].append(b)
+                    out["hamming"].append(int(ham[j_off]))
+                    out["truncated"].append(truncated)
         if not out["a"]:
             return _arrow(pd.DataFrame(
                 {"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0],
@@ -369,16 +420,12 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
         df["hamming"] = df["hamming"].astype("int64")
         return _arrow(df)
 
-    pairs = _consolidate(exploded).groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = _grouped_exchange(_consolidate(exploded), "band_hash",
+                              pairs_block)
 
-    def combine(g: pd.DataFrame) -> pa.Table:
-        out = g.head(1).copy()   # hamming identical across bands
-        out["truncated"] = bool(g["truncated"].any())
-        return _arrow(out)
-
-    return _consolidate(pairs).groupby(["a", "b"]).map_groups(
-        combine, batch_format="pandas")
+    return _grouped_exchange(
+        _consolidate(pairs), "a",
+        lambda g: _combine_pairs_block(g, "hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -669,42 +716,34 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
 
     bucketed = ds.map_batches(bucketize, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        truncated = len(g) > max_bucket
-        g = g.sort_values(id_col).iloc[:max_bucket]   # deterministic cut
-
-        def empty() -> pd.DataFrame:
-            return pd.DataFrame({
+    def pairs_block(g: pd.DataFrame) -> pa.Table:
+        out = {"a": [], "b": [], "cosine": [], "truncated": []}
+        g2 = g[g.duplicated("bucket", keep=False)]
+        for _, grp in g2.groupby("bucket", sort=False):
+            truncated = len(grp) > max_bucket
+            grp = grp.sort_values(id_col).iloc[:max_bucket]  # determ. cut
+            mat = np.stack([np.asarray(u) for u in grp["unit"]])
+            ids = grp[id_col].tolist()
+            cos = mat @ mat.T
+            for i in range(len(ids)):
+                for j in np.nonzero(cos[i, i + 1:] >= threshold)[0]:
+                    a, b = sorted((ids[i], ids[i + 1 + j]))
+                    if a == b:
+                        continue
+                    out["a"].append(a)
+                    out["b"].append(b)
+                    out["cosine"].append(float(cos[i, i + 1 + j]))
+                    out["truncated"].append(truncated)
+        if not out["a"]:
+            return _arrow(pd.DataFrame({
                 "a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0],
                 "cosine": pd.Series([], dtype="float64"),
-                "truncated": pd.Series([], dtype="bool")})
-
-        if len(g) < 2:
-            return _arrow(empty())
-        mat = np.stack([np.asarray(u) for u in g["unit"]])
-        ids = g[id_col].tolist()
-        cos = mat @ mat.T
-        out = {"a": [], "b": [], "cosine": [], "truncated": []}
-        for i in range(len(ids)):
-            for j in np.nonzero(cos[i, i + 1:] >= threshold)[0]:
-                a, b = sorted((ids[i], ids[i + 1 + j]))
-                if a == b:
-                    continue
-                out["a"].append(a)
-                out["b"].append(b)
-                out["cosine"].append(float(cos[i, i + 1 + j]))
-                out["truncated"].append(truncated)
-        if not out["a"]:
-            return _arrow(empty())
+                "truncated": pd.Series([], dtype="bool")}))
         return _arrow(pd.DataFrame(out))
 
-    pairs = _consolidate(bucketed).groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = _grouped_exchange(_consolidate(bucketed), "bucket",
+                              pairs_block)
 
-    def combine(g: pd.DataFrame) -> pa.Table:
-        out = g.head(1).copy()   # cosine identical across buckets
-        out["truncated"] = bool(g["truncated"].any())
-        return _arrow(out)
-
-    return _consolidate(pairs).groupby(["a", "b"]).map_groups(
-        combine, batch_format="pandas")
+    return _grouped_exchange(
+        _consolidate(pairs), "a",
+        lambda g: _combine_pairs_block(g, "cosine"))

@@ -1189,17 +1189,21 @@ FROM documents GROUP BY text ORDER BY doc_id
 def _sorted_head(path: str, key: str, columns: list[str],
                  n: int) -> pa.Table:
     """First ``n`` rows by ``key`` WITHOUT a driver-side full-table read:
-    per-block local head (partial top-k inside map_batches), then a global
-    sort over only the ≤ n-per-block survivors; exactly ``n`` rows ever
-    reach the driver. (The SQL oracles express this as ORDER BY key
-    LIMIT n, so the result must not depend on parquet file order.)"""
+    per-block local head (partial top-k inside map_batches), then a driver
+    finish over only the ≤ n-per-block survivors — bounded by block count,
+    never data size (the q10 top-k pattern; a full Ray ``sort()`` here
+    costs an all-to-all exchange, ~2 s of overhead for a 20-row result).
+    (The SQL oracles express this as ORDER BY key LIMIT n, so the result
+    must not depend on parquet file order.)"""
     ds = _read_pq(path, columns=columns)
 
     def local_head(t: pa.Table) -> pa.Table:
         return t.sort_by(key).slice(0, n)
 
-    return ds.map_batches(local_head, batch_format="pyarrow") \
-             .sort(key).limit(n).take_batch(n, batch_format="pyarrow")
+    parts = ray.get(
+        ds.map_batches(local_head, batch_format="pyarrow").to_arrow_refs())
+    return pa.concat_tables([p for p in parts if p.num_rows]) \
+             .sort_by(key).slice(0, n)
 
 
 def _docs_with_planted_dups(sf_dir: str):

@@ -94,15 +94,18 @@ def _grouped_exchange(ds: ray.data.Dataset, bucket_key: str, block_fn, *,
     rows fit a worker's heap (rows/num_buckets ~ a normal batch); it
     should grow with the corpus."""
 
-    def tag(df: pd.DataFrame) -> pa.Table:
-        h = pd.util.hash_pandas_object(df[bucket_key], index=False)
-        df["__bucket"] = (h % num_buckets).astype("int64")
-        return _arrow(df)
+    def tag(t: pa.Table) -> pa.Table:
+        # arrow-native: only the KEY column converts for hashing — the
+        # batch itself is never round-tripped through pandas
+        s = t.column(bucket_key).to_pandas()
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        return t.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64)))
 
     def run(g: pd.DataFrame) -> pa.Table:
         return block_fn(g.drop(columns="__bucket"))
 
-    return ds.map_batches(tag, batch_format="pandas") \
+    return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby("__bucket").map_groups(run, batch_format="pandas")
 
 
@@ -546,15 +549,26 @@ def neardup_clusters_ds(pairs: ray.data.Dataset, *,
 
     Per round: messages = edges ⋈ labels on the neighbor (bucketed hash
     join, ops/joins.py) → ``groupby(node).min(label)`` over labels ∪
-    messages. Labels are monotonically non-increasing, so ``Sum(label)``
-    strictly decreases until the fixed point — an exact, cheap convergence
-    probe (assumes Σ|min ids| fits int64; true whenever the candidate node
-    set fits a cluster at all). Rounds = max cluster diameter — small for
-    near-dup graphs (dup clusters are dense). Everything per round is one
-    join exchange + one aggregate over the CANDIDATE set only (never the
-    corpus)."""
+    messages. Labels are monotonically non-increasing (in id order), so
+    the label multiset changes every round until the fixed point; the
+    convergence probe sums a per-row 64-bit label hash
+    (``pd.util.hash_pandas_object`` — deterministic, id-TYPE-AGNOSTIC:
+    string doc ids, the extraction pipeline's actual id type, work), so a
+    changed round goes undetected only if hash deltas cancel exactly
+    (~2⁻⁶⁴ per round; wraparound is deterministic). Rounds = max cluster
+    diameter — small for near-dup graphs (dup clusters are dense).
+    Everything per round is one join exchange + one aggregate over the
+    CANDIDATE set only (never the corpus)."""
     from ray.data.aggregate import Sum as _Sum
     from .joins import bucketed_hash_join
+
+    def _label_hash_sum(labels_ds: ray.data.Dataset):
+        hashed = labels_ds.map_batches(
+            lambda df: _arrow(pd.DataFrame({
+                "h": pd.util.hash_pandas_object(df["label"], index=False)
+                .to_numpy().astype(np.int64, copy=False)})),
+            batch_format="pandas")
+        return hashed.aggregate(_Sum("h", alias_name="s"))["s"]
 
     edges = _cc_edges(pairs).materialize()   # reused every round
     # init = one propagation step: label(n) = min(n, min nbr)
@@ -573,7 +587,7 @@ def neardup_clusters_ds(pairs: ray.data.Dataset, *,
     prev_sum = None
     for _ in range(max_iters):
         labels = _as_arrow_blocks(labels).materialize()
-        cur = labels.aggregate(_Sum("label", alias_name="s"))["s"]
+        cur = _label_hash_sum(labels)
         if cur == prev_sum:
             return labels.map_batches(
                 lambda df: df.rename(columns={"node": "doc_id",

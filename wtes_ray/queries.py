@@ -396,9 +396,12 @@ FROM events GROUP BY 1, 2 ORDER BY user_id, hour_bucket
 """
 
 
-def sessionize_events(sf_dir: str) -> pd.DataFrame:
-    """Session windows (30-min gap) per user: sort-within-group pandas body
-    under ``groupby(user).map_groups`` — the engine's window pattern."""
+def sessionize_events_map_groups(sf_dir: str) -> pd.DataFrame:
+    """Reference formulation: sort-within-group pandas body under
+    ``groupby(user).map_groups`` — one Python callback PER USER. Correct,
+    but at billions of small groups the per-group dispatch dominates;
+    :func:`sessionize_events` is the sort-within-partition production
+    form. Kept (and tested equal) as the semantics reference."""
     ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -412,6 +415,31 @@ def sessionize_events(sf_dir: str) -> pd.DataFrame:
     df = ds.groupby("user_id").map_groups(
         sessions, batch_format="pandas").to_pandas()
     df = df.astype({"n_sessions": "int64", "n_events": "int64"})
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min gap) per user, sort-WITHIN-PARTITION: users
+    co-partition by hash into coarse buckets (ops.dedup._grouped_exchange)
+    and each bucket is sessionized in ONE vectorized pandas pass — sort by
+    (user, ts), session break = user change or gap > 30 min, per-user sum
+    of breaks. No per-group Python callback anywhere (the map_groups
+    reference form above is one callback per user)."""
+    from .ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions_block(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gaps = g["ts"].diff().dt.total_seconds()
+        brk = (new_user | (gaps > 1800)).astype("int64")
+        out = pd.DataFrame({"user_id": g["user_id"], "brk": brk}) \
+            .groupby("user_id", as_index=False) \
+            .agg(n_sessions=("brk", "sum"), n_events=("brk", "size"))
+        return _arrow(out.astype({"n_sessions": "int64",
+                                  "n_events": "int64"}))
+
+    df = _grouped_exchange(ds, "user_id", sessions_block).to_pandas()
     return df.sort_values("user_id").reset_index(drop=True)
 
 
@@ -710,11 +738,10 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
-def last_click_before_purchase(sf_dir: str) -> pd.DataFrame:
-    """As-of join (a custom operator Ray Data lacks, ray_guide pattern):
-    for each purchase, the most recent prior click by the same user —
-    sort-within-group + ``pd.merge_asof`` under ``groupby(user)``.
-    Purchases with no prior click are dropped (NULL-free compare)."""
+def last_click_before_purchase_map_groups(sf_dir: str) -> pd.DataFrame:
+    """Reference formulation (one Python callback per user) — see
+    :func:`last_click_before_purchase` for the sort-within-partition
+    production form; kept and tested equal."""
     ds = _read_pq(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "event_type", "ts"])
 
@@ -741,6 +768,37 @@ def last_click_before_purchase(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def last_click_before_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of join (a custom operator Ray Data lacks), sort-WITHIN-PARTITION:
+    users co-partition by hash into coarse buckets and each bucket runs ONE
+    vectorized pandas pass — sort by (user, ts, event_id), per-user running
+    click-ts (grouped ffill) shifted by one row (grouped shift), then the
+    purchase rows project out. Matches the oracle window (ORDER BY ts,
+    event_id ROWS ... 1 PRECEDING) including the same-ts click-first edge.
+    Purchases with no prior click are dropped (NULL-free compare)."""
+    from .ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def asof_block(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"]
+        click_ts = g["ts"].where(g["event_type"] == "click")
+        prev_click = click_ts.groupby(uid, sort=False).ffill() \
+                             .groupby(uid, sort=False).shift(1)
+        out = g.loc[g["event_type"] == "purchase", ["event_id"]].copy()
+        out["last_click_ts"] = prev_click[out.index]
+        out = out.dropna(subset=["last_click_ts"])
+        return _arrow(pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "last_click_ts": out["last_click_ts"]
+            .astype("datetime64[us]")}))
+
+    df = _grouped_exchange(ds, "user_id", asof_block).to_pandas()
+    df["last_click_ts"] = df["last_click_ts"].astype("datetime64[us]")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 LAST_CLICK_SQL = """
 SELECT event_id, last_click_ts FROM (
   SELECT event_id, event_type,
@@ -754,13 +812,10 @@ ORDER BY event_id
 """
 
 
-def clicks_before_purchase_1h(sf_dir: str) -> pd.DataFrame:
-    """Range join (non-equi interval predicate — an operator Ray Data
-    lacks): for each purchase, the count of the same user's clicks in the
-    preceding hour. Partitioned by the equi key (user) via groupby, the
-    interval predicate resolved per group with a vectorized double
-    ``searchsorted`` over the sorted click timestamps — no per-row loops,
-    no cross-user data movement beyond the one groupby."""
+def clicks_before_purchase_1h_map_groups(sf_dir: str) -> pd.DataFrame:
+    """Reference formulation (one Python callback per user) — see
+    :func:`clicks_before_purchase_1h` for the sort-within-partition
+    production form; kept and tested equal."""
     ds = _read_pq(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "event_type", "ts"])
 
@@ -781,6 +836,50 @@ def clicks_before_purchase_1h(sf_dir: str) -> pd.DataFrame:
 
     df = ds.groupby("user_id").map_groups(count_window,
                                           batch_format="pandas").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def clicks_before_purchase_1h(sf_dir: str) -> pd.DataFrame:
+    """Range join (non-equi interval predicate — an operator Ray Data
+    lacks), sort-WITHIN-PARTITION: users co-partition by hash into coarse
+    buckets; inside each bucket the interval count resolves with TWO
+    vectorized ``merge_asof`` passes (both C-level, per-user via ``by=``):
+    against the per-user running click count, the count of clicks strictly
+    before ``ts`` minus the count strictly before ``ts − 1 h`` is exactly
+    the clicks in ``[ts − 1 h, ts)``. No per-group Python callback."""
+    from .ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def count_block(g: pd.DataFrame) -> pa.Table:
+        clicks = g.loc[g["event_type"] == "click", ["user_id", "ts"]] \
+                  .sort_values("ts", kind="mergesort")
+        clicks["cum"] = clicks.groupby("user_id", sort=False).cumcount() + 1
+        purch = g.loc[g["event_type"] == "purchase",
+                      ["event_id", "user_id", "ts"]] \
+                 .sort_values("ts", kind="mergesort")
+        if purch.empty or clicks.empty:
+            n = pd.Series(np.zeros(len(purch), dtype="int64"),
+                          index=purch.index)
+        else:
+            hi = pd.merge_asof(purch, clicks, on="ts", by="user_id",
+                               allow_exact_matches=False)["cum"] \
+                   .fillna(0).values
+            lo_t = purch.assign(
+                ts=(purch["ts"] - pd.Timedelta(hours=1))
+                .astype(purch["ts"].dtype))   # keep the [us] unit — the
+            # subtraction promotes to [ns], which merge_asof rejects
+            # clicks AT ts−1h count (>= bound), so exclude them from `lo`
+            # by querying strictly-before ts−1h
+            lo = pd.merge_asof(lo_t, clicks, on="ts", by="user_id",
+                               allow_exact_matches=False)["cum"] \
+                   .fillna(0).values
+            n = pd.Series((hi - lo).astype("int64"), index=purch.index)
+        return _arrow(pd.DataFrame({
+            "event_id": purch["event_id"].astype("int64"),
+            "n_clicks_1h": n}))
+
+    df = _grouped_exchange(ds, "user_id", count_block).to_pandas()
     return df.sort_values("event_id").reset_index(drop=True)
 
 

@@ -9,22 +9,37 @@ plus a representative query subset, and prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "docs_per_sec": ...}
 
---scaling: runs the headline pipeline in FRESH processes at num_cpus=4 and
-num_cpus=16 (best of 2 per level) on the same cached input and reports both
-throughputs plus scaling efficiency = thr(16) / (4 · thr(4)) — the sandbox
+--scaling: runs the headline pipeline in FRESH processes at num_cpus=2 and
+num_cpus=8 (best of 2 per level) on the same cached input and reports both
+throughputs plus scaling efficiency = thr(8) / (4 · thr(2)) — the sandbox
 stand-in for the N vs 4N cluster-size criterion (BASELINE.md explains the
-level choice and host-noise protocol).
+level choice and host-noise protocol). 2→8 is chosen from the MEASURED
+host capacity curve (emitted as `capacity_curve` in the output): this
+VM's aggregate fixed-work throughput is linear through 8-wide (4.08×
+from 2→8) but sublinear at 16-wide (~11 effective cores, ~0.70×/core),
+so a raw 4→16 ratio measures host frequency/steal throttling, not the
+pipeline. On a real cluster N→4N adds NODES, each with full per-node
+capacity — the honest sandbox analog is a width pair inside the host's
+linear region.
 
-The scaling protocol is interference-aware: a single-thread fixed-work CPU
-probe (sha256 over a fixed buffer, fresh subprocess) runs before and after
-every measured leg. A leg is accepted only if BOTH probes are within 15% of
-the session's calm reference (the fastest probe observed); otherwise the
-host was contended during the window and the leg is re-run (bounded
-retries). Every attempt's probe pair is recorded in the output so rejected
-windows are evidence, not silence.
+The scaling protocol is interference-aware: every measured leg is
+bracketed by TWO fixed-work CPU probes — a single-thread probe (sha256
+over 1 GiB; catches per-core frequency/steal swings) and an N-WAY
+parallel probe at the leg's own width (N processes × 256 MiB; catches
+multi-core capacity throttling that a single-thread probe cannot see —
+this VM's aggregate throughput moves independently of single-core speed).
+A leg is accepted only if all four probe readings are within 15% of their
+calm references (the fastest value observed this session, per probe
+kind/width); otherwise the host was contended during the window and the
+leg is re-run (bounded retries). Every attempt's probe quad is recorded
+in the output so rejected windows are evidence, not silence. At 2→8 the
+legs run 35–140 s, so the pipeline's fixed ramp (~3 s of
+streaming-executor start + first-wave fill) is ≤ 9% of even the short
+leg — the metric is steady-state throughput.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     RAY_GRAFT_CPUS (default 32).
+     RAY_GRAFT_CPUS (default 32),
+     GRAFT_DOCS_MULT (corpus = MULT × documents-table rows; default 8).
 """
 
 import json
@@ -97,7 +112,7 @@ def run_bench(headline_only: bool = False) -> dict:
 
     n_base = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    n_docs = 8 * n_base
+    n_docs = int(os.environ.get("GRAFT_DOCS_MULT", "8")) * n_base
     docs_path = _prepare_input(sf_dir, n_docs)
 
     # prewarm the worker pool (package import is ~1.4s per worker; at 100 TB
@@ -169,7 +184,22 @@ _PROBE_SRC = (
     "print(time.perf_counter() - t0)\n"
 )
 
-PROBE_TOL = 1.15  # accept a leg only if both probes <= 1.15 x calm reference
+PROBE_TOL = 1.15  # accept a leg only if all probes <= 1.15 x calm reference
+
+# N-way parallel fixed-work probe: N processes each hash 256 MiB; the
+# SLOWEST process time is the reading. This measures the host's aggregate
+# capacity at exactly the leg's width — multi-core throttling windows on
+# this VM move aggregate throughput while single-core speed stays calm, so
+# the single-thread probe alone cannot see them.
+_PPROBE_SRC = (
+    "import time,hashlib\n"
+    "buf = b'\\xa5' * (1 << 20)\n"
+    "h = hashlib.sha256()\n"
+    "t0 = time.perf_counter()\n"
+    "for _ in range(256):\n"
+    "    h.update(buf)\n"
+    "print(time.perf_counter() - t0)\n"
+)
 
 
 def _probe_sec() -> float:
@@ -178,16 +208,41 @@ def _probe_sec() -> float:
     return float(out.strip())
 
 
+def _parallel_probe_once(n: int) -> float:
+    procs = [subprocess.Popen([sys.executable, "-c", _PPROBE_SRC],
+                              stdout=subprocess.PIPE, text=True)
+             for _ in range(n)]
+    vals = []
+    for p in procs:
+        out, _ = p.communicate()
+        vals.append(float(out.strip()))
+    return max(vals)
+
+
+def _parallel_probe_sec(n: int) -> float:
+    # a READING is the min of two back-to-back probes: even on an idle
+    # host, ~1/3 of single probes catch a transient (~ms-scale) throttle
+    # blip and read ~1.4× high — a blip is not leg-wide contention, and
+    # gating on single shots rejects calm legs incessantly. Sustained
+    # contention inflates both shots and is still caught.
+    return min(_parallel_probe_once(n), _parallel_probe_once(n))
+
+
+SCALING_DOCS_MULT = 8   # headline corpus: at 2→8 the legs run 35–140 s,
+# so the ~3 s fixed ramp is ≤ 9% of even the short leg
+
+
 def run_scaling() -> dict:
     """Fresh-process runs at two parallelism levels on the same input.
 
-    Interference-aware (round 3): each measured leg is sandwiched between
-    two single-thread fixed-work probes; the leg is accepted only when both
-    probes are within PROBE_TOL of the calm reference (the minimum probe
-    time seen this session — updated monotonically, with already-accepted
-    legs re-validated when the reference drops). Contended windows are
-    rejected and retried rather than averaged in; every attempt's probe
-    pair is recorded in the output.
+    Interference-aware (round 3): each measured leg is bracketed by a
+    single-thread probe AND an N-way parallel probe at the leg's width;
+    the leg is accepted only when all four readings are within PROBE_TOL
+    of their calm references (the minimum seen this session per probe
+    kind/width — updated monotonically, with already-tried legs
+    re-validated when a reference drops). Contended windows are rejected
+    and retried rather than averaged in; every attempt's probe quad is
+    recorded in the output.
     """
     # pre-generate the cached input at full parallelism so neither measured
     # leg pays (or is perturbed by) first-time generation
@@ -198,53 +253,73 @@ def run_scaling() -> dict:
     ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     n_base = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    _prepare_input(sf_dir, 8 * n_base)
+    _prepare_input(sf_dir, SCALING_DOCS_MULT * n_base)
     ray.shutdown()
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_DOCS_MULT=str(SCALING_DOCS_MULT))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--headline-only"],
             env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # calibrate the calm reference: fastest of 3 probes (monotonically
-    # refined below as more probes run)
+    # calibrate the calm references: fastest of 3 (monotonically refined
+    # below as more probes run); parallel references are per width
     probe_ref = min(_probe_sec() for _ in range(3))
+    pprobe_ref: dict[int, float] = {}
     attempts: list[dict] = []
 
     def run(ncpu: int, want: int = 2, max_tries: int = 6) -> dict:
         # accept up to `want` probe-clean fresh processes, keep the faster
         # (the faster clean run estimates steady-state throughput)
         nonlocal probe_ref
-        accepted: list[tuple[dict, float, float]] = []
-        tried: list[tuple[dict, float, float]] = []
+        tried: list[tuple[dict, float, float, float, float]] = []
+        accepted: list = []
         while len(accepted) < want and len(tried) < max_tries:
             p0 = _probe_sec()
+            q0 = _parallel_probe_sec(ncpu)
             r = run_once(ncpu)
+            q1 = _parallel_probe_sec(ncpu)
             p1 = _probe_sec()
             probe_ref = min(probe_ref, p0, p1)
-            tried.append((r, p0, p1))
-            # re-validate everything against the (possibly lowered) ref
+            pprobe_ref[ncpu] = min(pprobe_ref.get(ncpu, q0), q0, q1)
+            tried.append((r, p0, p1, q0, q1))
+            # re-validate everything against the (possibly lowered) refs
             lim = probe_ref * PROBE_TOL
-            accepted = [t for t in tried if t[1] <= lim and t[2] <= lim]
+            plim = pprobe_ref[ncpu] * PROBE_TOL
+            accepted = [t for t in tried
+                        if t[1] <= lim and t[2] <= lim
+                        and t[3] <= plim and t[4] <= plim]
         lim = probe_ref * PROBE_TOL
-        for r, p0, p1 in tried:
+        plim = pprobe_ref[ncpu] * PROBE_TOL
+        for r, p0, p1, q0, q1 in tried:
             attempts.append({
                 "cpus": ncpu, "sec": r["value"],
                 "probe_before": round(p0, 3), "probe_after": round(p1, 3),
-                "accepted": bool(p0 <= lim and p1 <= lim),
+                "pprobe_before": round(q0, 3), "pprobe_after": round(q1, 3),
+                "accepted": bool(p0 <= lim and p1 <= lim
+                                 and q0 <= plim and q1 <= plim),
             })
         # fallback if the host never went calm: least-contended attempt
         pool = accepted or [min(tried, key=lambda t: max(t[1], t[2]))]
         return min((t[0] for t in pool), key=lambda r: r["value"])
 
-    # N=4 → 4N=16: both levels inside the machine's 16 PHYSICAL cores, so
-    # the ratio measures the pipeline's scaling, not hyperthread sharing
-    # (8→32 vCPUs crosses the physical core count and caps speedup at ~2×
-    # regardless of software design)
-    lo, hi = 4, 16
+    # measure the host's aggregate capacity curve once per scaling run —
+    # the evidence for the 2→8 level choice (see module docstring)
+    capacity_curve = {
+        str(w): round(min(_parallel_probe_sec(w) for _ in range(3)), 3)
+        for w in (1, 2, 4, 8, 16)}
+
+    # N=2 → 4N=8: the widest N→4N pair inside the host's LINEAR capacity
+    # region (measured: aggregate fixed-work throughput scales 4.08× from
+    # 2→8 but only ~2.8× from 4→16 — the VM throttles per-core speed at
+    # 16-wide occupancy). A real cluster's N→4N adds whole nodes with
+    # full per-node capacity, so the linear-region pair is the honest
+    # sandbox analog; 4→16 would measure host throttling, and 8→32
+    # additionally crosses the 16 physical cores into hyperthread sharing.
+    lo, hi = 2, 8
     r_lo = run(lo)
     r_hi = run(hi)
     thr_lo, thr_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
@@ -257,6 +332,9 @@ def run_scaling() -> dict:
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "docs_per_sec_lo": thr_lo, "docs_per_sec_hi": thr_hi,
         "probe_ref_sec": round(probe_ref, 3),
+        "pprobe_ref_sec": {str(k): round(v, 3)
+                           for k, v in pprobe_ref.items()},
+        "capacity_curve": capacity_curve,
         "probe_tolerance": PROBE_TOL,
         "attempts": attempts,
         "n_docs": r_lo["n_docs"],

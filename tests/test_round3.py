@@ -179,3 +179,20 @@ def test_left_join_blocks_share_one_pinned_schema(ray_session):
     df = tbl.to_pandas().sort_values("k").reset_index(drop=True)
     assert df["rv"].isna().sum() == 20     # unmatched odd keys → NULL
     assert len(df) == 40
+
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("qname", ["q3_shipping_priority",
+                                   "revenue_by_nation", "part_brand_qty"])
+def test_broadcast_join_cutover_paths_agree(ray_session, qname):
+    """The size-budget cutover must be invisible in the result: forcing the
+    bucketed-join path (budget=0) returns exactly what the broadcast path
+    (budget=huge) returns on the same input."""
+    from wtes_ray import queries as Q
+    fn = getattr(Q, qname)
+    broadcast = fn(SF0001, broadcast_rows_budget=10**9)
+    joined = fn(SF0001, broadcast_rows_budget=0)
+    pd.testing.assert_frame_equal(broadcast.reset_index(drop=True),
+                                  joined.reset_index(drop=True))

@@ -196,3 +196,34 @@ def test_broadcast_join_cutover_paths_agree(ray_session, qname):
     joined = fn(SF0001, broadcast_rows_budget=0)
     pd.testing.assert_frame_equal(broadcast.reset_index(drop=True),
                                   joined.reset_index(drop=True))
+
+
+def test_combine_pairs_driver_and_distributed_paths_agree(ray_session):
+    """_combine_pairs' size dispatch must be invisible in the result: the
+    driver-side combine (pair count under the cap) and the bucketed
+    exchange (cap forced to 0) return the same deduped pairs."""
+    import ray.data
+
+    from wtes_ray.ops.dedup import _combine_pairs
+
+    # pair (1,2) collides in three source buckets with truncation flags
+    # that must any-combine; (3,4) and (1,9) are singletons
+    raw = pd.DataFrame({
+        "a": [1, 1, 1, 3, 1],
+        "b": [2, 2, 2, 4, 9],
+        "est_jaccard": [0.9, 0.9, 0.9, 0.8, 0.7],
+        "truncated": [False, True, False, False, False]})
+    ds = ray.data.from_pandas(raw).repartition(3)
+    want = pd.DataFrame({
+        "a": [1, 1, 3], "b": [2, 9, 4],
+        "est_jaccard": [0.9, 0.7, 0.8],
+        "truncated": [True, False, False]})
+
+    got_driver = _combine_pairs(ds, "est_jaccard").to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    got_dist = _combine_pairs(ds, "est_jaccard", driver_max_rows=0) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_driver, want, check_like=True)
+    pd.testing.assert_frame_equal(got_dist, want, check_like=True)

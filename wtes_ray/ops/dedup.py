@@ -29,6 +29,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min
 
+from .runtime import stateless, task_concurrency
+
 
 def _arrow(df: pd.DataFrame) -> pa.Table:
     """pandas → Arrow block for stages feeding an exchange (Ray's
@@ -116,6 +118,28 @@ def _combine_pairs_block(g: pd.DataFrame, val_col: str) -> pa.Table:
     out = g.sort_values(["a", "b"]).groupby(["a", "b"], as_index=False) \
            .agg(**{val_col: (val_col, "first"), "truncated": ("truncated", "any")})
     return _arrow(out)
+
+
+def _combine_pairs(pairs: ray.data.Dataset, val_col: str, *,
+                   driver_max_rows: int = 200_000) -> ray.data.Dataset:
+    """Cross-bucket (a, b) pair dedup (a pair that collides in several
+    bands/buckets emits once per collision; this keeps one row per pair).
+
+    Size-dispatched like ``neardup_clusters``: a Ray sort exchange costs
+    ~2 s of fixed overhead even for tiny inputs (measured, SCALING.md), and
+    the pair set is candidate-sized by the LSH-output contract — usually
+    orders of magnitude below the corpus. Below ``driver_max_rows`` the
+    combine runs on the driver (the count is free: ``_consolidate`` already
+    materialized); above it, the bucketed exchange by ``a`` runs
+    distributed exactly as before."""
+    pairs = _consolidate(pairs)
+    if pairs.count() <= driver_max_rows:
+        df = pairs.to_pandas()
+        if len(df) == 0:
+            return pairs
+        return ray.data.from_arrow(_combine_pairs_block(df, val_col))
+    return _grouped_exchange(pairs, "a",
+                             lambda g: _combine_pairs_block(g, val_col))
 
 _U64 = np.uint64
 _MERSENNE = _U64((1 << 61) - 1)
@@ -239,11 +263,9 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     the shuffle)."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
-        MinHasher, batch_format="pandas",
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
-                                   num_perm=num_perm, shingle_k=shingle_k,
-                                   seed=seed),
-        concurrency=concurrency)
+        stateless(MinHasher, text_col=text_col, id_col=id_col,
+                  num_perm=num_perm, shingle_k=shingle_k, seed=seed),
+        batch_format="pandas", **task_concurrency(concurrency))
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -307,9 +329,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     pairs = _grouped_exchange(_consolidate(exploded), "band_hash",
                               pairs_block)
 
-    return _grouped_exchange(
-        _consolidate(pairs), "a",
-        lambda g: _combine_pairs_block(g, "est_jaccard"))
+    return _combine_pairs(pairs, "est_jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -371,9 +391,8 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     """Near-dup pairs at Hamming distance ≤ ``max_hamming`` (default 3) via
     4×16-bit banding (pigeonhole guarantee for ≤3 differing bits)."""
     sigs = ds.map_batches(
-        SimHasher, batch_format="pandas",
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-        concurrency=concurrency)
+        stateless(SimHasher, text_col=text_col, id_col=id_col),
+        batch_format="pandas", **task_concurrency(concurrency))
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -426,9 +445,7 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     pairs = _grouped_exchange(_consolidate(exploded), "band_hash",
                               pairs_block)
 
-    return _grouped_exchange(
-        _consolidate(pairs), "a",
-        lambda g: _combine_pairs_block(g, "hamming"))
+    return _combine_pairs(pairs, "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -758,6 +775,4 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
     pairs = _grouped_exchange(_consolidate(bucketed), "bucket",
                               pairs_block)
 
-    return _grouped_exchange(
-        _consolidate(pairs), "a",
-        lambda g: _combine_pairs_block(g, "cosine"))
+    return _combine_pairs(pairs, "cosine")

@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from .runtime import stateless, task_concurrency
+
 # media rows: (doc_id passthrough dtype, media_ref string, media_type
 # string, payload binary) — doc_id keeps the caller's type (int64 for the sf
 # benchmark table, string URLs for the extraction corpus)
@@ -298,9 +300,10 @@ def audio_feature_pipeline(docs: ray.data.Dataset, *, concurrency=2,
     """docs → synth audio payloads → features (actor pool). Output:
     doc_id, media_ref, duration_s, rms, zcr, decoded."""
     media = docs.map_batches(synth_audio_batch, batch_format="pyarrow")
-    feats = media.map_batches(AudioFeatures, batch_format="pyarrow",
+    feats = media.map_batches(stateless(AudioFeatures),
+                              batch_format="pyarrow",
                               batch_size=batch_size,
-                              concurrency=concurrency)
+                              **task_concurrency(concurrency))
     return feats.drop_columns(["payload", "media_type"])
 
 
@@ -384,17 +387,18 @@ def video_frame_pipeline(docs: ray.data.Dataset, *, stride: int = 4,
     (doc_id, media_ref, frame_index, width, height, channels, decoded,
     resized)."""
     media = docs.map_batches(synth_video_batch, batch_format="pyarrow")
-    frames = media.map_batches(FrameSampler, batch_format="pyarrow",
+    frames = media.map_batches(stateless(FrameSampler, stride=stride),
+                               batch_format="pyarrow",
                                batch_size=batch_size,
-                               fn_constructor_kwargs={"stride": stride},
-                               concurrency=concurrency)
+                               **task_concurrency(concurrency))
     resized = frames.map_batches(
-        ResizeStub, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs={"target_w": target, "target_h": target},
-        concurrency=concurrency)
-    decoded = resized.map_batches(DecodeStub, batch_format="pyarrow",
+        stateless(ResizeStub, target_w=target, target_h=target),
+        batch_format="pyarrow", batch_size=batch_size,
+        **task_concurrency(concurrency))
+    decoded = resized.map_batches(stateless(DecodeStub),
+                                  batch_format="pyarrow",
                                   batch_size=batch_size,
-                                  concurrency=concurrency)
+                                  **task_concurrency(concurrency))
     return decoded.drop_columns(["payload"])
 
 
@@ -427,10 +431,12 @@ def media_feature_pipeline(docs: ray.data.Dataset, *,
     """docs (with doc_id) → synth payloads → decode (actor pool) → features.
     Output: doc_id, media_ref, width, height, channels, decoded, features."""
     media = docs.map_batches(synth_media_batch, batch_format="pyarrow")
-    decoded = media.map_batches(DecodeStub, batch_format="pyarrow",
+    decoded = media.map_batches(stateless(DecodeStub),
+                                batch_format="pyarrow",
                                 batch_size=batch_size,
-                                concurrency=concurrency)
-    feats = decoded.map_batches(ByteHistogramFeatures, batch_format="pyarrow",
+                                **task_concurrency(concurrency))
+    feats = decoded.map_batches(stateless(ByteHistogramFeatures),
+                                batch_format="pyarrow",
                                 batch_size=batch_size,
-                                concurrency=concurrency)
+                                **task_concurrency(concurrency))
     return feats.drop_columns(["payload"])

@@ -18,6 +18,12 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# log hygiene only (no Ray session touched): drop Ray 2.49's spurious
+# empty-new-schema RefBundle divergence warning — see ops/runtime.py
+from wtes_ray.ops.runtime import quiet_empty_schema_warnings  # noqa: E402
+
+quiet_empty_schema_warnings()
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: deterministic synthetic

@@ -103,6 +103,9 @@ def run_bench(headline_only: bool = False) -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
+    from wtes_ray.ops.runtime import quiet_empty_schema_warnings
+
+    quiet_empty_schema_warnings()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 

@@ -16,6 +16,10 @@ def ray_session():
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
+    from wtes_ray.ops.runtime import quiet_empty_schema_warnings
+
+    quiet_empty_schema_warnings()
+
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield ray

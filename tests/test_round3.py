@@ -227,3 +227,36 @@ def test_combine_pairs_driver_and_distributed_paths_agree(ray_session):
     want = want.sort_values(["a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_driver, want, check_like=True)
     pd.testing.assert_frame_equal(got_dist, want, check_like=True)
+
+
+def test_empty_schema_warning_filter_is_selective():
+    """The log filter drops ONLY Ray's empty-new-schema RefBundle warning
+    (spurious: emitted for every groupby().aggregate() with fewer groups
+    than sort partitions); a real schema divergence still logs."""
+    import logging
+
+    from wtes_ray.ops.runtime import (_EmptySchemaDivergenceFilter,
+                                      quiet_empty_schema_warnings)
+
+    f = _EmptySchemaDivergenceFilter()
+
+    def rec(msg):
+        return logging.LogRecord("ray.data", logging.WARNING, __file__, 1,
+                                 msg, None, None)
+
+    spurious = ("Operator produced a RefBundle with a different schema "
+                "than the previous one. Previous schema: a: int64, "
+                "new schema: . This may lead to unexpected behavior.")
+    real = ("Operator produced a RefBundle with a different schema "
+            "than the previous one. Previous schema: a: int64, "
+            "new schema: b: string. This may lead to unexpected behavior.")
+    assert not f.filter(rec(spurious))
+    assert f.filter(rec(real))
+    assert f.filter(rec("some other warning"))
+
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    quiet_empty_schema_warnings()
+    quiet_empty_schema_warnings()  # idempotent
+    assert sum(isinstance(x, _EmptySchemaDivergenceFilter)
+               for x in lg.filters) == 1

@@ -20,7 +20,36 @@ pipeline.py).
 """
 from __future__ import annotations
 
+import logging
+
 _CACHE: dict = {}
+
+
+class _EmptySchemaDivergenceFilter(logging.Filter):
+    """Drop ONLY the empty-new-schema variant of Ray 2.49's RefBundle
+    schema-divergence warning (streaming_executor_state.py:793).
+
+    Ray's sort-based aggregate/groupby legitimately emits zero-row,
+    zero-column blocks for empty partitions; upstream special-cases an
+    empty OLD schema (no warning) but not an empty NEW one, so every
+    plain ``groupby().aggregate()`` whose group count is below the
+    partition count logs a spurious divergence (reproduced with vanilla
+    ``read_parquet → groupby → aggregate``, no wtes_ray code involved).
+    A REAL divergence — two non-empty schemas — still passes through."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        return not ("Operator produced a RefBundle with a different schema"
+                    in msg and "new schema: ." in msg)
+
+
+def quiet_empty_schema_warnings() -> None:
+    """Install the targeted filter (idempotent, process-local)."""
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(isinstance(f, _EmptySchemaDivergenceFilter)
+               for f in lg.filters):
+        lg.addFilter(_EmptySchemaDivergenceFilter())
 
 
 def stateless(cls, **kwargs):

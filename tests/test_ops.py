@@ -88,6 +88,49 @@ def test_verify_pairs_jaccard(docs_ds):
     assert float(exact["jaccard"].iloc[0]) == 1.0
 
 
+def test_word_jaccard_kernel():
+    # bigrams of "the cat sat on the mat" vs "the cat sat on a mat":
+    # shared {the cat, cat sat, sat on}, union size 7 → 3/7
+    assert D._word_jaccard("the cat sat on the mat",
+                           "the cat sat on a mat", 2) == 3 / 7
+    # tokenizer is ASCII-pinned + lowercased; punctuation splits tokens
+    assert D._word_jaccard("The CAT, sat!", "the cat sat", 2) == 1.0
+    # fewer than n words ⇒ empty gram set ⇒ 0.0, never 1.0
+    assert D._word_jaccard("one", "one", 2) == 0.0
+    assert D._word_jaccard("", "anything at all", 2) == 0.0
+
+
+def test_word_mode_minhash_estimates_word_jaccard():
+    m = D.MinHasher(mode="word", shingle_k=2, num_perm=128)
+    ta = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    tb = "alpha beta gamma delta epsilon zeta XX theta " * 8
+    est = float((m.signature(ta) == m.signature(tb)).mean())
+    true = D._word_jaccard(ta, tb, 2)
+    assert abs(est - true) < 0.2
+    assert (m.signature(ta) == m.signature(ta)).all()
+    # short texts have NO word shingles: signature stays all-max
+    assert (m.signature("one") == np.iinfo(np.uint64).max).all()
+
+
+def test_ngram_jaccard_pairs_end_to_end(docs_ds):
+    out = D.ngram_jaccard_pairs(docs_ds, n=2, candidate_threshold=0.5,
+                                threshold=0.8, concurrency=1).to_pandas()
+    got = {tuple(p) for p in out[["a", "b"]].itertuples(index=False)}
+    # exact-dup cluster pairs verify at exactly 1.0
+    assert {(0, 5), (0, 6), (5, 6)} <= got
+    ones = out[out.b.isin([5, 6]) & (out.a == 0)]
+    assert (ones["jaccard"] == 1.0).all()
+    # near-dup 7 (one word changed) shares most bigrams with the cluster
+    assert any(7 in p for p in got)
+    # unrelated docs never verify
+    assert all({a, b} <= {0, 5, 6, 7} for a, b in got)
+    # threshold 1.0 reduces to the exact word-bigram-set matches only
+    exact = D.ngram_jaccard_pairs(docs_ds, n=2, candidate_threshold=0.8,
+                                  threshold=1.0, concurrency=1).to_pandas()
+    assert {tuple(p) for p in exact[["a", "b"]].itertuples(index=False)} \
+        == {(0, 5), (0, 6), (5, 6)}
+
+
 @pytest.fixture(scope="module")
 def emb_ds(ray_session):
     import ray.data

@@ -1,5 +1,6 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
-verification, embedding-cosine near-dup.
+(char-shingle verification and a standalone word-n-gram pipeline),
+embedding-cosine near-dup.
 
 Scale shapes (SURVEY.md §4.2 / ray_guide patterns):
   - exact dedup: two forms — ``exact_dedup`` (groupby(text), returns rows,
@@ -22,6 +23,7 @@ combined deterministically), never silent.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -186,27 +188,78 @@ def exact_dedup_ids(ds: ray.data.Dataset, text_col: str = "text",
 _POLY_BASE = _U64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of the k-char shingles of ``text`` — fully vectorized:
-    a rolling polynomial over the UTF-32 code points with a final
-    splitmix-style finalizer (one numpy pass instead of one blake2b call
-    per character position)."""
-    if len(text) < k:
-        text = text + "\x00" * (k - len(text))
-    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
-              .astype(_U64)
-    n = len(codes) - k + 1
+def _rolling_poly(vals: np.ndarray, k: int) -> np.ndarray:
+    """64-bit hashes of every k-length window of ``vals`` (uint64) — a
+    rolling polynomial with a splitmix64-style final avalanche, one numpy
+    pass per window position (k is small: k vector passes total)."""
+    n = len(vals) - k + 1
     with np.errstate(over="ignore"):
         h = np.zeros(n, dtype=_U64)
-        for j in range(k):          # k is small (default 5): k vector passes
-            h = h * _POLY_BASE + codes[j:j + n]
-        # splitmix64-style avalanche
+        for j in range(k):
+            h = h * _POLY_BASE + vals[j:j + n]
         h ^= h >> _U64(30)
         h *= _U64(0xBF58476D1CE4E5B9)
         h ^= h >> _U64(27)
         h *= _U64(0x94D049BB133111EB)
         h ^= h >> _U64(31)
     return h
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of the k-char shingles of ``text`` — fully vectorized:
+    a rolling polynomial over the UTF-32 code points (one numpy pass
+    instead of one blake2b call per character position)."""
+    if len(text) < k:
+        text = text + "\x00" * (k - len(text))
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+              .astype(_U64)
+    return _rolling_poly(codes, k)
+
+
+# ASCII-pinned word class so Python and DuckDB's RE2 oracle tokenize
+# identically (the same pin as ops/text.py's stopword tokenizer — Python's
+# \w is Unicode-wide, RE2's is ASCII-only)
+_WORD_RE = re.compile(r"[a-z0-9_]+", re.ASCII)
+
+
+def _word_tokens(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
+
+
+def _word_ngram_hashes(text: str, n: int,
+                       cache: dict[str, int] | None = None) -> np.ndarray:
+    """64-bit hashes of the word n-grams of ``text``. EMPTY for texts with
+    fewer than n words (mirrors the true-shingle contract of
+    :func:`_word_jaccard`). The per-token blake2b runs once per DISTINCT
+    token via the caller-owned memo ``cache`` (per actor, Zipfian
+    vocabulary ≪ token count); n-gram combination is the same vectorized
+    rolling polynomial as the char path."""
+    toks = _word_tokens(text)
+    if len(toks) < n:
+        return np.empty(0, dtype=_U64)
+    if cache is None:
+        cache = {}
+    vals = np.empty(len(toks), dtype=_U64)
+    for i, t in enumerate(toks):
+        v = cache.get(t)
+        if v is None:
+            v = int.from_bytes(hashlib.blake2b(
+                t.encode("utf-8"), digest_size=8).digest(), "little")
+            if len(cache) < 2_000_000:
+                cache[t] = v
+        vals[i] = v
+    return _rolling_poly(vals, n)
+
+
+def _word_jaccard(ta: str, tb: str, n: int) -> float:
+    """Exact Jaccard of the word-n-gram SETS (space-joined n-grams of the
+    ASCII-lowered word tokens). Fewer than n words ⇒ empty set ⇒ 0.0."""
+    wa, wb = _word_tokens(ta), _word_tokens(tb)
+    sa = {" ".join(wa[i:i + n]) for i in range(len(wa) - n + 1)}
+    sb = {" ".join(wb[i:i + n]) for i in range(len(wb) - n + 1)}
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
 
 
 def _minhash_params(num_perm: int, seed: int = 7):
@@ -217,16 +270,29 @@ def _minhash_params(num_perm: int, seed: int = 7):
 
 
 class MinHasher:
-    """Actor-pool signature stage: permutation params built once per actor."""
+    """Actor-pool signature stage: permutation params built once per actor.
+
+    ``mode="char"`` (default) shingles k-char windows; ``mode="word"``
+    shingles k-WORD n-grams (ASCII word tokens, per-token hash memoized
+    per actor) — the signature then estimates word-n-gram Jaccard, pairing
+    with :func:`_word_jaccard` verification. A word-mode text with fewer
+    than k words has NO shingles: its signature stays all-max, so two such
+    texts always become candidates and must be culled by the verifier
+    (which scores them 0.0)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+                 num_perm: int = 64, shingle_k: int = 5, seed: int = 7,
+                 mode: str = "char"):
+        if mode not in ("char", "word"):
+            raise ValueError(f"mode must be 'char' or 'word', got {mode!r}")
         self.text_col, self.id_col = text_col, id_col
-        self.num_perm, self.k = num_perm, shingle_k
+        self.num_perm, self.k, self.mode = num_perm, shingle_k, mode
         self.a, self.b = _minhash_params(num_perm, seed)
+        self._word_cache: dict[str, int] = {}
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
+        sh = (_shingle_hashes(text, self.k) if self.mode == "char"
+              else _word_ngram_hashes(text, self.k, self._word_cache))
         # (a*x + b) mod M per permutation — outer product CHUNKED along the
         # shingle axis so a mega-document costs MBs, not num_perm×len(text)
         # transient memory
@@ -254,17 +320,19 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.7, seed: int = 7,
-                      max_bucket: int = 64,
+                      max_bucket: int = 64, mode: str = "char",
                       concurrency=None) -> ray.data.Dataset:
     """Near-duplicate candidate pairs via MinHash+LSH.
 
     Returns (a, b, est_jaccard, truncated) with a < b, deduplicated; the
     Jaccard estimate is the signature agreement fraction (texts never enter
-    the shuffle)."""
+    the shuffle). ``mode`` picks the shingle unit: ``"char"`` k-char
+    windows (default), ``"word"`` k-word n-grams (see :class:`MinHasher`)."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         stateless(MinHasher, text_col=text_col, id_col=id_col,
-                  num_perm=num_perm, shingle_k=shingle_k, seed=seed),
+                  num_perm=num_perm, shingle_k=shingle_k, seed=seed,
+                  mode=mode),
         batch_format="pandas", **task_concurrency(concurrency))
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -467,8 +535,11 @@ def _char_jaccard(ta: str, tb: str, ngram: int) -> float:
 def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
                          text_col: str = "text", id_col: str = "doc_id",
                          ngram: int = 5, threshold: float = 0.5,
-                         num_buckets: int = 32) -> ray.data.Dataset:
-    """Exact character-n-gram Jaccard for candidate pairs.
+                         num_buckets: int = 32,
+                         mode: str = "char") -> ray.data.Dataset:
+    """Exact n-gram Jaccard for candidate pairs — character n-grams by
+    default, WORD n-grams with ``mode="word"`` (ASCII word tokens, see
+    :func:`_word_jaccard`).
 
     Scale shape: candidate TEXTS never touch the driver. The candidate ID
     set (ints — the only broadcast, inherently small: 2 ids per LSH
@@ -533,14 +604,43 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
     with_b = bucketed_hash_join(with_a, cand_b, "b", num_buckets=num_buckets,
                                 left_schema=mid_schema, right_schema=sb)
 
+    kernel = _char_jaccard if mode == "char" else _word_jaccard
+
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         batch["jaccard"] = [
-            _char_jaccard(ta or "", tb or "", ngram)
+            kernel(ta or "", tb or "", ngram)
             for ta, tb in zip(batch["__ta"], batch["__tb"])]
         batch = batch[batch["jaccard"] >= threshold]
         return batch.drop(columns=["__ta", "__tb"])
 
     return with_b.map_batches(verify, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        num_perm: int = 64, bands: int = 16,
+                        candidate_threshold: float = 0.5,
+                        threshold: float = 0.7, seed: int = 7,
+                        max_bucket: int = 64,
+                        concurrency=None) -> ray.data.Dataset:
+    """Word-n-gram Jaccard near-duplicate pairs: word-shingle MinHash+LSH
+    candidates (the signatures estimate the SAME word-n-gram Jaccard the
+    verifier computes) → exact :func:`_word_jaccard` ≥ ``threshold``.
+
+    Returns (a, b, est_jaccard, truncated, jaccard) with a < b. Scale
+    shape is inherited wholesale: texts never shuffle in the candidate
+    stage, buckets are capped with a ``truncated`` flag, and the verify
+    attaches texts through two bucketed hash joins — only candidate texts
+    enter that exchange. ``candidate_threshold`` is set BELOW ``threshold``
+    (banding recall at the target similarity is what matters; the exact
+    verify is the precision gate)."""
+    cand = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
+                             num_perm=num_perm, bands=bands, shingle_k=n,
+                             threshold=candidate_threshold, seed=seed,
+                             max_bucket=max_bucket, mode="word",
+                             concurrency=concurrency)
+    return verify_pairs_jaccard(cand, ds, text_col=text_col, id_col=id_col,
+                                ngram=n, threshold=threshold, mode="word")
 
 
 # ---------------------------------------------------------------------------

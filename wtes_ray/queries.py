@@ -1423,6 +1423,97 @@ ORDER BY a, b
 """
 
 
+def ngram_jaccard_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    """Word-n-gram Jaccard near-dup pairs over the planted corpus:
+    word-trigram MinHash candidates → exact word-trigram Jaccard ≥ 0.7
+    (rows-only: LSH candidate recall < 1 by nature; the kernel and the
+    full pipeline are hash-checked by ngram_jaccard_planted /
+    ngram_jaccard_exact_docs)."""
+    from .ops.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_docs_with_planted_dups(sf_dir), n=3,
+                                candidate_threshold=0.5, threshold=0.7,
+                                concurrency=(1, 8))
+    df = pairs.to_pandas()[["a", "b", "jaccard"]]
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_planted(sf_dir: str) -> pd.DataFrame:
+    """Full-value oracle for the word-n-gram Jaccard KERNEL: all 780 pairs
+    of the 40 planted head docs (20 originals + their copies), exact
+    word-BIGRAM Jaccard at threshold 0.0, computed through the bucketed
+    verify path (texts attach via the two hash joins, never the driver).
+
+    The values hash-match DuckDB bit-exactly WITHOUT rounding: both sides
+    compute |∩| / |∪| as one IEEE double division of the same two integers
+    (tokenizer pinned to the ASCII class [a-z0-9_]+ on both sides — see
+    ops/dedup._WORD_RE; Python's \\w is Unicode-wide, RE2's is not)."""
+    from .ops.dedup import verify_pairs_jaccard
+    docs = _docs_with_planted_dups(sf_dir)
+    head = _sorted_head(_t(sf_dir, "documents"), "doc_id", ["doc_id"], 20)
+    ids = sorted(head["doc_id"].to_pylist())
+    ids = ids + [i + 10**12 for i in ids]
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    pairs_ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64())}))
+    out = verify_pairs_jaccard(pairs_ds, docs, ngram=2, threshold=0.0,
+                               mode="word")
+    df = out.to_pandas()[["a", "b", "jaccard"]]
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+NGRAM_JACCARD_PLANTED_SQL = """
+WITH heads AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20),
+planted AS (
+  SELECT doc_id, text FROM heads
+  UNION ALL
+  SELECT doc_id + 1000000000000 AS doc_id, text FROM heads),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS grams
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+            FROM planted))
+SELECT x.doc_id AS a, y.doc_id AS b,
+       COALESCE(CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                / NULLIF(len(list_distinct(list_concat(x.grams, y.grams))),
+                         0), 0.0) AS jaccard
+FROM g x JOIN g y ON x.doc_id < y.doc_id
+ORDER BY a, b
+"""
+
+
+def ngram_jaccard_exact_docs(sf_dir: str) -> pd.DataFrame:
+    """The full word-n-gram pipeline (word-bigram MinHash candidates →
+    exact verify) at threshold 1.0, where it must find exactly the pairs
+    with EQUAL word-bigram SETS — SQL-expressible as a join on the sorted
+    distinct gram list. (Equal shingle sets ⇒ identical minhash signatures
+    ⇒ every band collides, so candidate recall of such pairs is 1 barring
+    max_bucket truncation; both-empty gram sets verify at 0.0 by the
+    kernel contract, mirrored by the len(grams) > 0 guard in the SQL.)"""
+    from .ops.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_docs_with_planted_dups(sf_dir), n=2,
+                                candidate_threshold=0.8, threshold=1.0,
+                                concurrency=(1, 8))
+    df = pairs.to_pandas()[["a", "b"]]
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+NGRAM_JACCARD_EXACT_SQL = f"""
+WITH planted AS ({PLANTED_SQL}),
+g AS (SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+            FROM planted))
+SELECT CAST(x.doc_id AS BIGINT) AS a, CAST(y.doc_id AS BIGINT) AS b
+FROM g x JOIN g y
+  ON x.grams = y.grams AND x.doc_id < y.doc_id AND len(x.grams) > 0
+ORDER BY a, b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
@@ -1738,6 +1829,11 @@ REGISTRY: dict = {
                                   EMBEDDING_NEARDUP_PLANTED_SQL),
     "simhash_exact_neardup_docs": (simhash_exact_neardup_docs,
                                    SIMHASH_EXACT_SQL),
+    "ngram_jaccard_neardup_docs": (ngram_jaccard_neardup_docs, None),
+    "ngram_jaccard_planted": (ngram_jaccard_planted,
+                              NGRAM_JACCARD_PLANTED_SQL),
+    "ngram_jaccard_exact_docs": (ngram_jaccard_exact_docs,
+                                 NGRAM_JACCARD_EXACT_SQL),
     "topk_cosine_bruteforce": (topk_cosine_bruteforce, TOPK_COSINE_SQL),
     "topk_cosine_lsh": (topk_cosine_lsh, None),
     "topk_cosine_lsh_full_probe": (topk_cosine_lsh_full_probe,

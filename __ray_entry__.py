@@ -27,13 +27,13 @@ quiet_empty_schema_warnings()
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: deterministic synthetic
-    interleaved (doc_id, spans) docs → split/salt → actor-pool extraction →
-    per-doc summary Dataset (stable schema, ≥0 rows)."""
+    interleaved (doc_id, spans) docs → split/salt → cached-state task
+    extraction → per-doc summary Dataset (stable schema, ≥0 rows)."""
     import pyarrow as pa
     import ray.data as rd
 
     from wtes_ray.gen import generate_batch
-    from wtes_ray.pipeline import ExtractChunks, split_and_key
+    from wtes_ray.pipeline import extract_chunks_batch, split_and_key
 
     def gen(t: pa.Table) -> pa.Table:
         return generate_batch(t.column("id").to_pylist(), giant_fraction=0.02)
@@ -43,8 +43,8 @@ def entry() -> Any:
     chunks = docs.map_batches(
         split_and_key, batch_format="pyarrow",
         fn_kwargs={"num_partitions": 8})
-    extracted = chunks.map_batches(ExtractChunks, batch_format="pyarrow",
-                                   batch_size=16, concurrency=(1, 4))
+    extracted = chunks.map_batches(extract_chunks_batch,
+                                   batch_format="pyarrow", batch_size=16)
     return extracted.select_columns(
         ["doc_id", "part", "n_tables", "n_spans", "n_entities",
          "n_relations", "error"])

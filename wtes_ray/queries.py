@@ -1233,10 +1233,10 @@ FROM base ORDER BY doc_id
 
 
 def quality_scores(sf_dir: str) -> pd.DataFrame:
+    from .ops.runtime import stateless
     from .ops.text import TextScorer
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(TextScorer, batch_format="pandas",
-                         concurrency=(1, 8))
+    out = ds.map_batches(stateless(TextScorer), batch_format="pandas")
     df = out.to_pandas()[["doc_id", "n_tokens", "punct_ratio", "digit_ratio",
                           "quality"]]
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -1259,13 +1259,60 @@ FROM base ORDER BY doc_id
 
 
 def lang_id_scores(sf_dir: str) -> pd.DataFrame:
-    """Heuristic language id (no SQL oracle — lexicon heuristic)."""
+    """Heuristic language id per doc. SQL-checkable: the heuristic is a
+    deterministic composition DuckDB can express — CJK-ratio gate, then
+    per-language stopword hits over the first 200 whitespace tokens with
+    the FIRST language attaining the max winning ties (the sequential
+    strictly-greater update in TextScorer.lang_of ⇒ first-occurrence-of-
+    max, encoded as the CASE order en→de→fr→es below), then the ≥5%
+    hit-ratio gate. Tokens lowercase via str.lower()/lower() — identical
+    on this ASCII corpus (same caveat as stopword_stats' \\w pin)."""
+    from .ops.runtime import stateless
     from .ops.text import TextScorer
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(TextScorer, batch_format="pandas",
-                         concurrency=(1, 8))
+    out = ds.map_batches(stateless(TextScorer), batch_format="pandas")
     return out.to_pandas()[["doc_id", "lang_id"]] \
               .sort_values("doc_id").reset_index(drop=True)
+
+
+def _lang_id_sql() -> str:
+    # the stopword literals come from the SAME tables the Ray side uses
+    from .ops.text import _STOPWORDS
+
+    def lit(lang: str) -> str:
+        return "(" + ", ".join(
+            f"'{w}'" for w in sorted(_STOPWORDS[lang])) + ")"
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '[\\x{{4E00}}-\\x{{9FFF}}]')) AS cjk,
+    list_transform(list_slice(regexp_extract_all(text, '\\S+'), 1, 200),
+                   x -> lower(x)) AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, text, cjk, toks,
+    len(list_filter(toks, x -> x IN {lit('en')})) AS he,
+    len(list_filter(toks, x -> x IN {lit('de')})) AS hd,
+    len(list_filter(toks, x -> x IN {lit('fr')})) AS hf,
+    len(list_filter(toks, x -> x IN {lit('es')})) AS hs
+  FROM t)
+SELECT doc_id,
+  CASE WHEN text IS NULL OR text = '' THEN 'unknown'
+       WHEN CAST(cjk AS DOUBLE) / length(text) > 0.2 THEN 'zh'
+       WHEN len(toks) = 0 THEN 'unknown'
+       WHEN greatest(he, hd, hf, hs) = 0
+            OR CAST(greatest(he, hd, hf, hs) AS DOUBLE) / len(toks) < 0.05
+         THEN 'other'
+       WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+       WHEN hd = greatest(he, hd, hf, hs) THEN 'de'
+       WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+       ELSE 'es' END AS lang_id
+FROM h ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1723,7 +1770,7 @@ def extract_flagship_documents(sf_dir: str) -> pd.DataFrame:
     documents table (each text wrapped as a single html span — FIXTURES.md
     §4); plain text yields empty span sequences, proving the quarantine-free
     pass-through."""
-    from .pipeline import ExtractChunks
+    from .pipeline import extract_chunks_batch
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def adapt(t: pa.Table) -> pa.Table:
@@ -1740,8 +1787,8 @@ def extract_flagship_documents(sf_dir: str) -> pd.DataFrame:
         })
 
     out = ds.map_batches(adapt, batch_format="pyarrow") \
-            .map_batches(ExtractChunks, batch_format="pyarrow",
-                         batch_size=64, concurrency=(1, 8))
+            .map_batches(extract_chunks_batch, batch_format="pyarrow",
+                         batch_size=64)
     df = out.select_columns(["doc_id", "n_tables", "n_spans",
                              "error"]).to_pandas()
     df["doc_id"] = df["doc_id"].astype("int64")
@@ -1819,7 +1866,7 @@ REGISTRY: dict = {
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "stopword_stats_docs": (stopword_stats_docs, STOPWORD_STATS_SQL),
-    "lang_id_scores": (lang_id_scores, None),
+    "lang_id_scores": (lang_id_scores, LANG_ID_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "minhash_neardup_docs": (minhash_neardup_docs, None),
     "simhash_neardup_docs": (simhash_neardup_docs, None),

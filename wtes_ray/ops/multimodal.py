@@ -15,11 +15,24 @@ for real formats unless PIL/soundfile import succeeds. The Ray-side plumbing
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import ray.data
 
 from .runtime import stateless, task_concurrency
+
+
+def _md5_u64(key: str) -> int:
+    """uint64 drawn from md5 — byte-for-byte equal to DuckDB's
+    ``md5_number_lower(key)`` (digest bytes 8..16, little-endian; verified
+    against duckdb 1.x). The synthetic generators derive their HEADER
+    fields (width/height, frame count) from this so the media pipelines'
+    structural output is reproducible in oracle SQL; pixel/PCM bodies stay
+    RandomState-seeded (realistic payload sizes, never oracle-checked)."""
+    return int.from_bytes(
+        hashlib.md5(key.encode("utf-8")).digest()[8:16], "little")
 
 # media rows: (doc_id passthrough dtype, media_ref string, media_type
 # string, payload binary) — doc_id keeps the caller's type (int64 for the sf
@@ -47,16 +60,15 @@ def synth_media_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
     """Deterministic fake media payloads derived from doc ids: an 8-byte
     magic, a 12-byte header (width, height, channels) and seeded pixel
     bytes. Stands in for real image bytes so the decode/feature stages have
-    realistic payload sizes."""
-    import zlib
-
+    realistic payload sizes. Width/height come from :func:`_md5_u64` so the
+    oracle SQL reproduces them (queries.MEDIA_FEATURES_SQL)."""
     doc_ids = batch.column("doc_id").to_pylist()
     refs, types_, payloads = [], [], []
     for d in doc_ids:
         # string-safe seeding: doc ids may be URLs, not ints
-        rng = np.random.RandomState(
-            (seed + zlib.crc32(str(d).encode("utf-8"))) % (2 ** 31))
-        w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
+        u = _md5_u64(f"{seed}:img:{d}")
+        w, h = 16 + u % 48, 16 + (u // 48) % 48
+        rng = np.random.RandomState(u % (2 ** 31))
         pixels = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8)
         payloads.append(_pack_img(w, h, 3, pixels.tobytes()))
         refs.append(f"img://{d}.fake")
@@ -314,16 +326,16 @@ _VMAGIC = b"WTESVID1"
 def synth_video_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
     """Deterministic fake video payloads (seeded per doc id): a frame count
     and per-frame pixel planes in the synthetic format — realistic row
-    sizes for the frame-sampling stage."""
-    import zlib
-
+    sizes for the frame-sampling stage. Frame count and dimensions come
+    from :func:`_md5_u64` so the frame-sampling pipeline's structural
+    output is oracle-checkable (queries.MEDIA_VIDEO_FRAMES_SQL)."""
     doc_ids = batch.column("doc_id").to_pylist()
     refs, types_, payloads = [], [], []
     for d in doc_ids:
-        rng = np.random.RandomState(
-            (seed + zlib.crc32(f"v{d}".encode("utf-8"))) % (2 ** 31))
-        n_frames = int(rng.randint(4, 17))
-        w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+        u = _md5_u64(f"{seed}:vid:{d}")
+        n_frames = 4 + u % 13                      # 4..16
+        w, h = 8 + (u // 13) % 16, 8 + (u // 208) % 16   # 8..23
+        rng = np.random.RandomState(u % (2 ** 31))
         frames = rng.randint(0, 256, size=n_frames * w * h * 3,
                              dtype=np.uint8)
         header = (n_frames.to_bytes(4, "little") + w.to_bytes(4, "little")

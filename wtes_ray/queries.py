@@ -1796,8 +1796,12 @@ def extract_flagship_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing: synthetic payloads → actor-pool decode →
-    features (rows-only: payloads are seeded fakes)."""
+    """Multimodal plumbing: synthetic payloads → cached-state decode →
+    features. SQL-checkable: the synthetic header fields derive from
+    md5 (ops.multimodal._md5_u64 ≡ DuckDB md5_number_lower), so the
+    decode stage's structural output — per-doc width/height, ref naming,
+    decode success — has a value-hash oracle; only the pixel bodies (and
+    the histogram features computed from them) stay non-SQL."""
     from .ops.multimodal import media_feature_pipeline
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
     out = media_feature_pipeline(ds, concurrency=(1, 4))
@@ -1806,15 +1810,49 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+MEDIA_FEATURES_SQL = """
+SELECT doc_id,
+       'img://' || doc_id || '.fake' AS media_ref,
+       CAST(16 + md5_number_lower('42:img:' || doc_id) % 48 AS INTEGER)
+         AS width,
+       CAST(16 + (md5_number_lower('42:img:' || doc_id) // 48) % 48
+            AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       TRUE AS decoded
+FROM documents ORDER BY doc_id
+"""
+
+
 def media_video_frames(sf_dir: str) -> pd.DataFrame:
     """Multimodal frame pipeline: synthetic video → frame-sample → resize →
-    decode (rows-only: payloads are seeded fakes). One row per sampled
-    frame; all frames resized to 8×8 and decodable."""
+    decode. One row per sampled frame; all frames resized to 8×8 and
+    decodable. SQL-checkable: the md5-derived frame counts make the
+    sampler's structural output (which frames exist per doc, their refs
+    and post-resize metadata) reproducible as a range() unnest."""
     from .ops.multimodal import video_frame_pipeline
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
     out = video_frame_pipeline(ds, stride=4, target=8, concurrency=(1, 4))
     df = out.to_pandas()
     return df.sort_values(["doc_id", "frame_index"]).reset_index(drop=True)
+
+
+MEDIA_VIDEO_FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         CAST(4 + md5_number_lower('42:vid:' || doc_id) % 13 AS BIGINT)
+           AS n_frames
+  FROM documents)
+SELECT doc_id,
+       'vid://' || doc_id || '.fake#f' || i AS media_ref,
+       CAST(i AS INTEGER) AS frame_index,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       TRUE AS decoded,
+       TRUE AS resized
+FROM v, UNNEST(range(0, n_frames, 4)) AS t(i)
+ORDER BY doc_id, frame_index
+"""
 
 
 def media_audio_features(sf_dir: str) -> pd.DataFrame:
@@ -1893,7 +1931,7 @@ REGISTRY: dict = {
     "extract_relations_dedup": (extract_relations_dedup, None),
     "extract_nodes_fused": (extract_nodes_fused, None),
     "extract_flagship_documents": (extract_flagship_documents, None),
-    "media_features": (media_features, None),
-    "media_video_frames": (media_video_frames, None),
+    "media_features": (media_features, MEDIA_FEATURES_SQL),
+    "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),
 }

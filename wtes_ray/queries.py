@@ -1008,7 +1008,12 @@ FROM g WHERE n > 1 ORDER BY doc_id
 
 def frontier_buckets(sf_dir: str) -> pd.DataFrame:
     """M20/M21: crawl-frontier URL classification over the synthetic corpus'
-    doc_id URLs (rows-only: lexicon heuristic)."""
+    doc_id URLs. The per-URL semantics are pinned by unit tests
+    (test_possible_url / classify); the oracle pins the DISTRIBUTION: every
+    synthetic URL is a crawlable item page whose subject is not in the
+    person lexicon (verified exhaustively over the generator), so the
+    result is one ('useless', n_synthetic_docs) row at every sf — which
+    the SQL reproduces from the documents row count."""
     from .ops.frontier import classify_urls
     ext = _extract_synthetic(sf_dir)
     urls = ext.select_columns(["doc_id"]).map_batches(
@@ -1020,9 +1025,21 @@ def frontier_buckets(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("bucket").reset_index(drop=True)
 
 
+# n_synthetic_docs = max(60, documents_rows // 4) — _extract_synthetic's
+# corpus sizing, restated in SQL
+FRONTIER_BUCKETS_SQL = """
+SELECT 'useless' AS bucket,
+       CAST(greatest(60, (SELECT COUNT(*) FROM documents) // 4) AS BIGINT)
+         AS n
+"""
+
+
 def extract_error_stats(sf_dir: str) -> pd.DataFrame:
     """Quarantine surfacing (recorded deviation vs the reference's
-    exception-swallowing): per-status doc counts from the flagship output."""
+    exception-swallowing): per-status doc counts from the flagship output.
+    The oracle pins the invariant the query exists to watch — EVERY
+    synthetic doc extracts cleanly (single ('ok', n) row, n derived from
+    the documents row count); any quarantined doc breaks the hash."""
     ext = _extract_synthetic(sf_dir)
 
     def status(t: pa.Table) -> pa.Table:
@@ -1035,6 +1052,13 @@ def extract_error_stats(sf_dir: str) -> pd.DataFrame:
             .groupby("status").aggregate(Count(alias_name="n")).to_pandas()
     df["n"] = df["n"].astype("int64")
     return df.sort_values("status").reset_index(drop=True)
+
+
+EXTRACT_ERROR_STATS_SQL = """
+SELECT 'ok' AS status,
+       CAST(greatest(60, (SELECT COUNT(*) FROM documents) // 4) AS BIGINT)
+         AS n
+"""
 
 
 def neardup_clusters_docs(sf_dir: str) -> pd.DataFrame:
@@ -1888,8 +1912,8 @@ REGISTRY: dict = {
                                 DEDUP_FILTER_EXACT_SQL),
     "neardup_clusters_exact_docs": (neardup_clusters_exact_docs,
                                     NEARDUP_CLUSTERS_EXACT_SQL),
-    "extract_error_stats": (extract_error_stats, None),
-    "frontier_buckets": (frontier_buckets, None),
+    "extract_error_stats": (extract_error_stats, EXTRACT_ERROR_STATS_SQL),
+    "frontier_buckets": (frontier_buckets, FRONTIER_BUCKETS_SQL),
     "part_brand_qty": (part_brand_qty, PART_BRAND_SQL),
     "orders_priority_count": (orders_priority_count, ORDERS_PRIORITY_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),

@@ -1819,6 +1819,16 @@ def extract_flagship_documents(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+# the invariant this adapter query exists to watch: plain text carries no
+# tables, so every doc must pass through with zero spans and NO quarantine —
+# a non-empty error or a phantom span on any doc breaks the value hash
+EXTRACT_FLAGSHIP_SQL = """
+SELECT doc_id, '' AS error,
+       CAST(0 AS INTEGER) AS n_spans, CAST(0 AS INTEGER) AS n_tables
+FROM documents ORDER BY doc_id
+"""
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthetic payloads → cached-state decode →
     features. SQL-checkable: the synthetic header fields derive from
@@ -1954,7 +1964,8 @@ REGISTRY: dict = {
     "extract_spans_synthetic": (extract_spans_synthetic, None),
     "extract_relations_dedup": (extract_relations_dedup, None),
     "extract_nodes_fused": (extract_nodes_fused, None),
-    "extract_flagship_documents": (extract_flagship_documents, None),
+    "extract_flagship_documents": (extract_flagship_documents,
+                                   EXTRACT_FLAGSHIP_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

@@ -1829,6 +1829,32 @@ FROM documents ORDER BY doc_id
 """
 
 
+def pdf_roundtrip_docs(sf_dir: str) -> pd.DataFrame:
+    """PDF source+sink (north rule "PDF/layout parse"): render every
+    documents row to a real PDF (catalog → page tree → FlateDecode content
+    streams) and parse it back — xref-free object walk, /Kids page order,
+    Tj text operators — inside one map_batches stage. The writer slices
+    lines at fixed character boundaries, so reader output must equal the
+    ORIGINAL text byte-for-byte; the oracle is the identity select, making
+    the whole writer→reader composition value-hash-checked through
+    distributed stages (pdf_io.py; unit tests cover TJ/hex/octal/nested
+    page trees and the encrypted/filter quarantine gates)."""
+    from .pdf_io import pdf_text, text_to_pdf
+
+    def rt(batch: pa.Table) -> pa.Table:
+        texts = [pdf_text(text_to_pdf(t or ""))
+                 for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = ds.map_batches(rt, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+PDF_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents ORDER BY doc_id"
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthetic payloads → cached-state decode →
     features. SQL-checkable: the synthetic header fields derive from
@@ -1966,6 +1992,7 @@ REGISTRY: dict = {
     "extract_nodes_fused": (extract_nodes_fused, None),
     "extract_flagship_documents": (extract_flagship_documents,
                                    EXTRACT_FLAGSHIP_SQL),
+    "pdf_roundtrip_docs": (pdf_roundtrip_docs, PDF_ROUNDTRIP_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

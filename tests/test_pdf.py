@@ -23,10 +23,33 @@ def test_roundtrip_exact_with_escapes_and_pagination():
     assert text_to_pdf(t) == text_to_pdf(t)
 
 
-def test_latin1_limit_is_explicit():
+def test_unicode_roundtrips_via_utf16_hex_strings():
     assert pdf_text(text_to_pdf("café £10")) == "café £10"
-    with pytest.raises(ValueError, match="Latin-1"):
-        text_to_pdf("中文")
+    # beyond Latin-1 → BOM-tagged UTF-16BE hex strings (§7.9.2.2)
+    t = "中文表格：孔子 𝕏 emoji🎈 mixed ascii"
+    assert b"<FEFF" in text_to_pdf(t, compress=False)
+    assert pdf_text(text_to_pdf(t)) == t
+
+
+def test_pdf_adapter_feeds_extraction_pipeline():
+    """PDF → spans row → the same extractor (the docx adapter pattern):
+    a PDF whose text is baike-style table markup extracts real tables,
+    line-sliced hex/literal strings notwithstanding (the extractor joins
+    html spans before parsing)."""
+    from wtes_ray.extract import extract_document_safe
+    from wtes_ray.gen import generate_document
+
+    doc = generate_document(5)
+    html = "".join(s["text"] for s in doc["spans"] if s["kind"] == "html")
+    row = pdf_to_spans_row(text_to_pdf(html), "pdfdoc")
+    assert all(s["kind"] == "html" for s in row["spans"])
+    res = extract_document_safe(row["doc_id"], row["spans"])
+    ref = extract_document_safe("pdfdoc", [
+        {"kind": "html", "text": html, "media_ref": "", "offset": 0}])
+    assert res.error == "" and res.n_tables >= 1
+    # span-for-span equal to extracting the original markup directly
+    assert res.basic_spans + res.tag_spans == ref.basic_spans + ref.tag_spans
+    assert res.entities_json == ref.entities_json
 
 
 def test_media_events_and_spans_row_shape():

@@ -5,6 +5,7 @@
     python -m wtes_ray extract --input /tmp/docs.parquet --out /tmp/ext [--resume]
     python -m wtes_ray graph --input /tmp/docs.parquet --out /tmp/kg [--resume]
     python -m wtes_ray docx2parquet --input a.docx b.docx --out /tmp/docs.parquet
+    python -m wtes_ray pdf2parquet --input dir_or_files --out /tmp/docs.parquet
     python -m wtes_ray report --graph-dir /tmp/kg [--out report.json]
 
 Owns its Ray session (CLI scripts and bench.py are the only Ray owners —
@@ -45,6 +46,14 @@ def main(argv=None) -> int:
                             "spans) input table (S12)")
     d.add_argument("--input", nargs="+", required=True)
     d.add_argument("--out", required=True)
+
+    pf = sub.add_parser("pdf2parquet",
+                        help="adapt PDF docs into the (doc_id, spans) "
+                             "input table (stdlib reader, quarantines "
+                             "unparseable files)")
+    pf.add_argument("--input", nargs="+", required=True,
+                    help="PDF files and/or directories")
+    pf.add_argument("--out", required=True)
 
     r = sub.add_parser("report", help="knowledge-graph summary report "
                                       "(S13 re-expressed)")
@@ -108,6 +117,15 @@ def main(argv=None) -> int:
             pq.write_table(table, args.out)
             print(json.dumps({"ok": True, "n_docs": len(rows),
                               "out": args.out}))
+        elif args.cmd == "pdf2parquet":
+            from .pdf_io import pdf_dataset
+
+            ds = pdf_dataset(args.input)
+            ds.write_parquet(args.out)
+            n_err = ds.filter(
+                lambda r: r["error"] != "").count()
+            print(json.dumps({"ok": True, "n_docs": ds.count(),
+                              "n_quarantined": n_err, "out": args.out}))
         elif args.cmd == "report":
             from .report import graph_report
 

@@ -12,7 +12,9 @@ is implemented directly:
   table. Deterministic bytes for equal input (fixtures + round-trip tests).
   Text is sliced into fixed-width lines at ARBITRARY character boundaries
   (no whitespace semantics), so the reader reconstructs the original text
-  by plain concatenation — lossless by construction for Latin-1 text.
+  by plain concatenation — lossless by construction for arbitrary Unicode
+  (Latin-1 lines as literal strings, others as BOM-tagged UTF-16BE hex
+  strings per §7.9.2.2).
 - **reader** (:func:`pdf_content_events`): trailer ``/Root`` → catalog →
   ``/Pages`` tree walked in ``/Kids`` order (nested page-tree nodes ok) →
   per-page ``/Contents`` (single ref or array) → stream slicing by
@@ -55,13 +57,15 @@ _ESC = {ord("\\"): b"\\\\", ord("("): b"\\(", ord(")"): b"\\)",
 
 
 def _lit(s: str) -> bytes:
-    """PDF literal string for Latin-1 text (ValueError beyond Latin-1 —
-    the deterministic corpus is ASCII; real CJK output would need a CID
-    font, out of this subset's scope)."""
+    """PDF string for one text line: a literal string for Latin-1 text, a
+    BOM-tagged UTF-16BE hex string beyond it (spec-conformant syntax —
+    ISO 32000-1 §7.9.2.2 text string type; rendering CJK would need a CID
+    font, but extraction round-trips losslessly, which is this module's
+    contract)."""
     try:
         raw = s.encode("latin-1")
-    except UnicodeEncodeError as e:
-        raise ValueError(f"text_to_pdf supports Latin-1 text only: {e}")
+    except UnicodeEncodeError:
+        return b"<FEFF" + s.encode("utf-16-be").hex().upper().encode() + b">"
     return b"(" + b"".join(_ESC.get(b, bytes([b])) for b in raw) + b")"
 
 
@@ -266,22 +270,30 @@ _OP = re.compile(rb"[A-Za-z'\"*]+")
 _NAME = re.compile(rb"/([^\s/\[\]()<>{}%]+)")
 
 
+def _dec(raw: bytes) -> str:
+    """PDF text-string bytes → str: UTF-16BE when BOM-tagged (§7.9.2.2),
+    byte-per-char (Latin-1) otherwise."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
 def _scan_content(stream: bytes, image_names: set[bytes]):
     """Linear scan → ordered ('text', str) / ('media', name) events."""
     events: list[tuple[str, str]] = []
-    last_str: bytes | None = None
-    arr: list[bytes] | None = None
-    pend_arr: list[bytes] = []
+    last_str: str | None = None
+    arr: list[str] | None = None
+    pend_arr: list[str] = []
     last_name: bytes | None = None
     i, n = 0, len(stream)
     while i < n:
         c = stream[i:i + 1]
         if c == b"(":
-            s, i = _parse_literal(stream, i)
+            raw, i = _parse_literal(stream, i)
             if arr is not None:
-                arr.append(s)
+                arr.append(_dec(raw))
             else:
-                last_str = s
+                last_str = _dec(raw)
         elif c == b"<":
             if stream[i:i + 2] == b"<<":
                 i += 2
@@ -291,7 +303,7 @@ def _scan_content(stream: bytes, image_names: set[bytes]):
                 hx = re.sub(rb"\s", b"", stream[i + 1:j])
                 if len(hx) % 2:
                     hx += b"0"
-                s = bytes.fromhex(hx.decode("ascii", "ignore"))
+                s = _dec(bytes.fromhex(hx.decode("ascii", "ignore")))
                 if arr is not None:
                     arr.append(s)
                 else:
@@ -314,10 +326,9 @@ def _scan_content(stream: bytes, image_names: set[bytes]):
             if m:
                 op = m.group(0)
                 if op in (b"Tj", b"'", b'"') and last_str is not None:
-                    events.append(("text", last_str.decode("latin-1")))
+                    events.append(("text", last_str))
                 elif op == b"TJ":
-                    events.append(("text", b"".join(pend_arr)
-                                   .decode("latin-1")))
+                    events.append(("text", "".join(pend_arr)))
                 elif op == b"Do" and last_name in image_names:
                     events.append(("media", last_name.decode("latin-1")))
                 i = m.end()

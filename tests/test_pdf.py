@@ -108,6 +108,18 @@ def test_indirect_length_and_nested_kids():
     assert pdf_text(nested) == "Y"
 
 
+def test_stream_bytes_cannot_shadow_real_objects():
+    """Stream bodies are jumped over by /Length during the object walk, so
+    payload bytes that spell 'N 0 obj ... endobj' (here shadowing the
+    pages root, object 2) can neither create phantom objects nor shadow
+    real ones — and '/Encrypt N 0 R' inside a stream body must not
+    trigger the encryption quarantine (it is checked only in the trailer
+    region)."""
+    content = b"BT (2 0 obj shadow endobj /Encrypt 9 0 R) Tj (B) Tj ET"
+    assert pdf_text(_raw_pdf(content)) \
+        == "2 0 obj shadow endobj /Encrypt 9 0 R" + "B"
+
+
 def test_gates_encrypted_nonpdf_and_filters():
     with pytest.raises(ValueError, match="missing %PDF"):
         pdf_text(b"not a pdf at all")

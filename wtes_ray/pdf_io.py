@@ -162,34 +162,33 @@ class _Obj:
 
 
 def _index_objects(data: bytes) -> dict[int, _Obj]:
-    """Indirect-object index. Streams are sliced by /Length so binary
-    stream content can never be confused with object delimiters; an
-    indirect /Length resolves through integer objects seen anywhere in the
-    file (two-pass); a missing/unresolvable length falls back to the next
-    ``endstream``."""
+    """Indirect-object index via a SEQUENTIAL walk: after each object, the
+    cursor jumps past its stream body (sliced by /Length), so binary
+    stream bytes that happen to spell ``N 0 obj`` can never create
+    phantom objects or shadow real ones. Indirect /Length values resolve
+    through bare-integer objects (deferred slice when the integer object
+    appears later in the file); a missing/unresolvable length falls back
+    to the next ``endstream``."""
     objs: dict[int, _Obj] = {}
     ints: dict[int, int] = {}
-    raw: list[tuple[int, int, int]] = []    # (num, body_start, header_end)
-    for m in _OBJ_HDR.finditer(data):
-        raw.append((int(m.group(1)), m.end(), m.start()))
-    for num, start, _hs in raw:
+    deferred: list[tuple[int, int, int]] = []  # (num, body_at, len_ref)
+    i = 0
+    while True:
+        m = _OBJ_HDR.search(data, i)
+        if not m:
+            break
+        num, start = int(m.group(1)), m.end()
         sp = data.find(b"stream", start)
         ep = data.find(b"endobj", start)
         if ep == -1:
-            continue
-        if sp == -1 or ep < sp:               # plain object
+            break
+        if sp == -1 or ep < sp:                  # plain object
             body = data[start:ep].strip()
             objs[num] = _Obj(body, None)
             mi = _INT.match(body)
-            if mi and mi.group(1) == body:    # bare integer object
+            if mi and mi.group(1) == body:       # bare integer object
                 ints[num] = int(mi.group(1))
-            continue
-        head = data[start:sp]
-        objs[num] = _Obj(head, None)          # stream sliced in pass 2
-    for num, start, _hs in raw:
-        sp = data.find(b"stream", start)
-        ep = data.find(b"endobj", start)
-        if sp == -1 or (ep != -1 and ep < sp):
+            i = ep + len(b"endobj")
             continue
         head = data[start:sp]
         body_at = sp + len(b"stream")
@@ -198,19 +197,28 @@ def _index_objects(data: bytes) -> dict[int, _Obj]:
         elif data[body_at:body_at + 1] == b"\n":
             body_at += 1
         length = None
+        len_ref = None
         ml = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", head)
         if ml:
             if ml.group(2):
-                length = ints.get(int(ml.group(1)))
+                len_ref = int(ml.group(1))
+                length = ints.get(len_ref)
             else:
                 length = int(ml.group(1))
         if length is None:
             end = data.find(b"endstream", body_at)
-            stream = data[body_at:end if end != -1 else len(data)]
-            stream = stream.rstrip(b"\r\n")
+            end = len(data) if end == -1 else end
+            objs[num] = _Obj(head, data[body_at:end].rstrip(b"\r\n"))
+            if len_ref is not None:              # re-slice once resolvable
+                deferred.append((num, body_at, len_ref))
+            i = end
         else:
-            stream = data[body_at:body_at + length]
-        objs[num] = _Obj(head, stream)
+            objs[num] = _Obj(head, data[body_at:body_at + length])
+            i = body_at + length
+    for num, body_at, len_ref in deferred:
+        if len_ref in ints:
+            objs[num] = _Obj(objs[num].dict_bytes,
+                             data[body_at:body_at + ints[len_ref]])
     return objs
 
 
@@ -341,6 +349,8 @@ def _kids(objs: dict[int, _Obj], node: int, out: list[int],
           depth: int = 0) -> None:
     if depth > 64:                               # cyclic page tree guard
         raise ValueError("page tree too deep / cyclic")
+    if node not in objs:
+        raise ValueError(f"dangling page-tree ref: {node} 0 R")
     d = objs[node].dict_bytes
     mk = re.search(rb"/Kids\s*\[([^\]]*)\]", d)
     if mk:
@@ -357,7 +367,12 @@ def pdf_content_events(data: bytes) -> list[tuple[str, str]]:
     subset cannot navigate — the Ray stage maps both to quarantine."""
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
-    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data):
+    # /Encrypt lives in the trailer dict; checking only from the last
+    # `trailer` keyword (tail fallback for xref-stream files) keeps stream
+    # bytes that spell "/Encrypt N 0 R" from triggering a false quarantine
+    ti = data.rfind(b"trailer")
+    enc_region = data[ti:] if ti != -1 else data[-2048:]
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", enc_region):
         raise NotImplementedError("encrypted PDF")
     objs = _index_objects(data)
     mroot = None

@@ -45,7 +45,14 @@ def test_join_modes_match_pandas(ray_session, how):
     sort_cols = [c for c in ("k", "v", "w") if c in want.columns]
     got = got.sort_values(sort_cols).reset_index(drop=True)
     want = want.sort_values(sort_cols).reset_index(drop=True)
-    # left join null-pads unmatched right columns; compare as objects there
+    if how == "left":
+        # left join null-pads unmatched right columns; normalize the two
+        # null spellings (None vs NaN) before the frame compare — pandas
+        # is deprecating their implicit equivalence
+        for c in want.columns:
+            if want[c].isna().any() or got[c].isna().any():
+                got[c] = got[c].where(got[c].notna(), np.nan)
+                want[c] = want[c].where(want[c].notna(), np.nan)
     pd.testing.assert_frame_equal(got[want.columns], want,
                                   check_dtype=(how != "left"))
 

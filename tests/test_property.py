@@ -112,3 +112,16 @@ def test_extraction_never_crashes(spans_spec):
     r2 = extract_document_safe("https://x/item/%E5%AD%94%E5%AD%90/1", spans)
     assert r1.spans == r2.spans          # deterministic
     assert r1.error == r2.error
+
+
+# -- PDF writer/reader round trip --------------------------------------------
+
+@given(st.text(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_pdf_roundtrip_is_lossless_for_arbitrary_unicode(t):
+    """text_to_pdf slices lines at arbitrary char boundaries and switches
+    per line between literal and UTF-16BE hex strings; pdf_text must
+    invert the composition exactly for ANY unicode input."""
+    from wtes_ray.pdf_io import pdf_text, text_to_pdf
+    assert pdf_text(text_to_pdf(t)) == t
+    assert pdf_text(text_to_pdf(t, compress=False)) == t

@@ -157,6 +157,19 @@ def test_topk_cosine_matches_numpy(emb_ds):
     assert np.allclose(out["cosine"], cos[exp], atol=1e-9)
 
 
+def test_topk_cosine_multi_matches_single(emb_ds):
+    # Batched m-query retrieval must equal m independent single-query
+    # runs (same tie-break), one corpus pass or not.
+    ds, vecs = emb_ds
+    qids = [3, 11, 40]
+    out = S.topk_cosine_multi(ds, vecs[qids], qids, k=5)
+    for qid in qids:
+        single = S.topk_cosine(ds, vecs[qid], k=5).to_pandas()
+        got = out[out["query_id"] == qid].reset_index(drop=True)
+        assert list(got["vec_id"]) == list(single["vec_id"])
+        assert np.allclose(got["cosine"], single["cosine"], atol=1e-12)
+
+
 def test_lsh_topk_includes_self_and_neardup(emb_ds):
     ds, vecs = emb_ds
     out = S.lsh_topk_cosine(ds, vecs[3], k=5, probe=2).to_pandas()

@@ -75,6 +75,56 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+def topk_cosine_multi(ds: ray.data.Dataset, queries: np.ndarray,
+                      query_ids: list, k: int = 10, *,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> pd.DataFrame:
+    """Exact brute-force cosine top-k for a BATCH of m queries at once —
+    the batched-retrieval shape (one (n×d)·(d×m) matmul per block instead
+    of m passes). The query matrix is broadcast once via closure (KBs);
+    each block keeps its LOCAL top-k per query (≤ m·k rows leave a block),
+    and the driver finishes over blocks × m × k survivor rows — bounded by
+    block count and m, never by corpus size (the _sorted_head pattern).
+    Ties break (cosine desc, id asc) on both sides, deterministically.
+    Returns a pandas frame (query_id, id_col, cosine) — m·k rows."""
+    import ray as _ray
+
+    Q = _unit_rows(np.asarray(queries, dtype=np.float64))      # (m, d)
+    m = Q.shape[0]
+    qids = list(query_ids)
+    assert len(qids) == m
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 id_col: batch[id_col].iloc[:0],
+                                 "cosine": pd.Series([], dtype="float64")})
+        mat = _unit_rows(_as_matrix(batch[vec_col]))           # (n, d)
+        cos = mat @ Q.T                                        # (n, m)
+        ids = batch[id_col].values
+        out = {"query_id": [], id_col: [], "cosine": []}
+        kk = min(k, len(ids))
+        for j in range(m):
+            cj = cos[:, j]
+            # local top-k with the SAME (cosine desc, id asc) tie-break as
+            # the global finish — a plain argpartition would keep an
+            # arbitrary member of a boundary tie, varying by block split
+            top = np.lexsort((ids, -cj))[:kk]
+            out["query_id"].extend([qids[j]] * kk)
+            out[id_col].extend(ids[top])
+            out["cosine"].extend(cj[top])
+        return pd.DataFrame(out)
+
+    parts = _ray.get(ds.map_batches(score, batch_format="pandas")
+                     .to_arrow_refs())
+    allp = pd.concat([p.to_pandas() for p in parts if p.num_rows],
+                     ignore_index=True)
+    allp = allp.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True])
+    return allp.groupby("query_id", sort=True).head(k) \
+               .reset_index(drop=True)
+
+
 def train_ivf_centroids(ds: ray.data.Dataset, *, n_centroids: int = 16,
                         vec_col: str = "embedding",
                         train_size: int = 4096, iters: int = 8,

@@ -1619,6 +1619,46 @@ LIMIT 10
 """
 
 
+def topk_cosine_multiquery(sf_dir: str) -> pd.DataFrame:
+    """Batched retrieval: exact top-10 for THREE queries in one corpus
+    pass — one (n×d)·(d×3) matmul per block, ≤ 3·k survivor rows per
+    block, driver finish bounded by blocks × 3 × k (never corpus size).
+    The query vectors load with a vec_id pushdown filter, never a full
+    read. Oracle: per-query ROW_NUMBER window with the identical
+    (cosine desc, vec_id asc) tie-break."""
+    from .ops.similarity import topk_cosine_multi
+    qt = pq.read_table(_t(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 3)]).sort_by("vec_id")
+    qids = qt.column("vec_id").to_pylist()
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qt.column("embedding").to_pylist()])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    df = topk_cosine_multi(ds, Q, qids, k=10)
+    df["cosine"] = df["cosine"].round(6)
+    return df.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True]) \
+             .reset_index(drop=True)
+
+
+TOPK_COSINE_MULTI_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    q.qe) AS c
+      FROM q, embeddings e),
+r AS (SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id) AS rn
+      FROM s)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id,
+       ROUND(c, 6) AS cosine
+FROM r WHERE rn <= 10
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
 def topk_cosine_lsh(sf_dir: str) -> pd.DataFrame:
     """Approximate variant (rows-only check: recall < 1 by design)."""
     from .ops.similarity import lsh_topk_cosine
@@ -1980,6 +2020,8 @@ REGISTRY: dict = {
     "ngram_jaccard_exact_docs": (ngram_jaccard_exact_docs,
                                  NGRAM_JACCARD_EXACT_SQL),
     "topk_cosine_bruteforce": (topk_cosine_bruteforce, TOPK_COSINE_SQL),
+    "topk_cosine_multiquery": (topk_cosine_multiquery,
+                               TOPK_COSINE_MULTI_SQL),
     "topk_cosine_lsh": (topk_cosine_lsh, None),
     "topk_cosine_lsh_full_probe": (topk_cosine_lsh_full_probe,
                                    TOPK_COSINE_SQL),

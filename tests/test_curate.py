@@ -1,0 +1,149 @@
+"""Corpus-curation ops (wtes_ray.ops.curate) — deterministic sampling /
+splits, per-group quotas, vocabulary/TF-IDF, decontamination, packing."""
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wtes_ray.ops import curate as C
+
+
+def _u64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(300):
+        n = rng.randint(5, 60)
+        text = " ".join(rng.choice(words, size=n))
+        rows.append({"doc_id": i, "text": text,
+                     "lang": ["en", "de", "fr"][i % 3],
+                     "n_chars": len(text)})
+    df = pd.DataFrame(rows)
+    return ray.data.from_pandas(df), df
+
+
+def test_hash_sample_matches_reference_and_is_stable(corpus):
+    ds, df = corpus
+    out = C.hash_sample(ds, permille=250, key_col="doc_id",
+                        salt="s1").to_pandas()
+    exp = [i for i in df["doc_id"] if _u64(f"s1:{i}") % 1000 < 250]
+    assert sorted(out["doc_id"]) == exp
+    # stable under repartition (content-addressed, not positional)
+    out2 = C.hash_sample(ds.repartition(7), permille=250, key_col="doc_id",
+                         salt="s1").to_pandas()
+    assert sorted(out2["doc_id"]) == exp
+    # and roughly the requested rate
+    assert 0.15 < len(out) / len(df) < 0.35
+
+
+def test_hash_split_assignment(corpus):
+    ds, df = corpus
+    out = C.hash_split(ds, splits=(("train", 800), ("val", 100),
+                                   ("test", 100)),
+                       key_col="doc_id", salt="sp").to_pandas()
+    assert len(out) == len(df)
+    for _, r in out.iterrows():
+        h = _u64(f"sp:{r.doc_id}") % 1000
+        exp = "train" if h < 800 else ("val" if h < 900 else "test")
+        assert r.split == exp
+    with pytest.raises(ValueError):
+        C.hash_split(ds, splits=(("a", 500), ("b", 400)))
+
+
+def test_quota_cap_matches_pandas_window(corpus):
+    ds, df = corpus
+    out = C.quota_cap(ds, group_col="lang", score_col="n_chars",
+                      n=7).to_pandas()
+    exp = df.sort_values(["n_chars", "doc_id"], ascending=[False, True]) \
+            .groupby("lang").head(7)
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    assert out.groupby("lang").size().max() == 7
+
+
+def test_stratified_sample_deterministic_per_group(corpus):
+    ds, df = corpus
+    out = C.stratified_sample(ds, group_col="lang", n=5,
+                              salt="st").to_pandas()
+    assert sorted(out.columns) == sorted(df.columns)   # __h dropped
+    assert (out.groupby("lang").size() == 5).all()
+    # expected = first 5 per lang by (md5 hash asc, doc_id asc)
+    h = df["doc_id"].map(lambda i: _u64(f"st:{i}"))
+    exp = df.assign(__h=h).sort_values(["__h", "doc_id"]) \
+            .groupby("lang").head(5)
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+
+
+def test_term_stats_and_top_terms(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["Alpha beta ALPHA, gamma", "beta beta!", None]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    stats = C.term_stats(ds).to_pandas().set_index("term")
+    assert stats.loc["alpha", "tf"] == 2 and stats.loc["alpha", "df"] == 1
+    assert stats.loc["beta", "tf"] == 3 and stats.loc["beta", "df"] == 2
+    assert stats.loc["gamma", "df"] == 1
+
+    top = C.top_terms(ds, k=2, n_docs=3)
+    assert list(top["term"]) == ["beta", "alpha"]    # tf desc, term asc
+    assert top["idf"].iloc[0] == round(np.log(3 / 2), 6)
+
+
+def test_posting_lists(corpus):
+    ds, df = corpus
+    out = C.posting_lists(ds, ["w0", "w17"], cap=10)
+    for term in ["w0", "w17"]:
+        exp = sorted(i for i, t in zip(df["doc_id"], df["text"])
+                     if term in t.split())[:10]
+        got = out.loc[out["term"] == term, "docs"].iloc[0]
+        assert got == ",".join(str(i) for i in exp)
+
+
+def test_decontaminate_flag_and_drop(ray_session):
+    import ray.data
+
+    bench = ["the quick brown fox jumps over the lazy"]
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "prefix The quick BROWN fox; jumps over the lazy dog",  # hit
+            "the quick brown fox sleeps all day long today",        # miss
+            "quick brown fox jumps over the lazy",                  # 7 toks
+            None,                                                   # null
+        ]})
+    ds = ray.data.from_pandas(df)
+    flagged = C.decontaminate(ds, bench, n=8).to_pandas() \
+                                             .set_index("doc_id")
+    assert list(flagged["contaminated"]) == [True, False, False, False]
+    kept = C.decontaminate(ds, bench, n=8, mode="drop").to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2, 3]
+    with pytest.raises(ValueError):
+        C.decontaminate(ds, ["too short"], n=8)
+
+
+def test_pack_by_budget_matches_window(corpus):
+    ds, df = corpus
+    out = C.pack_by_budget(ds, budget=500, weight_col="n_chars",
+                           num_buckets=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    exp_before = df.sort_values("doc_id")["n_chars"].cumsum().shift(
+        1, fill_value=0).to_numpy()
+    assert list(out["bin"]) == list(exp_before // 500)
+    # by construction, everything packed through bin k weighs >= (k+1)*
+    # budget (the next bin only opens once the running total crosses it)
+    sizes = out.groupby("bin")["n_chars"].sum().sort_index()
+    cum = sizes.cumsum().iloc[:-1].to_numpy()
+    assert (cum >= 500 * (np.arange(len(cum)) + 1)).all()
+    # explicit key_range path agrees
+    out2 = C.pack_by_budget(ds, budget=500, weight_col="n_chars",
+                            key_range=(0, 299), num_buckets=8).to_pandas()
+    assert out2.sort_values("doc_id")["bin"].tolist() == out["bin"].tolist()

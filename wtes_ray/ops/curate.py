@@ -1,0 +1,395 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+hash sampling and train/val/test splits, per-group quota capping /
+stratified sampling, vocabulary + TF-IDF statistics, benchmark
+decontamination, token-budget packing (a distributed prefix scan), and
+posting-list builds.
+
+These are beyond-reference, first-class engine ops (COVERAGE.md bottom
+table). Design rules shared with the dedup/similarity families:
+
+- **Determinism is content-addressed.** Sampling/split decisions hash the
+  RECORD KEY (md5 → uint64, ``_md5_u64`` ≡ DuckDB ``md5_number_lower``),
+  never ``random()``: re-runs, resumes and re-partitions all agree, and
+  every decision is reproducible in oracle SQL. The per-key md5 is a
+  Python-level loop (~1 µs/key) — that cost IS the contract; a vectorized
+  non-cryptographic hash (``pd.util.hash_pandas_object``) would be faster
+  but not reproducible outside this process family.
+- **Group work is bucketed, not per-group.** Per-group top-k rides
+  :func:`wtes_ray.ops.dedup._grouped_exchange` (hash-bucketed exchange +
+  one vectorized pandas pass per bucket) — never one Python callback per
+  fine group (measured ~50 µs/group of pure dispatch overhead).
+- **Partials before the shuffle.** Vocabulary/DF counts reduce inside
+  each batch (terms × blocks rows enter the exchange, not token
+  occurrences), the same partial-combine shape as q1.
+- **Broadcast small sides once.** The decontamination benchmark set is
+  ``ray.put`` once and cached per worker process — never re-shipped or
+  re-deserialized per batch.
+
+Tokenization is pinned to the ASCII class ``[a-z0-9_]+`` over lowercased
+text — the exact class DuckDB RE2's ``regexp_extract_all(lower(text),
+'[a-z0-9_]+')`` yields — so every op here is oracle-checkable on any
+corpus (see ops/text.py stopword_stats for the rationale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from .dedup import _grouped_exchange
+from .multimodal import _md5_u64
+
+_WORD_RE = re.compile(r"[a-z0-9_]+")
+
+# per-worker cache of ray.get'd broadcast objects (a plain ray.get inside
+# a task deserializes the object per TASK; this caches per process)
+_REF_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    key = ref.hex()
+    obj = _REF_CACHE.get(key)
+    if obj is None:
+        obj = _REF_CACHE[key] = ray.get(ref)
+    return obj
+
+
+def _arrow(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+def _key_u64(keys, salt: str) -> np.ndarray:
+    """uint64 md5 hash per key string — ``md5_number_lower('<salt>:' ||
+    CAST(key AS VARCHAR))`` in DuckDB terms."""
+    pre = f"{salt}:".encode()
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(pre + str(k).encode()).digest()[8:16],
+                        "little") for k in keys),
+        dtype=np.uint64, count=len(keys))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+def hash_sample(ds: ray.data.Dataset, *, permille: int,
+                key_col: str = "doc_id",
+                salt: str = "") -> ray.data.Dataset:
+    """Keep rows whose key hashes into the first ``permille``/1000 of the
+    hash space: ``md5_u64(salt:key) % 1000 < permille``. Embarrassingly
+    parallel (no exchange), stable under re-partitioning and resume, and
+    consistent ACROSS datasets sharing the key — sampling two tables with
+    the same salt keeps them row-aligned (the property random_sample
+    cannot give)."""
+    if not 0 <= permille <= 1000:
+        raise ValueError("permille must be in [0, 1000]")
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = _key_u64(batch.column(key_col).to_pylist(), salt)
+        return batch.filter(pa.array(h % 1000 < permille))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_split(ds: ray.data.Dataset, *,
+               splits: Sequence[tuple[str, int]] = (
+                   ("train", 900), ("val", 50), ("test", 50)),
+               key_col: str = "doc_id",
+               salt: str = "split") -> ray.data.Dataset:
+    """Assign every row a deterministic ``split`` label from integer
+    permille weights (summing to 1000): bucket ``md5_u64(salt:key) %
+    1000`` against cumulative thresholds. The assignment is a pure
+    function of (key, salt) — adding data later never moves an existing
+    row between splits, the property a training pipeline needs for
+    stable held-out sets."""
+    names = [n for n, _ in splits]
+    weights = [w for _, w in splits]
+    if sum(weights) != 1000:
+        raise ValueError("split permille weights must sum to 1000")
+    edges = np.cumsum(weights)                       # upper bounds
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = _key_u64(batch.column(key_col).to_pylist(), salt) % 1000
+        idx = np.searchsorted(edges, h, side="right")
+        lab = np.asarray(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-group quota capping / stratified sampling
+# ---------------------------------------------------------------------------
+
+def top_n_per_group(ds: ray.data.Dataset, group_col: str, n: int, *,
+                    order_cols: Sequence[str],
+                    ascending: Sequence[bool]) -> ray.data.Dataset:
+    """Keep the first ``n`` rows of every group under the given total
+    order — the ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...) <= n
+    window, bucketed: groups co-partition by hash into coarse buckets
+    (``_grouped_exchange``) and one vectorized pandas pass per bucket
+    does sort + ``groupby.head``. Only (order+group+payload) columns
+    move; give it a pruned dataset. ``order_cols`` must be a TOTAL order
+    (append the row key last) or the boundary row is partition-luck."""
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        out = g.sort_values(list(order_cols), ascending=list(ascending),
+                            kind="mergesort") \
+               .groupby(group_col, sort=False).head(n)
+        return _arrow(out.reset_index(drop=True))
+
+    return _grouped_exchange(ds, group_col, block)
+
+
+def quota_cap(ds: ray.data.Dataset, *, group_col: str, score_col: str,
+              n: int, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Data-mixing quota: keep the ``n`` best rows per group by
+    (score desc, id asc) — e.g. the n highest-quality documents per
+    language. Deterministic at ties via the id column."""
+    return top_n_per_group(ds, group_col, n,
+                           order_cols=[score_col, id_col],
+                           ascending=[False, True])
+
+
+def stratified_sample(ds: ray.data.Dataset, *, group_col: str, n: int,
+                      id_col: str = "doc_id",
+                      salt: str = "strat") -> ray.data.Dataset:
+    """Deterministic uniform-ish sample of ``n`` rows per group: rank
+    rows inside each group by their key hash (md5 order ≈ random order,
+    but reproducible and oracle-checkable) and keep the first ``n``.
+    The hash column is internal — output schema equals input schema."""
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        h = _key_u64(batch.column(id_col).to_pylist(), salt)
+        # uint64 sorts wrongly through pandas object fallback; keep int64
+        # bit pattern? No — order must match SQL's UBIGINT order, so keep
+        # unsigned and let numpy/pandas sort uint64 natively.
+        return batch.append_column("__h", pa.array(h, pa.uint64()))
+
+    capped = top_n_per_group(ds.map_batches(add_h, batch_format="pyarrow"),
+                             group_col, n,
+                             order_cols=["__h", id_col],
+                             ascending=[True, True])
+    return capped.drop_columns(["__h"])
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / TF-IDF
+# ---------------------------------------------------------------------------
+
+def term_stats(ds: ray.data.Dataset, *, text_col: str = "text",
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """Global (term, tf, df) over the ASCII word tokens of ``text_col``:
+    tf = total occurrences, df = number of distinct documents containing
+    the term. One pass: each batch reduces its own token stream to
+    per-term partials (pandas value_counts — vectorized), so the
+    exchange carries ≤ unique-terms × blocks rows, never one row per
+    token occurrence."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        toks, docs = [], []
+        for i, t in enumerate(batch[text_col].fillna("")):
+            w = _WORD_RE.findall(t.lower())
+            toks.extend(w)
+            docs.extend([i] * len(w))
+        if not toks:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        pairs = pd.DataFrame({"d": np.asarray(docs), "term": toks})
+        tf = pairs["term"].value_counts(sort=False)
+        df_ = pairs.drop_duplicates()["term"].value_counts(sort=False)
+        out = pd.DataFrame({"term": tf.index,
+                            "tf": tf.to_numpy(dtype=np.int64)})
+        out["df"] = df_.reindex(out["term"]).to_numpy(dtype=np.int64)
+        return _arrow(out)
+
+    part = ds.map_batches(partial, batch_format="pandas").materialize()
+    return part.groupby("term").aggregate(Sum("tf", alias_name="tf"),
+                                          Sum("df", alias_name="df"))
+
+
+def top_terms(ds: ray.data.Dataset, k: int, *, text_col: str = "text",
+              n_docs: int | None = None) -> pd.DataFrame:
+    """Top-``k`` vocabulary by (tf desc, term asc) with idf =
+    ln(n_docs / df). The global (term, tf, df) table never lands on the
+    driver: each block keeps a LOCAL top-k and the driver merges
+    blocks × k survivor rows (the ``_sorted_head`` pattern). ``n_docs``
+    defaults to ``ds.count()`` (callers holding a parquet footer count
+    should pass it)."""
+    if n_docs is None:
+        n_docs = ds.count()
+    stats = term_stats(ds, text_col=text_col)
+
+    def local_head(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["tf", "term"], ascending=[False, True]) \
+                .head(k)
+
+    parts = [p.to_pandas() for p in
+             ray.get(stats.map_batches(local_head, batch_format="pandas")
+                     .to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return pd.DataFrame({"term": pd.Series(dtype=str),
+                             "tf": pd.Series(dtype=np.int64),
+                             "df": pd.Series(dtype=np.int64),
+                             "idf": pd.Series(dtype=float)})
+    allp = pd.concat(parts, ignore_index=True)
+    out = allp.sort_values(["tf", "term"], ascending=[False, True]) \
+              .head(k).reset_index(drop=True)
+    out["idf"] = np.round(np.log(n_docs / out["df"].to_numpy(float)), 6)
+    return out[["term", "tf", "df", "idf"]]
+
+
+def posting_lists(ds: ray.data.Dataset, terms: Sequence[str], *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  cap: int = 50) -> pd.DataFrame:
+    """Inverted-index slice: for each term in the (small, broadcast)
+    ``terms`` set, the first ``cap`` containing doc ids in id order,
+    comma-joined. Each batch emits only (term, doc) pairs for the
+    filtered term set; per-term heads reduce per block, then on the
+    driver over blocks × terms × cap survivors."""
+    tset = set(terms)
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        term_out, doc_out = [], []
+        for d, t in zip(batch[id_col], batch[text_col].fillna("")):
+            hit = tset.intersection(_WORD_RE.findall(t.lower()))
+            term_out.extend(hit)
+            doc_out.extend([d] * len(hit))
+        out = pd.DataFrame({"term": pd.Series(term_out, dtype="string"),
+                            id_col: doc_out})
+        # local per-term head keeps ≤ terms × cap rows per block
+        return out.sort_values(["term", id_col]) \
+                  .groupby("term", sort=False).head(cap)
+
+    parts = [p.to_pandas() for p in
+             ray.get(ds.map_batches(pairs, batch_format="pandas")
+                     .to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return pd.DataFrame({"term": pd.Series(dtype=str),
+                             "docs": pd.Series(dtype=str)})
+    allp = pd.concat(parts, ignore_index=True)
+    heads = allp.sort_values(["term", id_col]) \
+                .groupby("term", sort=True).head(cap)
+    return heads.groupby("term", sort=True)[id_col] \
+                .agg(lambda s: ",".join(str(v) for v in s)) \
+                .rename("docs").reset_index()
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(ds: ray.data.Dataset, benchmark_grams: Sequence[str], *,
+                  n: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  mode: str = "flag") -> ray.data.Dataset:
+    """Benchmark decontamination: flag (or drop) documents containing any
+    of the benchmark's ``n``-token word grams. ``benchmark_grams`` are
+    space-joined lowercase token grams (the shape a benchmark-prep step
+    emits); they broadcast ONCE via ``ray.put`` as a set of token tuples
+    and deserialize once per worker (``_cached_get``), never per batch.
+    Matching slides an ``n``-token window over each doc's token stream —
+    exact string equality, no hashing, so a match here is a match in the
+    oracle's substring formulation (space-joined tokens with boundary
+    guards) and vice versa. ``mode='flag'`` appends a ``contaminated``
+    bool column; ``mode='drop'`` filters instead."""
+    if mode not in ("flag", "drop"):
+        raise ValueError("mode must be 'flag' or 'drop'")
+    gram_set = {tuple(g.split(" ")) for g in benchmark_grams}
+    if any(len(g) != n for g in gram_set):
+        raise ValueError(f"every benchmark gram must have exactly {n} tokens")
+    ref = ray.put(gram_set)
+
+    def f(batch: pa.Table) -> pa.Table:
+        grams = _cached_get(ref)
+        texts = batch.column(text_col).to_pylist()
+        hit = np.zeros(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            w = _WORD_RE.findall((t or "").lower())
+            hit[i] = any(tuple(w[j:j + n]) in grams
+                         for j in range(len(w) - n + 1))
+        if mode == "drop":
+            return batch.filter(pa.array(~hit))
+        return batch.append_column("contaminated", pa.array(hit))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget packing (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+def pack_by_budget(ds: ray.data.Dataset, *, budget: int,
+                   weight_col: str, key_col: str = "doc_id",
+                   key_range: tuple[int, int] | None = None,
+                   num_buckets: int = 32) -> ray.data.Dataset:
+    """Assign each row a shard ``bin`` by cumulative weight in global
+    ``key_col`` order: bin = floor(prefix_sum_before_row / budget) —
+    the SUM(...) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) window.
+    The use case is packing documents into ~budget-token training shards
+    in a stable, resumable order.
+
+    Implemented as a DISTRIBUTED PREFIX SCAN, no global sort:
+    1. rows get an ORDER-PRESERVING range bucket from the numeric key
+       (``(key-lo)*B // span`` — contiguous key ranges, unlike the hash
+       buckets of ``_grouped_exchange``);
+    2. pass 1 pre-reduces per-bucket weight totals inside each batch and
+       a tiny ≤ B-row groupby lands them on the driver, which computes
+       exclusive prefix offsets (an O(B) scan);
+    3. pass 2 exchanges rows by bucket and one vectorized pandas pass
+       per bucket sorts by key and adds offset + local cumsum.
+    Only (key, weight) plus payload columns move; the driver holds B
+    numbers, never rows. Assumes a NUMERIC key; uniform buckets are a
+    partitioning choice (skewed keys → uneven buckets, still correct).
+    ``key_range`` (lo, hi) skips the min/max pass — pass parquet footer
+    stats when you have them."""
+    if key_range is None:
+        mm = ds.select_columns([key_col]).aggregate(
+            Min(key_col, alias_name="lo"), Max(key_col, alias_name="hi"))
+        lo, hi = int(mm["lo"]), int(mm["hi"])
+    else:
+        lo, hi = map(int, key_range)
+    span = max(1, hi - lo + 1)
+    B = num_buckets
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(key_col).to_pylist(), dtype=np.int64)
+        b = (k - lo) * B // span
+        return t.append_column("__rb", pa.array(b, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"__rb": t.column("__rb").to_pylist(),
+                           "w": t.column(weight_col).to_pylist()})
+        out = df.groupby("__rb", as_index=False)["w"].sum()
+        return _arrow(out)
+
+    totals = tagged.map_batches(bucket_partial, batch_format="pyarrow") \
+        .groupby("__rb").aggregate(Sum("w", alias_name="w")).to_pandas()
+    totals = totals.sort_values("__rb")
+    cum = np.concatenate([[0], np.cumsum(totals["w"].to_numpy())[:-1]])
+    offsets = dict(zip(totals["__rb"].astype(int), cum.astype(np.int64)))
+
+    def scan_block(g: pd.DataFrame) -> pa.Table:
+        rb = int(g["__rb"].iloc[0])
+        g = g.sort_values(key_col, kind="mergesort")
+        before = offsets.get(rb, 0) + np.concatenate(
+            [[0], np.cumsum(g[weight_col].to_numpy(np.int64))[:-1]])
+        g = g.drop(columns="__rb")
+        g["bin"] = (before // budget).astype(np.int64)
+        return _arrow(g.reset_index(drop=True))
+
+    return tagged.groupby("__rb").map_groups(scan_block,
+                                             batch_format="pandas")

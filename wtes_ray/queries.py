@@ -1966,6 +1966,249 @@ def media_audio_features(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation (ops/curate.py): deterministic sampling / splits, quotas,
+# vocabulary, decontamination, token-budget packing. Every op here is
+# content-addressed (md5 ≡ DuckDB md5_number_lower) or window-expressible,
+# so ALL queries in this family carry full value-hash oracles.
+# ---------------------------------------------------------------------------
+
+def sample_docs_hash(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 5% corpus sample: keep docs whose md5 key hash lands
+    in the first 50/1000 of the hash space — reproducible across runs,
+    repartitions and resumes (no RNG), and embarrassingly parallel."""
+    from .ops.curate import hash_sample
+    ds = _read_pq(_t(sf_dir, "documents"),
+                  columns=["doc_id", "lang", "n_chars"])
+    out = hash_sample(ds, permille=50, salt="s1").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_DOCS_HASH_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE md5_number_lower('s1:' || CAST(doc_id AS VARCHAR)) % 1000 < 50
+ORDER BY doc_id
+"""
+
+
+def split_assign_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment (900/50/50 permille) —
+    a pure function of (key, salt), so later data never moves an
+    existing row between splits."""
+    from .ops.curate import hash_split
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
+    out = hash_split(ds, salt="split").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SPLIT_ASSIGN_SQL = """
+SELECT doc_id,
+       CASE WHEN md5_number_lower('split:' || CAST(doc_id AS VARCHAR))
+                 % 1000 < 900 THEN 'train'
+            WHEN md5_number_lower('split:' || CAST(doc_id AS VARCHAR))
+                 % 1000 < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def quota_cap_docs(sf_dir: str) -> pd.DataFrame:
+    """Data-mixing quota: the 20 longest documents per language
+    ((n_chars desc, doc_id asc) total order) via the bucketed per-group
+    exchange — the ROW_NUMBER window at corpus scale."""
+    from .ops.curate import quota_cap
+    ds = _read_pq(_t(sf_dir, "documents"),
+                  columns=["doc_id", "lang", "n_chars"])
+    out = quota_cap(ds, group_col="lang", score_col="n_chars",
+                    n=20).to_pandas()
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True) \
+              [["doc_id", "lang", "n_chars"]]
+
+
+QUOTA_CAP_SQL = """
+SELECT doc_id, lang, n_chars
+FROM (SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+WHERE rn <= 20
+ORDER BY lang, doc_id
+"""
+
+
+def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """25 documents per language, chosen by md5-hash rank inside the
+    group — a reproducible 'random' stratified sample the oracle can
+    recompute exactly."""
+    from .ops.curate import stratified_sample
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    out = stratified_sample(ds, group_col="lang", n=25,
+                            salt="strat").to_pandas()
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5_number_lower(
+                     'strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 25
+ORDER BY lang, doc_id
+"""
+
+
+def vocab_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-50 vocabulary by global term frequency with document
+    frequency and idf = ln(N/df). Counts pre-reduce inside every batch
+    (terms × blocks rows enter the exchange, never per-occurrence rows)
+    and the top-k finish is per-block local heads + a bounded driver
+    merge. N comes from the parquet footer, no extra pass."""
+    from .ops.curate import top_terms
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = top_terms(ds, k=50, n_docs=_n_rows(sf_dir, "documents"))
+    out["tf"] = out["tf"].astype(np.int64)
+    out["df"] = out["df"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+VOCAB_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+stats AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term)
+SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(LN((SELECT COUNT(*) FROM documents) * 1.0 / df), 6) AS idf
+FROM stats
+ORDER BY tf DESC, term
+LIMIT 50
+"""
+
+
+def posting_lists_docs(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index slice: the 5 most frequent terms → their first 50
+    containing doc ids (id order, comma-joined). Term selection reuses
+    the vocabulary pass; the posting build ships only (term, doc) pairs
+    for the broadcast 5-term set, with per-block heads bounding what
+    reaches the driver."""
+    from .ops.curate import posting_lists, top_terms
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    terms = top_terms(ds, k=5,
+                      n_docs=_n_rows(sf_dir, "documents"))["term"]
+    out = posting_lists(ds, list(terms), cap=50)
+    out["term"] = out["term"].astype(str)
+    return out.sort_values("term").reset_index(drop=True)
+
+
+POSTING_LISTS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+top5 AS (
+  SELECT term FROM toks GROUP BY term
+  ORDER BY COUNT(*) DESC, term LIMIT 5),
+posting AS (
+  SELECT t.term, t.doc_id
+  FROM toks t JOIN top5 USING (term)
+  GROUP BY t.term, t.doc_id)
+SELECT term,
+       array_to_string(list_sort(list(doc_id))[1:50], ',') AS docs
+FROM posting
+GROUP BY term
+ORDER BY term
+"""
+
+
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: ~2.7% of docs (hash-selected — the
+    stand-in 'benchmark') contribute their first 8-token word gram;
+    every document is then flagged iff its token stream contains ANY
+    benchmark gram as a consecutive run. The gram set is distilled
+    distributed (a filtered, truncated map — only grams reach the
+    driver), broadcast once via ray.put, and matched exactly (token
+    windows, no hashing), so the SQL substring formulation with
+    boundary guards is equivalent."""
+    from .ops.curate import decontaminate, hash_sample, _WORD_RE
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def first_gram(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = []
+        for t in batch["text"].fillna(""):
+            w = _WORD_RE.findall(t.lower())
+            if len(w) >= 8:
+                grams.append(" ".join(w[:8]))
+        return pd.DataFrame({"gram": pd.Series(grams, dtype="string")})
+
+    bench = hash_sample(ds, permille=27, salt="bench") \
+        .map_batches(first_gram, batch_format="pandas").to_pandas()
+    out = decontaminate(ds, list(bench["gram"]), n=8).to_pandas()
+    out["contaminated"] = out["contaminated"].astype(np.int64)
+    return out[["doc_id", "contaminated"]].sort_values("doc_id") \
+                                          .reset_index(drop=True)
+
+
+DECONTAMINATE_SQL = """
+WITH b AS (
+  SELECT array_to_string(
+           regexp_extract_all(lower(text), '[a-z0-9_]+')[1:8], ' ') AS gram
+  FROM documents
+  WHERE md5_number_lower('bench:' || CAST(doc_id AS VARCHAR)) % 1000 < 27
+    AND len(regexp_extract_all(lower(text), '[a-z0-9_]+')) >= 8),
+t AS (
+  SELECT doc_id,
+         ' ' || array_to_string(
+             regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ') || ' '
+         AS ts
+  FROM documents)
+SELECT doc_id,
+       CAST(EXISTS(SELECT 1 FROM b
+                   WHERE contains(t.ts, ' ' || b.gram || ' '))
+            AS BIGINT) AS contaminated
+FROM t
+ORDER BY doc_id
+"""
+
+
+def pack_docs_budget(sf_dir: str) -> pd.DataFrame:
+    """Token-budget shard packing: bin = floor(chars-before-this-doc /
+    100k) in doc_id order — the cumulative-SUM window, computed as a
+    distributed prefix scan (range-bucketed, per-bucket offsets from an
+    O(buckets) driver step; no global sort). The key range comes from
+    the parquet footer's column statistics — zero data read."""
+    from .ops.curate import pack_by_budget
+    md = pq.ParquetFile(_t(sf_dir, "documents")).metadata
+    idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+    los, his = zip(*((rg.column(idx).statistics.min,
+                      rg.column(idx).statistics.max)
+                     for rg in (md.row_group(i)
+                                for i in range(md.num_row_groups))))
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    out = pack_by_budget(ds, budget=100_000, weight_col="n_chars",
+                         key_range=(min(los), max(his))).to_pandas()
+    out["bin"] = out["bin"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True) \
+              [["doc_id", "n_chars", "bin"]]
+
+
+PACK_DOCS_SQL = """
+SELECT doc_id, n_chars,
+       CAST((SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_chars) // 100000
+            AS BIGINT) AS bin
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2035,6 +2278,15 @@ REGISTRY: dict = {
     "extract_flagship_documents": (extract_flagship_documents,
                                    EXTRACT_FLAGSHIP_SQL),
     "pdf_roundtrip_docs": (pdf_roundtrip_docs, PDF_ROUNDTRIP_SQL),
+    "sample_docs_hash": (sample_docs_hash, SAMPLE_DOCS_HASH_SQL),
+    "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),
+    "quota_cap_docs": (quota_cap_docs, QUOTA_CAP_SQL),
+    "stratified_sample_docs": (stratified_sample_docs,
+                               STRATIFIED_SAMPLE_SQL),
+    "vocab_top_terms": (vocab_top_terms, VOCAB_TOP_TERMS_SQL),
+    "posting_lists_docs": (posting_lists_docs, POSTING_LISTS_SQL),
+    "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "pack_docs_budget": (pack_docs_budget, PACK_DOCS_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

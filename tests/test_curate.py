@@ -130,6 +130,39 @@ def test_decontaminate_flag_and_drop(ray_session):
         C.decontaminate(ds, ["too short"], n=8)
 
 
+def test_size_dispatched_paths_agree(corpus):
+    """driver_max_rows=0 forces the DISTRIBUTED finish (bucketed group
+    exchange / Sum aggregate / map_groups scan); results must be
+    row-identical to the driver path the gate-scale inputs take."""
+    ds, df = corpus
+    a = C.quota_cap(ds, group_col="lang", score_col="n_chars",
+                    n=7).to_pandas()
+    b = C.quota_cap(ds, group_col="lang", score_col="n_chars", n=7,
+                    driver_max_rows=0).to_pandas()
+    key = ["lang", "doc_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[sorted(a.columns)],
+        b.sort_values(key).reset_index(drop=True)[sorted(b.columns)])
+
+    sa = C.term_stats(ds).to_pandas().sort_values("term") \
+          .reset_index(drop=True)
+    sb = C.term_stats(ds, driver_max_rows=0).to_pandas() \
+          .sort_values("term").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa[sorted(sa.columns)],
+                                  sb[sorted(sb.columns)],
+                                  check_dtype=False)
+
+    pa_ = C.pack_by_budget(ds, budget=500, weight_col="n_chars",
+                           num_buckets=8).to_pandas() \
+           .sort_values("doc_id").reset_index(drop=True)
+    pb = C.pack_by_budget(ds, budget=500, weight_col="n_chars",
+                          num_buckets=8, driver_max_rows=0).to_pandas() \
+          .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_[sorted(pa_.columns)],
+                                  pb[sorted(pb.columns)],
+                                  check_dtype=False)
+
+
 def test_pack_by_budget_matches_window(corpus):
     ds, df = corpus
     out = C.pack_by_budget(ds, budget=500, weight_col="n_chars",

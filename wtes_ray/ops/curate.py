@@ -45,7 +45,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
-from .dedup import _grouped_exchange
+from .dedup import _consolidate, _grouped_exchange
 from .multimodal import _md5_u64
 
 _WORD_RE = re.compile(r"[a-z0-9_]+")
@@ -133,32 +133,53 @@ def hash_split(ds: ray.data.Dataset, *,
 
 def top_n_per_group(ds: ray.data.Dataset, group_col: str, n: int, *,
                     order_cols: Sequence[str],
-                    ascending: Sequence[bool]) -> ray.data.Dataset:
+                    ascending: Sequence[bool],
+                    driver_max_rows: int = 200_000) -> ray.data.Dataset:
     """Keep the first ``n`` rows of every group under the given total
     order — the ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...) <= n
-    window, bucketed: groups co-partition by hash into coarse buckets
-    (``_grouped_exchange``) and one vectorized pandas pass per bucket
-    does sort + ``groupby.head``. Only (order+group+payload) columns
-    move; give it a pruned dataset. ``order_cols`` must be a TOTAL order
-    (append the row key last) or the boundary row is partition-luck."""
+    window, with a COMBINER: every block first caps itself to n rows per
+    group (global top-n per group == top-n over the union of per-block
+    top-ns), so the exchange carries ≤ groups × n × blocks survivor rows
+    — bounded, never corpus-sized. The finish is size-dispatched like
+    ``_combine_pairs``: below ``driver_max_rows`` survivors it runs on
+    the driver (a Ray sort exchange costs ~2 s of fixed overhead even
+    for tiny inputs, SCALING.md); above, groups co-partition by hash
+    into coarse buckets (``_grouped_exchange``) and one vectorized
+    pandas pass per bucket finishes — group COUNT can be unbounded
+    (per-domain quotas), only each group's survivor set must fit a
+    bucket. Only (order+group+payload) columns move; give it a pruned
+    dataset. ``order_cols`` must be a TOTAL order (append the row key
+    last) or the boundary row is partition-luck."""
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(list(order_cols), ascending=list(ascending),
+                             kind="mergesort") \
+                .groupby(group_col, sort=False).head(n) \
+                .reset_index(drop=True)
 
     def block(g: pd.DataFrame) -> pa.Table:
-        out = g.sort_values(list(order_cols), ascending=list(ascending),
-                            kind="mergesort") \
-               .groupby(group_col, sort=False).head(n)
-        return _arrow(out.reset_index(drop=True))
+        return _arrow(head(g))
 
-    return _grouped_exchange(ds, group_col, block)
+    surv = _consolidate(
+        ds.map_batches(lambda b: _arrow(head(b)), batch_format="pandas"))
+    if surv.count() <= driver_max_rows:
+        df = surv.to_pandas()
+        if len(df) == 0:
+            return surv
+        return ray.data.from_arrow(block(df))
+    return _grouped_exchange(surv, group_col, block)
 
 
 def quota_cap(ds: ray.data.Dataset, *, group_col: str, score_col: str,
-              n: int, id_col: str = "doc_id") -> ray.data.Dataset:
+              n: int, id_col: str = "doc_id",
+              driver_max_rows: int = 200_000) -> ray.data.Dataset:
     """Data-mixing quota: keep the ``n`` best rows per group by
     (score desc, id asc) — e.g. the n highest-quality documents per
     language. Deterministic at ties via the id column."""
     return top_n_per_group(ds, group_col, n,
                            order_cols=[score_col, id_col],
-                           ascending=[False, True])
+                           ascending=[False, True],
+                           driver_max_rows=driver_max_rows)
 
 
 def stratified_sample(ds: ray.data.Dataset, *, group_col: str, n: int,
@@ -188,13 +209,17 @@ def stratified_sample(ds: ray.data.Dataset, *, group_col: str, n: int,
 # ---------------------------------------------------------------------------
 
 def term_stats(ds: ray.data.Dataset, *, text_col: str = "text",
-               id_col: str = "doc_id") -> ray.data.Dataset:
+               id_col: str = "doc_id",
+               driver_max_rows: int = 200_000) -> ray.data.Dataset:
     """Global (term, tf, df) over the ASCII word tokens of ``text_col``:
     tf = total occurrences, df = number of distinct documents containing
     the term. One pass: each batch reduces its own token stream to
     per-term partials (pandas value_counts — vectorized), so the
-    exchange carries ≤ unique-terms × blocks rows, never one row per
-    token occurrence."""
+    final reduce sees ≤ unique-terms × blocks rows, never one row per
+    token occurrence. The reduce is size-dispatched (``_combine_pairs``
+    idiom): a driver pandas groupby below ``driver_max_rows`` partial
+    rows, the distributed Sum aggregate above (the scale path — a real
+    corpus has millions of terms × thousands of blocks)."""
 
     def partial(batch: pd.DataFrame) -> pa.Table:
         toks, docs = [], []
@@ -214,7 +239,14 @@ def term_stats(ds: ray.data.Dataset, *, text_col: str = "text",
         out["df"] = df_.reindex(out["term"]).to_numpy(dtype=np.int64)
         return _arrow(out)
 
-    part = ds.map_batches(partial, batch_format="pandas").materialize()
+    part = _consolidate(ds.map_batches(partial, batch_format="pandas"))
+    if part.count() <= driver_max_rows:
+        df = part.to_pandas()
+        if len(df) == 0:
+            return part
+        out = df.groupby("term", as_index=False, sort=False) \
+                .agg({"tf": "sum", "df": "sum"})
+        return ray.data.from_arrow(_arrow(out))
     return part.groupby("term").aggregate(Sum("tf", alias_name="tf"),
                                           Sum("df", alias_name="df"))
 
@@ -333,7 +365,8 @@ def decontaminate(ds: ray.data.Dataset, benchmark_grams: Sequence[str], *,
 def pack_by_budget(ds: ray.data.Dataset, *, budget: int,
                    weight_col: str, key_col: str = "doc_id",
                    key_range: tuple[int, int] | None = None,
-                   num_buckets: int = 32) -> ray.data.Dataset:
+                   num_buckets: int = 32,
+                   driver_max_rows: int = 200_000) -> ray.data.Dataset:
     """Assign each row a shard ``bin`` by cumulative weight in global
     ``key_col`` order: bin = floor(prefix_sum_before_row / budget) —
     the SUM(...) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) window.
@@ -373,23 +406,48 @@ def pack_by_budget(ds: ray.data.Dataset, *, budget: int,
     def bucket_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"__rb": t.column("__rb").to_pylist(),
                            "w": t.column(weight_col).to_pylist()})
-        out = df.groupby("__rb", as_index=False)["w"].sum()
+        out = df.groupby("__rb", as_index=False) \
+                .agg(w=("w", "sum"), c=("w", "size"))
         return _arrow(out)
 
-    totals = tagged.map_batches(bucket_partial, batch_format="pyarrow") \
-        .groupby("__rb").aggregate(Sum("w", alias_name="w")).to_pandas()
+    tot_part = _consolidate(
+        tagged.map_batches(bucket_partial, batch_format="pyarrow"))
+    if tot_part.count() <= max(driver_max_rows, 1):  # ≤ B rows per block
+        totals = tot_part.to_pandas().groupby("__rb", as_index=False) \
+                         .agg({"w": "sum", "c": "sum"})
+    else:
+        totals = tot_part.groupby("__rb") \
+            .aggregate(Sum("w", alias_name="w"),
+                       Sum("c", alias_name="c")).to_pandas()
     totals = totals.sort_values("__rb")
+    n_rows = int(totals["c"].sum())
     cum = np.concatenate([[0], np.cumsum(totals["w"].to_numpy())[:-1]])
     offsets = dict(zip(totals["__rb"].astype(int), cum.astype(np.int64)))
 
-    def scan_block(g: pd.DataFrame) -> pa.Table:
-        rb = int(g["__rb"].iloc[0])
+    def scan_frame(g: pd.DataFrame, rb: int) -> pd.DataFrame:
         g = g.sort_values(key_col, kind="mergesort")
         before = offsets.get(rb, 0) + np.concatenate(
             [[0], np.cumsum(g[weight_col].to_numpy(np.int64))[:-1]])
         g = g.drop(columns="__rb")
         g["bin"] = (before // budget).astype(np.int64)
-        return _arrow(g.reset_index(drop=True))
+        return g.reset_index(drop=True)
+
+    # pass 2 is size-dispatched like _combine_pairs: the scanned rows are
+    # corpus-sized, so at scale the bucketed exchange ALWAYS runs; the
+    # driver path only fires when the whole (key, weight, payload)
+    # projection is tiny (the row count is free — it rode along with the
+    # pass-1 totals), saving the ~2 s fixed exchange cost at gate scale.
+    if n_rows <= driver_max_rows:
+        df = tagged.to_pandas()
+        if len(df) == 0:
+            return tagged.drop_columns(["__rb"])
+        out = pd.concat(
+            [scan_frame(g, int(rb)) for rb, g in df.groupby("__rb")],
+            ignore_index=True)
+        return ray.data.from_arrow(_arrow(out))
+
+    def scan_block(g: pd.DataFrame) -> pa.Table:
+        return _arrow(scan_frame(g, int(g["__rb"].iloc[0])))
 
     return tagged.groupby("__rb").map_groups(scan_block,
                                              batch_format="pandas")

@@ -163,6 +163,47 @@ def test_size_dispatched_paths_agree(corpus):
                                   check_dtype=False)
 
 
+def test_mixture_sample_rates(corpus):
+    ds, df = corpus
+    out = C.mixture_sample(ds, {"en": 500, "de": 100},
+                           group_col="lang", salt="mx").to_pandas()
+    rates = {"en": 500, "de": 100}
+    exp = [i for i, g in zip(df["doc_id"], df["lang"])
+           if _u64(f"mx:{i}") % 1000 < rates.get(g, 0)]
+    assert sorted(out["doc_id"]) == exp
+    assert "fr" not in set(out["lang"])          # absent group → rate 0
+
+
+def test_cluster_consistent_split(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["aaa", "bbb", "aaa", "ccc", "aaa"]})
+    out = C.cluster_consistent_split(
+        ray.data.from_pandas(df).repartition(3), salt="z").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # identical texts share the min-id cluster...
+    assert list(out["cluster"]) == [0, 1, 0, 3, 0]
+    # ...and therefore the split label
+    assert out.loc[0, "split"] == out.loc[2, "split"] == out.loc[4, "split"]
+    h = _u64("z:1") % 1000
+    assert out.loc[1, "split"] == (
+        "train" if h < 900 else ("val" if h < 950 else "test"))
+
+
+def test_global_rank_is_row_number(corpus):
+    ds, df = corpus
+    for dmr in (200_000, 0):     # driver finish AND distributed scan
+        out = C.global_rank(ds, order_cols=["n_chars", "doc_id"],
+                            num_buckets=8, driver_max_rows=dmr) \
+               .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        exp = df.sort_values(["n_chars", "doc_id"]).reset_index()
+        exp["rank"] = np.arange(1, len(exp) + 1)
+        exp = exp.sort_values("doc_id")
+        assert list(out["rank"]) == list(exp["rank"])
+
+
 def test_pack_by_budget_matches_window(corpus):
     ds, df = corpus
     out = C.pack_by_budget(ds, budget=500, weight_col="n_chars",

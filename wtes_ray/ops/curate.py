@@ -204,6 +204,69 @@ def stratified_sample(ds: ray.data.Dataset, *, group_col: str, n: int,
     return capped.drop_columns(["__h"])
 
 
+def mixture_sample(ds: ray.data.Dataset, rates: dict, *,
+                   group_col: str, key_col: str = "doc_id",
+                   salt: str = "mix") -> ray.data.Dataset:
+    """Data-mixing sampler: per-group keep rates (integer permille, e.g.
+    ``{"en": 300, "de": 100}``; groups absent from ``rates`` drop to 0).
+    The decision composes the group's rate with the same content-
+    addressed key hash as :func:`hash_sample`, so mixtures stay
+    deterministic, resumable, and row-aligned across tables. The rate
+    dict is closure-captured (it is group-cardinality-sized; a huge
+    per-domain table would broadcast via ray.put instead)."""
+    if not all(0 <= int(v) <= 1000 for v in rates.values()):
+        raise ValueError("rates are permille values in [0, 1000]")
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _key_u64(batch[key_col], salt) % 1000
+        cut = batch[group_col].map(rates).fillna(0).to_numpy(np.int64)
+        return batch[h < cut]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def exact_cluster_ids(ds: ray.data.Dataset, *, text_col: str = "text",
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    """Exact-duplicate cluster map: (id, cluster) where cluster is the
+    MINIMUM id sharing the row's text. The companion of
+    ``dedup.exact_dedup_ids`` that keeps EVERY row (that one keeps only
+    survivors): one bucketed exchange over (16-byte md5, id) pairs —
+    texts never move — and a vectorized per-bucket transform('min')."""
+
+    def hash_batch(df: pd.DataFrame) -> pa.Table:
+        import hashlib as _hl
+        return _arrow(pd.DataFrame({
+            id_col: df[id_col],
+            "__h": [_hl.md5((t or "").encode("utf-8")).digest()
+                    for t in df[text_col]]}))
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            id_col: g[id_col],
+            "cluster": g.groupby("__h")[id_col].transform("min")})
+        return _arrow(out.reset_index(drop=True))
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+    return _grouped_exchange(hashed, "__h", block)
+
+
+def cluster_consistent_split(ds: ray.data.Dataset, *,
+                             splits: Sequence[tuple[str, int]] = (
+                                 ("train", 900), ("val", 50), ("test", 50)),
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             salt: str = "split") -> ray.data.Dataset:
+    """Leakage-safe train/val/test split: exact-duplicate documents land
+    in the SAME split (splitting on the raw doc id leaks near-identical
+    text across the train/eval boundary). Composition: cluster ids from
+    :func:`exact_cluster_ids`, then :func:`hash_split` keyed on the
+    CLUSTER id — every member inherits its cluster's assignment.
+    Returns (id, cluster, split)."""
+    clustered = exact_cluster_ids(ds, text_col=text_col, id_col=id_col)
+    return hash_split(clustered, splits=splits, key_col="cluster",
+                      salt=salt)
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary / TF-IDF
 # ---------------------------------------------------------------------------
@@ -356,6 +419,83 @@ def decontaminate(ds: ray.data.Dataset, benchmark_grams: Sequence[str], *,
         return batch.append_column("contaminated", pa.array(hit))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Global ranking (distributed prefix scan over row counts)
+# ---------------------------------------------------------------------------
+
+def global_rank(ds: ray.data.Dataset, *, order_cols: Sequence[str],
+                key_range: tuple[int, int] | None = None,
+                num_buckets: int = 32, rank_col: str = "rank",
+                driver_max_rows: int = 200_000) -> ray.data.Dataset:
+    """Append the 1-based global row number under ``ORDER BY order_cols``
+    (all ascending; must be a total order — append the row key last)
+    WITHOUT a global sort: the count-weighted variant of the
+    ``pack_by_budget`` prefix scan. Rows range-bucket on the FIRST order
+    column (numeric; ties stay inside one bucket, so the composite order
+    finishes locally), per-bucket row counts reduce to B driver numbers,
+    an O(B) exclusive scan gives each bucket its starting rank, and one
+    vectorized pass per bucket sorts and adds ``offset + arange``.
+    This is ROW_NUMBER() — and through ``(rank-1)*k // N`` any NTILE-ish
+    quantile binning — at corpus scale."""
+    first = order_cols[0]
+    if key_range is None:
+        mm = ds.select_columns([first]).aggregate(
+            Min(first, alias_name="lo"), Max(first, alias_name="hi"))
+        lo, hi = int(mm["lo"]), int(mm["hi"])
+    else:
+        lo, hi = map(int, key_range)
+    span = max(1, hi - lo + 1)
+    B = num_buckets
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(first).to_pylist(), dtype=np.int64)
+        return t.append_column(
+            "__rb", pa.array((k - lo) * B // span, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def counts(t: pa.Table) -> pa.Table:
+        rb, c = np.unique(np.asarray(t.column("__rb").to_pylist(),
+                                     dtype=np.int64), return_counts=True)
+        return pa.table({"__rb": pa.array(rb, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    cnt_part = _consolidate(tagged.map_batches(counts,
+                                               batch_format="pyarrow"))
+    if cnt_part.count() <= max(driver_max_rows, 1):
+        totals = cnt_part.to_pandas().groupby("__rb", as_index=False) \
+                         .agg({"c": "sum"})
+    else:
+        totals = cnt_part.groupby("__rb") \
+            .aggregate(Sum("c", alias_name="c")).to_pandas()
+    totals = totals.sort_values("__rb")
+    n_rows = int(totals["c"].sum())
+    cum = np.concatenate([[0], np.cumsum(totals["c"].to_numpy())[:-1]])
+    offsets = dict(zip(totals["__rb"].astype(int), cum.astype(np.int64)))
+
+    def rank_frame(g: pd.DataFrame, rb: int) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="mergesort") \
+             .drop(columns="__rb").reset_index(drop=True)
+        g[rank_col] = offsets.get(rb, 0) + np.arange(1, len(g) + 1,
+                                                     dtype=np.int64)
+        return g
+
+    if n_rows <= driver_max_rows:
+        df = tagged.to_pandas()
+        if len(df) == 0:
+            return tagged.drop_columns(["__rb"])
+        out = pd.concat(
+            [rank_frame(g, int(rb)) for rb, g in df.groupby("__rb")],
+            ignore_index=True)
+        return ray.data.from_arrow(_arrow(out))
+
+    def rank_block(g: pd.DataFrame) -> pa.Table:
+        return _arrow(rank_frame(g, int(g["__rb"].iloc[0])))
+
+    return tagged.groupby("__rb").map_groups(rank_block,
+                                             batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -2176,6 +2176,77 @@ ORDER BY doc_id
 """
 
 
+def mixture_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Data-mixing: language-dependent keep rates (en 300‰ / de 100‰ /
+    fr 50‰, everything else 0) composed with the content-addressed key
+    hash — the deterministic sampler a weighted corpus mixture needs."""
+    from .ops.curate import mixture_sample
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    out = mixture_sample(ds, {"en": 300, "de": 100, "fr": 50},
+                         group_col="lang", salt="mix").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE md5_number_lower('mix:' || CAST(doc_id AS VARCHAR)) % 1000 <
+      CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 100
+                WHEN 'fr' THEN 50 ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+def leakage_safe_split_docs(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe train/val/test assignment: exact-duplicate documents
+    share a cluster (min doc_id over identical text — only (md5, id)
+    pairs shuffle) and the split keys on the CLUSTER, so duplicated text
+    can never straddle the train/eval boundary."""
+    from .ops.curate import cluster_consistent_split
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = cluster_consistent_split(ds, salt="lsplit").to_pandas()
+    return out[["doc_id", "cluster", "split"]].sort_values("doc_id") \
+                                              .reset_index(drop=True)
+
+
+LEAKAGE_SAFE_SPLIT_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY text) AS cluster
+  FROM documents)
+SELECT doc_id, cluster,
+       CASE WHEN md5_number_lower('lsplit:' || CAST(cluster AS VARCHAR))
+                 % 1000 < 900 THEN 'train'
+            WHEN md5_number_lower('lsplit:' || CAST(cluster AS VARCHAR))
+                 % 1000 < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM c
+ORDER BY doc_id
+"""
+
+
+def quality_deciles_docs(sf_dir: str) -> pd.DataFrame:
+    """Curriculum binning: every document's global length decile via the
+    distributed ROW_NUMBER (range-bucketed prefix scan, no global sort);
+    decile = (rank-1)*10 // N with N from the parquet footer."""
+    from .ops.curate import global_rank
+    n = _n_rows(sf_dir, "documents")
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    out = global_rank(ds, order_cols=["n_chars", "doc_id"]).to_pandas()
+    out["decile"] = ((out["rank"] - 1) * 10 // n).astype(np.int64)
+    return out[["doc_id", "n_chars", "decile"]].sort_values("doc_id") \
+                                               .reset_index(drop=True)
+
+
+QUALITY_DECILES_SQL = """
+SELECT doc_id, n_chars,
+       CAST((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) * 10
+            // (SELECT COUNT(*) FROM documents) AS BIGINT) AS decile
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def pack_docs_budget(sf_dir: str) -> pd.DataFrame:
     """Token-budget shard packing: bin = floor(chars-before-this-doc /
     100k) in doc_id order — the cumulative-SUM window, computed as a
@@ -2287,6 +2358,10 @@ REGISTRY: dict = {
     "posting_lists_docs": (posting_lists_docs, POSTING_LISTS_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "pack_docs_budget": (pack_docs_budget, PACK_DOCS_SQL),
+    "mixture_sample_docs": (mixture_sample_docs, MIXTURE_SAMPLE_SQL),
+    "leakage_safe_split_docs": (leakage_safe_split_docs,
+                                LEAKAGE_SAFE_SPLIT_SQL),
+    "quality_deciles_docs": (quality_deciles_docs, QUALITY_DECILES_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

@@ -148,7 +148,8 @@ def run_bench(headline_only: bool = False) -> dict:
                   "events_hourly", "sessionize_events", "dedup_exact_docs",
                   "doc_token_stats", "quality_scores",
                   "topk_cosine_bruteforce", "minhash_neardup_docs",
-                  "media_features"]
+                  "media_features", "vocab_top_terms",
+                  "decontaminate_docs", "pack_docs_budget"]
         for name in subset:
             fn, _sql = Q.REGISTRY[name]
             tq = time.time()

@@ -219,7 +219,11 @@ def _unpack_audio_header(payload: bytes) -> tuple[int, int]:
 def synth_audio_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
     """Deterministic fake audio payloads (seeded per doc id): a sample-rate
     header and an int16 PCM buffer — realistic row sizes for the audio
-    feature stage."""
+    feature stage. The HEADER fields (sample rate, sample count) derive
+    from :func:`_md5_u64` so the pipeline's structural output is
+    reproducible in oracle SQL (the image/video convention); the PCM
+    body stays RandomState-seeded (realistic waveform, never
+    oracle-checked)."""
     import zlib
 
     doc_ids = batch.column("doc_id").to_pylist()
@@ -228,7 +232,8 @@ def synth_audio_batch(batch: pa.Table, *, seed: int = 42) -> pa.Table:
         rng = np.random.RandomState(
             (seed + zlib.crc32(f"a{d}".encode("utf-8"))) % (2 ** 31))
         sr = 16000
-        n = int(rng.randint(sr // 4, sr))      # 0.25–1 s clips
+        u = _md5_u64(f"{seed}:aud:{d}")
+        n = sr // 4 + int(u % (sr - sr // 4))  # 0.25–1 s clips
         t = np.arange(n, dtype=np.float64)
         tone = np.sin(2 * np.pi * rng.uniform(100, 2000) * t / sr)
         noise = 0.1 * rng.standard_normal(n)

@@ -1957,12 +1957,44 @@ ORDER BY doc_id, frame_index
 
 def media_audio_features(sf_dir: str) -> pd.DataFrame:
     """Audio modality plumbing: synthetic PCM payloads → actor-pool
-    features (rows-only: payloads are seeded fakes)."""
+    features (rows-only: RMS/ZCR depend on the seeded PCM bodies; the
+    STRUCTURAL headers are pinned by ``media_audio_headers``)."""
     from .ops.multimodal import audio_feature_pipeline
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
     out = audio_feature_pipeline(ds, concurrency=(1, 4))
     df = out.to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def media_audio_headers(sf_dir: str) -> pd.DataFrame:
+    """Audio synth→parse structural round-trip: sample rate and count
+    recovered from the packed payload headers. SQL-checkable because the
+    header fields are md5-derived (the image/video convention); duration
+    floats stay in the rows-only query (n/16000 rounds differently
+    across engines at the 7th decimal — ints don't)."""
+    from .ops.multimodal import _unpack_audio_header, synth_audio_batch
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def headers(t: pa.Table) -> pa.Table:
+        srs, ns = zip(*(_unpack_audio_header(p)
+                        for p in t.column("payload").to_pylist()))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "sr": pa.array(srs, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64())})
+
+    out = ds.map_batches(synth_audio_batch, batch_format="pyarrow") \
+            .map_batches(headers, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+MEDIA_AUDIO_HEADERS_SQL = """
+SELECT doc_id,
+       CAST(16000 AS BIGINT) AS sr,
+       CAST(4000 + md5_number_lower('42:aud:' || doc_id) % 12000
+            AS BIGINT) AS n_samples
+FROM documents ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2365,4 +2397,5 @@ REGISTRY: dict = {
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),
+    "media_audio_headers": (media_audio_headers, MEDIA_AUDIO_HEADERS_SQL),
 }

@@ -125,3 +125,36 @@ def test_pdf_roundtrip_is_lossless_for_arbitrary_unicode(t):
     from wtes_ray.pdf_io import pdf_text, text_to_pdf
     assert pdf_text(text_to_pdf(t)) == t
     assert pdf_text(text_to_pdf(t, compress=False)) == t
+
+
+# -- Curation-oracle parity kernels ------------------------------------------
+
+@given(st.text(max_size=30), st.text(alphabet=string.ascii_lowercase
+                                     + string.digits, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_key_hash_equals_duckdb_md5_number_lower(key, salt):
+    """The entire curation family's oracle parity rests on
+    _key_u64(salt:key) == DuckDB md5_number_lower('salt:' || key) —
+    pin it for ARBITRARY unicode keys, not just integer doc ids."""
+    import duckdb
+
+    from wtes_ray.ops.curate import _key_u64
+
+    got = int(_key_u64([key], salt)[0])
+    want = duckdb.execute("SELECT md5_number_lower(? || ?)",
+                          [f"{salt}:", key]).fetchone()[0]
+    assert got == want
+
+
+@given(st.lists(st.sampled_from("abc"), max_size=12),
+       st.lists(st.sampled_from("abc"), min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_decontaminate_window_equals_sql_substring_form(tokens, gram):
+    """decontaminate's token-window match must equal the oracle's
+    space-joined substring-with-boundary-guards formulation for every
+    token stream / gram combination (the documented equivalence)."""
+    n = len(gram)
+    window_hit = any(tuple(tokens[j:j + n]) == tuple(gram)
+                     for j in range(len(tokens) - n + 1))
+    sql_hit = f" {' '.join(gram)} " in f" {' '.join(tokens)} "
+    assert window_hit == sql_hit

@@ -2257,6 +2257,36 @@ ORDER BY doc_id
 """
 
 
+def split_export_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Partitioned training-data export: hash_split → hive-partitioned
+    parquet (one directory per split — the resumable layout: a re-run
+    re-writes per partition, and a trainer reads ONLY its split) →
+    pruned read-back of the 'val' directory alone. The oracle recomputes
+    the val membership from the split function — so the sink→source
+    round trip itself is what's being value-checked."""
+    import tempfile
+
+    from .ops.curate import hash_split
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="wtes_split_export_")
+    hash_split(ds, salt="exp").write_parquet(
+        out_dir, partition_cols=["split"])
+    back = rd.read_parquet(os.path.join(out_dir, "split=val"))
+    df = back.to_pandas()[["doc_id", "n_chars"]]
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SPLIT_EXPORT_SQL = """
+SELECT doc_id, n_chars
+FROM documents
+WHERE md5_number_lower('exp:' || CAST(doc_id AS VARCHAR)) % 1000
+      BETWEEN 900 AND 949
+ORDER BY doc_id
+"""
+
+
 def quality_deciles_docs(sf_dir: str) -> pd.DataFrame:
     """Curriculum binning: every document's global length decile via the
     distributed ROW_NUMBER (range-bucketed prefix scan, no global sort);
@@ -2394,6 +2424,7 @@ REGISTRY: dict = {
     "leakage_safe_split_docs": (leakage_safe_split_docs,
                                 LEAKAGE_SAFE_SPLIT_SQL),
     "quality_deciles_docs": (quality_deciles_docs, QUALITY_DECILES_SQL),
+    "split_export_roundtrip": (split_export_roundtrip, SPLIT_EXPORT_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

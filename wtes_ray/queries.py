@@ -2257,6 +2257,31 @@ ORDER BY doc_id
 """
 
 
+def streaming_dedup_count(sf_dir: str) -> pd.DataFrame:
+    """Streaming first-seen dedup through the sharded shared-index
+    actors (ops/stream.py — the raw-actor escape hatch for state the
+    Dataset API can't express). WHICH representative survives is
+    arrival-order-dependent, but the survivor COUNT is exactly the
+    distinct-text count — the deterministic projection the oracle
+    checks. Actors are shut down before returning (driver contract:
+    no leaked state between queries)."""
+    from .ops.stream import StreamingDeduper
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    dd = StreamingDeduper(num_shards=4)
+    try:
+        n = dd.run(ds).count()
+        n_idx = dd.index_size()
+    finally:
+        dd.shutdown()
+    assert n == n_idx
+    return pd.DataFrame({"n_unique": pd.Series([n], dtype=np.int64)})
+
+
+STREAMING_DEDUP_COUNT_SQL = """
+SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique FROM documents
+"""
+
+
 def split_export_roundtrip(sf_dir: str) -> pd.DataFrame:
     """Partitioned training-data export: hash_split → hive-partitioned
     parquet (one directory per split — the resumable layout: a re-run
@@ -2425,6 +2450,8 @@ REGISTRY: dict = {
                                 LEAKAGE_SAFE_SPLIT_SQL),
     "quality_deciles_docs": (quality_deciles_docs, QUALITY_DECILES_SQL),
     "split_export_roundtrip": (split_export_roundtrip, SPLIT_EXPORT_SQL),
+    "streaming_dedup_count": (streaming_dedup_count,
+                              STREAMING_DEDUP_COUNT_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

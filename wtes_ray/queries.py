@@ -456,6 +456,136 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q12_priority_lines(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12-shaped (adapted to the schema: no shipmode column, so
+    the line group is l_returnflag): big-big join of per-batch lineitem
+    COUNT partials with a projected orders side on the bucketed hash
+    join, then conditional priority counts. The final aggregate is
+    flags × blocks partial rows — a bounded driver finish."""
+    from .ops.joins import bucketed_hash_join
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        return _arrow(pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_pandas(),
+            "l_returnflag": t["l_returnflag"].to_pandas()})
+            .groupby(["l_orderkey", "l_returnflag"], as_index=False)
+            .size().rename(columns={"size": "cnt"}))
+
+    li_p = _read_pq(_t(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_returnflag"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "is_high": pc.cast(hi, pa.int64())})
+
+    orders_p = _read_pq(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        li_p, orders_p, "l_orderkey", num_buckets=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_returnflag", pa.string()),
+                               ("cnt", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("is_high", pa.int64())]))
+
+    def agg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["high_line_count"] = df["cnt"] * df["is_high"]
+        df["low_line_count"] = df["cnt"] * (1 - df["is_high"])
+        return df.groupby("l_returnflag", as_index=False) \
+                 .agg({"high_line_count": "sum", "low_line_count": "sum"})
+
+    out = joined.map_batches(agg_partial, batch_format="pandas") \
+        .to_pandas().groupby("l_returnflag", as_index=False) \
+        .agg({"high_line_count": "sum", "low_line_count": "sum"})
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18-shaped: per-order quantity totals (per-batch partials →
+    one groupby over pre-reduced rows) filtered by HAVING > 300, then
+    the surviving keys — orders of magnitude fewer than the table —
+    attach order columns through the bucketed hash join; top-100 by
+    (o_totalprice desc, o_orderkey) via per-block heads + a bounded
+    driver finish."""
+    from .ops.joins import bucketed_hash_join
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        return _arrow(pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_pandas(),
+            "total_qty": t["l_quantity"].to_pandas()})
+            .groupby("l_orderkey", as_index=False)["total_qty"].sum())
+
+    sums = _for_agg(_read_pq(_t(sf_dir, "lineitem"),
+                             columns=["l_orderkey", "l_quantity"])
+                    .map_batches(li_partial, batch_format="pyarrow")) \
+        .groupby("l_orderkey") \
+        .aggregate(Sum("total_qty", alias_name="total_qty"))
+    big = sums.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"], 300.0)),
+        batch_format="pyarrow")
+
+    orders_p = _read_pq(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_totalprice"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["l_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+            batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        big, orders_p, "l_orderkey", num_buckets=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("total_qty", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_totalprice", pa.float64())]))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df["o_totalprice"] = df["o_totalprice"].round(2)
+        return _topk(df, ["o_totalprice", "l_orderkey"], [False, True], 100)
+
+    df = _topk(joined.map_batches(block_topk, batch_format="pandas")
+               .to_pandas(),
+               ["o_totalprice", "l_orderkey"], [False, True], 100)
+    df = df.rename(columns={"l_orderkey": "o_orderkey"})
+    df["total_qty"] = df["total_qty"].round(2)
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    return df[["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+               "total_qty"]].reset_index(drop=True)
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       ROUND(total_qty, 2) AS total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q6-shaped scalar aggregate: fully-vectorized arrow filter +
     per-batch partial sums, one global combine."""
@@ -2376,7 +2506,9 @@ REGISTRY: dict = {
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
+    "q12_priority_lines": (q12_priority_lines, Q12_SQL),
     "q14_promo_revenue_ratio": (q14_promo_revenue_ratio, Q14_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "top_orders_per_customer": (top_orders_per_customer, TOP_ORDERS_SQL),
     "events_props_stats": (events_props_stats, EVENTS_PROPS_SQL),

@@ -364,3 +364,46 @@ def test_read_documents_lance_gate(ray_session):
         pass
     with pytest.raises(ImportError, match="pylance"):
         P.read_documents("/tmp/whatever.lance")
+
+
+def test_compact_checkpoint_preserves_reads_and_resume(
+        ray_session, docs_path, tmp_path_factory):
+    """Compaction must reduce file count, leave load_extracted output
+    row-identical (spans, entities, relations), keep the partitions
+    'complete' for resume, and be idempotent."""
+    dst = str(tmp_path_factory.mktemp("compact") / "ext")
+    P.run_extract_pipeline(docs_path, dst, num_partitions=2,
+                           max_spans_per_chunk=8, batch_size=4,
+                           writer_batch_size=4,
+                           concurrency=2)   # tiny writer batches → many shards
+
+    def snapshot():
+        rows = P.load_extracted(dst).take_all()
+        return sorted(
+            ((r["doc_id"],
+              tuple((s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in r["spans"]),
+              r["entities_json"], r["relations_json"]) for r in rows))
+
+    def n_files():
+        return sum(len(os.listdir(os.path.join(dst, d)))
+                   for d in os.listdir(dst) if d.startswith("part="))
+
+    before = snapshot()
+    nf_before = n_files()
+    res = P.compact_checkpoint(dst, target_rows_per_file=100_000)
+    assert res["parts_compacted"] >= 1
+    assert res["files_after"] < res["files_before"]
+    assert n_files() < nf_before
+    assert snapshot() == before                      # read equality
+    assert P.completed_parts(dst, 2) == frozenset({0, 1})   # resume intact
+
+    # idempotent: a second pass finds nothing to merge
+    res2 = P.compact_checkpoint(dst)
+    assert res2["parts_compacted"] == 0
+    assert snapshot() == before
+
+    # target splitting: a tiny target yields multiple content-named files
+    res3 = P.compact_checkpoint(dst, target_rows_per_file=5)
+    assert res3["files_after"] >= res3["parts"]
+    assert snapshot() == before

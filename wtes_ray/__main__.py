@@ -55,6 +55,12 @@ def main(argv=None) -> int:
                     help="PDF files and/or directories")
     pf.add_argument("--out", required=True)
 
+    c = sub.add_parser("compact",
+                       help="coalesce a checkpoint's small shard files "
+                            "in place (manifest-swap, crash-safe)")
+    c.add_argument("--dir", required=True)
+    c.add_argument("--target-rows-per-file", type=int, default=100_000)
+
     r = sub.add_parser("report", help="knowledge-graph summary report "
                                       "(S13 re-expressed)")
     r.add_argument("--graph-dir", required=True)
@@ -93,6 +99,12 @@ def main(argv=None) -> int:
                 args.input, args.out, num_partitions=args.num_partitions,
                 resume=args.resume)
             print(json.dumps(summary))
+        elif args.cmd == "compact":
+            from .pipeline import compact_checkpoint
+
+            print(json.dumps(compact_checkpoint(
+                args.dir,
+                target_rows_per_file=args.target_rows_per_file)))
         elif args.cmd == "docx2parquet":
             import pyarrow as pa
             import pyarrow.parquet as pq

@@ -456,6 +456,113 @@ def clean_incomplete_parts(out_dir: str,
     return removed
 
 
+def compact_checkpoint(out_dir: str, *,
+                       target_rows_per_file: int = 100_000) -> dict:
+    """Coalesce a completed checkpoint's small shard files into
+    ~``target_rows_per_file``-row files, in place. This is the repair for
+    the small-files failure mode SCALING.md documents (P-way writes from
+    small writer batches fan into thousands of tiny row groups; measured
+    57 s → ~8 s read-back at 100k docs): run extraction with whatever
+    batch size throughput wants, then compact once.
+
+    One Ray task per partition — embarrassingly parallel, no exchange;
+    single-doc and ``-chunks`` shard files coalesce separately (the
+    reader's fast/slow path split is preserved). Crash-safe per part:
+    (1) merged files land via tmp + atomic rename under CONTENT-DERIVED
+    names (the writer's rule — a retry rewrites identical bytes), then
+    (2) the manifest swaps atomically to the new lineage, then (3) the
+    old files unlink. A crash at any point leaves either the old or the
+    new lineage fully committed; stray files are invisible to the
+    manifest-driven reader (load_extracted never lists directories)."""
+    import pyarrow.parquet as pq
+
+    man_dir = os.path.join(out_dir, "_manifests")
+    names = (sorted(n for n in os.listdir(man_dir)
+                    if n.startswith("part-") and n.endswith(".json"))
+             if os.path.isdir(man_dir) else [])
+
+    @ray.remote
+    def compact_part(manifest: dict) -> tuple[dict | None, list, int, int]:
+        part = manifest["part"]
+        lineage = json.loads(manifest["lineage"])
+        files = lineage.get("files", [])
+        part_dir = os.path.join(out_dir, f"part={part:05d}")
+        groups = {
+            "": [f for f in files if not f.endswith("-chunks.parquet")],
+            "-chunks": [f for f in files if f.endswith("-chunks.parquet")],
+        }
+        new_files, new_ids, old_files = [], [], []
+        changed = False
+        for suffix, group in groups.items():
+            if len(group) <= 1:
+                new_files += group
+                new_ids += [f.split("-")[1].split(".")[0] for f in group]
+                continue
+            tbl = pa.concat_tables(
+                [pq.read_table(os.path.join(part_dir, f)) for f in group])
+            n_slices = max(1, -(-tbl.num_rows // target_rows_per_file))
+            step = -(-tbl.num_rows // n_slices)
+            for off in range(0, tbl.num_rows, step):
+                sl = tbl.slice(off, step)
+                # single-doc shards carry no chunk column (EXTRACTED
+                # schema) — their rows are chunk 0 by construction
+                cks = (sl.column("chunk").to_pylist()
+                       if "chunk" in sl.schema.names
+                       else [0] * sl.num_rows)
+                h = hashlib.sha1()
+                for d, c in sorted(zip(sl.column("doc_id").to_pylist(),
+                                       cks)):
+                    h.update(f"{d}#{c}".encode())
+                sid = h.hexdigest()[:16]
+                name = f"shard-{sid}{suffix}.parquet"
+                tmp = os.path.join(part_dir, f".tmp-{sid}-{os.getpid()}")
+                pq.write_table(sl, tmp)
+                os.replace(tmp, os.path.join(part_dir, name))
+                new_files.append(name)
+                new_ids.append(sid)
+            old_files += group
+            changed = True
+        if not changed:
+            return None, [], len(files), len(files)
+        h = hashlib.sha1()
+        for sid in sorted(new_ids):
+            h.update(sid.encode())
+        new_manifest = dict(manifest)
+        new_manifest["content_hash"] = h.hexdigest()
+        lineage["shards"] = sorted(new_ids)
+        lineage["files"] = sorted(new_files)
+        new_manifest["lineage"] = json.dumps(lineage)
+        return (new_manifest,
+                [os.path.join(part_dir, f) for f in old_files
+                 if f not in new_files],
+                len(files), len(new_files))
+
+    manifests = []
+    for n in names:
+        with open(os.path.join(man_dir, n), encoding="utf-8") as f:
+            manifests.append(json.load(f))
+    results = ray.get([compact_part.remote(m) for m in manifests])
+
+    parts_compacted = files_before = files_after = 0
+    for (new_man, olds, nb, na), name in zip(results, names):
+        files_before += nb
+        files_after += na
+        if new_man is None:
+            continue
+        tmp = os.path.join(man_dir, f".tmp-{name}-{os.getpid()}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(new_man, f)
+        os.replace(tmp, os.path.join(man_dir, name))   # commit point
+        for p in olds:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        parts_compacted += 1
+    return {"parts": len(names), "parts_compacted": parts_compacted,
+            "files_before": files_before, "files_after": files_after}
+
+
 def _format_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_format.json")
 

@@ -144,3 +144,27 @@ def test_caption_two_child_title_keeps_markup():
         "</span></div></div><table><tr><td>a</td></tr></table></div>")
     table = root.find("table")
     assert get_caption(table) == '<span class="x">标题文字</span>'
+
+
+def test_register_site_rule_hook():
+    """SURVEY §2.8 extension surface: a custom-class info box is invisible
+    under the default rule and located after register_site_rule merges the
+    new class pattern (new frozen instance; the default is untouched)."""
+    from wtes_ray.extract import extract_document
+    from wtes_ray.lexicons import DEFAULT_LEXICONS
+
+    html = ('<div class="my-wiki-infobox">'
+            "<dl><dt>本名</dt><dd>孔丘</dd></dl>"
+            "<dl><dt>国籍</dt><dd>鲁国</dd></dl>"
+            "<dl><dt>别名</dt><dd>仲尼</dd></dl></div>")
+    spans = [{"kind": "html", "text": html, "media_ref": "", "offset": 0}]
+
+    base = extract_document("http://u/item/x/1", spans)
+    assert base.n_tables == 0
+
+    lex = DEFAULT_LEXICONS.register_site_rule({"class": "my-wiki-infobox"})
+    custom = extract_document("http://u/item/x/1", spans, lex=lex)
+    assert custom.n_tables == 1
+    # the default instance is untouched (frozen value object)
+    assert DEFAULT_LEXICONS.site_rule_dict == {
+        "class": "basic-info cmn-clearfix"}

@@ -15,7 +15,7 @@ tableExtractor.py:263-266).
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 
 # Headers that mark a person-name column (reference: personName.json —
@@ -98,6 +98,20 @@ class Lexicons:
     @property
     def site_rule_dict(self) -> dict:
         return dict(self.site_rule)
+
+    def register_site_rule(self, rule: dict) -> "Lexicons":
+        """The pluggable site-adapter hook (SURVEY §2.8, reference
+        ``urlTableMap/<domain>.json`` consumed at tableExtractor.py:263):
+        a NEW frozen Lexicons with ``rule``'s attr→value entries merged
+        into the active basic-info site rule — pass it to
+        ``ExtractChunks(lexicons=...)`` / the pipeline. Per-domain
+        dispatch is one frozen Lexicons per domain, built upstream (the
+        reference keys its JSON files by domain the same way).
+        Immutability keeps the once-per-worker cache sound (a mutated
+        shared instance would desynchronize workers mid-run)."""
+        rules = self.site_rule_dict
+        rules.update(rule)
+        return replace(self, site_rule=tuple(sorted(rules.items())))
 
     @staticmethod
     def from_json(path: str) -> "Lexicons":

@@ -112,3 +112,38 @@ def test_timestamp_payload_survives(ray_session):
     got = got.sort_values("k").reset_index(drop=True)
     want = want.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_arrow_bucket_impl_matches_pandas_impl(ray_session, how):
+    """bucket_impl='arrow' (Acero per-bucket join, zero pandas) must give
+    the same ROW SET as the default pandas body for every mode —
+    including an empty-ish bucket count and left-join null padding."""
+    l, r = _left_df(), _right_df()
+    a = bucketed_hash_join(_ds(l), _ds(r), "k", how=how, num_buckets=7,
+                           bucket_impl="arrow").to_pandas()
+    b = bucketed_hash_join(_ds(l), _ds(r), "k", how=how,
+                           num_buckets=7).to_pandas()
+    sort_cols = [c for c in ("k", "v", "w") if c in a.columns]
+    a = a.sort_values(sort_cols).reset_index(drop=True)
+    b = b.sort_values(sort_cols).reset_index(drop=True)
+    for c in b.columns:
+        if a[c].isna().any() or b[c].isna().any():
+            a[c] = a[c].where(a[c].notna(), np.nan)
+            b[c] = b[c].where(b[c].notna(), np.nan)
+    pd.testing.assert_frame_equal(a[b.columns], b, check_dtype=False)
+
+
+def test_arrow_bucket_impl_keeps_int_types_on_left_join(ray_session):
+    """The arrow body's advantage over pandas merge: unmatched left rows
+    null-pad INT right columns as Arrow nulls in the pinned int type —
+    no float64 promotion anywhere."""
+    l = pd.DataFrame({"k": np.arange(6, dtype="int64")})
+    r = pd.DataFrame({"k": np.arange(3, dtype="int64"),
+                      "n": np.arange(100, 103, dtype="int64")})
+    out = bucketed_hash_join(_ds(l, 2), _ds(r, 2), "k", how="left",
+                             num_buckets=3, bucket_impl="arrow")
+    sch = out.schema()
+    assert dict(zip(sch.names, sch.types))["n"] == pa.int64()
+    df = out.to_pandas().sort_values("k")
+    assert df["n"].isna().sum() == 3

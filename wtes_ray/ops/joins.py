@@ -119,6 +119,7 @@ def bucketed_hash_join(
         right_prepare: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
         left_schema: pa.Schema | None = None,
         right_schema: pa.Schema | None = None,
+        bucket_impl: str = "pandas",
 ) -> ray.data.Dataset:
     """Distributed equi-join of two Datasets on column ``on``.
 
@@ -129,9 +130,20 @@ def bucketed_hash_join(
     ``left_schema``/``right_schema`` override schema inference — pass them
     when a side may be EMPTY behind a transform (Ray reports ``schema() is
     None`` for those, since there is no block to infer from).
+
+    ``bucket_impl``: the per-bucket merge body. ``"pandas"`` (default —
+    the exhaustively-exercised path) or ``"arrow"``: a zero-pandas
+    Acero ``pa.Table.join`` per bucket, skipping both to_pandas
+    conversions — the right body for very wide payload columns (the
+    SCALING.md note). Row SETS are identical (tested across all four
+    modes); within-block order differs, which the Dataset contract
+    never promises. ``*_prepare`` callbacks are pandas-typed, so a
+    prepare forces the pandas body for that bucket.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if bucket_impl not in ("pandas", "arrow"):
+        raise ValueError(f"unsupported bucket_impl={bucket_impl!r}")
     lsa = left_schema if left_schema is not None else _arrow_schema(left)
     rsa = right_schema if right_schema is not None else _arrow_schema(right)
     unified = _unified_schema(lsa, rsa, on)
@@ -167,10 +179,25 @@ def bucketed_hash_join(
         return pa.Table.from_pandas(out, preserve_index=False) \
             .replace_schema_metadata(None)
 
+    _ACERO_HOW = {"inner": "inner", "left": "left outer",
+                  "semi": "left semi", "anti": "left anti"}
+
     def join_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g.column(_SIDE), pa.scalar(0, pa.int8()))
-        l = g.filter(lmask).select(lcols).to_pandas()
-        r = g.filter(pc.invert(lmask)).select(rcols).to_pandas()
+        lt = g.filter(lmask).select(lcols)
+        rt = g.filter(pc.invert(lmask)).select(rcols)
+        if (bucket_impl == "arrow" and left_prepare is None
+                and right_prepare is None):
+            # zero-pandas body: key casts pinned by the unified schema
+            # already, join output re-ordered/cast to the same contract
+            out = lt.combine_chunks().join(rt.combine_chunks(), keys=on,
+                                           join_type=_ACERO_HOW[how])
+            want = (lcols if how in ("semi", "anti")
+                    else lcols + [c for c in rcols if c != on])
+            return out.select(want).cast(
+                pa.schema([(c, type_of[c]) for c in want]))
+        l = lt.to_pandas()
+        r = rt.to_pandas()
         if left_prepare is not None:
             l = left_prepare(l)
         if right_prepare is not None:

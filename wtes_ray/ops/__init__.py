@@ -3,12 +3,17 @@
 Beyond the reference's operator set (SURVEY.md §2), these are the operations
 a 100 TB training-data pipeline needs as first-class components: text
 analysis (language id, quality scoring, token counting, fingerprinting),
-deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard verification,
-embedding near-dup), similarity search (brute-force and LSH-bucketed
-cosine top-k), multimodal column plumbing (opaque binary payloads with
-typed metadata and actor-pool decode stages), and a bucketed hash join
-(joins.py) for equi/semi/anti joins whose build side is too big to
-broadcast.
+deduplication (exact, MinHash+LSH, SimHash, char/word n-gram Jaccard,
+embedding near-dup — plus streaming first-seen dedup over sharded
+shared-index actors, stream.py), similarity search (brute-force, batched
+multi-query, LSH-bucketed and IVF-partitioned cosine top-k), multimodal
+column plumbing (opaque binary payloads with typed metadata and
+actor-pool decode stages), corpus curation (curate.py: deterministic
+hash sampling and train/val/test splits, mixtures, per-group quotas,
+stratified samples, vocabulary/TF-IDF, posting lists, benchmark
+decontamination, token-budget packing, distributed ROW_NUMBER), and a
+bucketed hash join (joins.py) for equi/semi/anti joins whose build side
+is too big to broadcast.
 
 All stages follow the engine's rules: vectorized map_batches bodies,
 actor pools for stateful stages, partial aggregation before any shuffle,

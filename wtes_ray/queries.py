@@ -1326,6 +1326,54 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 # Text analysis over `documents`
 # ---------------------------------------------------------------------------
 
+def funnel_counts(sf_dir: str) -> pd.DataFrame:
+    """Sequential-pattern funnel over events: users whose FIRST view is
+    followed by a click, whose first such click is followed by a
+    purchase (strict first-occurrence ordering). Per-user state is
+    bucket-local (the `_grouped_exchange` co-partition by user), each
+    bucket reduces to ONE partial row of three counts, and the driver
+    sums buckets — nothing user-level ever leaves the workers."""
+    from .ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["user_id", "ts", "event_type"])
+    keep = pa.array(["view", "click", "purchase"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=keep)),
+        batch_format="pyarrow")
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        v = g[g["event_type"] == "view"].groupby("user_id")["ts"].min() \
+            .rename("vt").reset_index()
+        gc = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = gc[gc["ts"] > gc["vt"]].groupby("user_id")["ts"].min() \
+            .rename("ct").reset_index()
+        gp = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        p = gp[gp["ts"] > gp["ct"]].groupby("user_id")["ts"].min()
+        return pa.table({"n_view": pa.array([len(v)], pa.int64()),
+                         "n_view_click": pa.array([len(c)], pa.int64()),
+                         "n_full_funnel": pa.array([len(p)], pa.int64())})
+
+    parts = _grouped_exchange(ds, "user_id", block).to_pandas()
+    out = parts.sum().to_frame().T.astype(np.int64)
+    return out[["n_view", "n_view_click", "n_full_funnel"]] \
+        .reset_index(drop=True)
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+"""
+
+
 def lang_count(sf_dir: str) -> pd.DataFrame:
     ds = _read_pq(_t(sf_dir, "documents"), columns=["lang"])
     df = ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
@@ -2532,6 +2580,7 @@ REGISTRY: dict = {
     "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_SQL),
     "clicks_before_purchase_1h": (clicks_before_purchase_1h,
                                   CLICKS_BEFORE_PURCHASE_SQL),
+    "funnel_counts": (funnel_counts, FUNNEL_SQL),
     "lang_count": (lang_count, LANG_COUNT_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),

@@ -1,0 +1,70 @@
+"""HyperLogLog sketch (ops.sketch): exact register parity + estimate
+accuracy + merge-by-max property."""
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wtes_ray.ops import sketch as SK
+
+
+def _brute_registers(keys, salt="hll"):
+    regs = {}
+    for k in set(str(k) for k in keys):
+        h = int.from_bytes(
+            hashlib.md5(f"{salt}:{k}".encode()).digest()[8:16], "little")
+        b = h >> 52
+        rem = h & ((1 << 52) - 1)
+        rank = 53 - rem.bit_length() if rem else 53
+        regs[b] = max(regs.get(b, 0), rank)
+    return regs
+
+
+@pytest.fixture(scope="module")
+def keyed_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    keys = rng.randint(0, 30_000, size=80_000)   # dups galore
+    return (ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(8),
+            keys)
+
+
+def test_hll_registers_match_bruteforce(keyed_ds):
+    ds, keys = keyed_ds
+    got = SK.hll_registers(ds, "k").to_pandas()
+    want = _brute_registers(keys)
+    assert dict(zip(got["bucket"], got["register"])) == want
+
+
+def test_hll_estimate_within_rse(keyed_ds):
+    ds, keys = keyed_ds
+    true = len(set(keys))
+    est = SK.approx_distinct(ds, "k")
+    # p=12 → rse ≈ 1.04/sqrt(4096) = 1.6%; allow 4 sigma
+    assert abs(est - true) / true < 0.065
+
+
+def test_hll_duplicates_and_merge_property(ray_session):
+    import ray.data
+
+    a = pd.DataFrame({"k": list(range(500))})
+    dup = pd.DataFrame({"k": list(range(500)) * 3})
+    ra = SK.hll_registers(ray.data.from_pandas(a), "k").to_pandas()
+    rd_ = SK.hll_registers(ray.data.from_pandas(dup), "k").to_pandas()
+    # duplicates cannot move any register
+    pd.testing.assert_frame_equal(
+        ra.sort_values("bucket").reset_index(drop=True),
+        rd_.sort_values("bucket").reset_index(drop=True))
+    # union sketch == elementwise max of the two half sketches
+    b = pd.DataFrame({"k": list(range(400, 900))})
+    rb = SK.hll_registers(ray.data.from_pandas(b), "k").to_pandas()
+    ru = SK.hll_registers(
+        ray.data.from_pandas(pd.concat([a, b])), "k").to_pandas()
+    merged = pd.concat([ra, rb]).groupby("bucket", as_index=False) \
+        .max().sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        ru.sort_values("bucket").reset_index(drop=True), merged)
+    # small-range correction path: estimate of 900 keys is close
+    assert abs(SK.hll_estimate(ru) - 900) / 900 < 0.065

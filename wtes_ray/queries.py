@@ -2435,6 +2435,77 @@ ORDER BY doc_id
 """
 
 
+def hll_registers_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog registers over events.user_id — the full 2^12-bucket
+    register table, EXACT-integer oracle-checked (ranks via bit_length
+    on both sides: ``length(bin(rem))`` in DuckDB; no float log2
+    anywhere). Each batch pre-reduces to per-bucket maxima, the
+    exchange is a ≤4096-group max."""
+    from .ops.sketch import hll_registers
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    out = hll_registers(ds, "user_id").to_pandas()
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["register"] = out["register"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+HLL_REGISTERS_SQL = """
+WITH h AS (
+  SELECT DISTINCT md5_number_lower('hll:' || CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+r AS (
+  SELECT CAST(h >> 52 AS BIGINT) AS bucket,
+         CASE WHEN (h & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+              ELSE 53 - length(bin(h & ((1::UBIGINT << 52) - 1)))
+         END AS rank
+  FROM h)
+SELECT bucket, CAST(MAX(rank) AS BIGINT) AS register
+FROM r GROUP BY bucket ORDER BY bucket
+"""
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HLL estimate next to the exact distinct count. The estimate is a
+    driver-side float over the (oracle-pinned) integer registers; the
+    oracle recomputes the IDENTICAL register→estimate arithmetic in SQL
+    (same alpha, same linear-counting branch), both rounded to 4dp."""
+    from .ops.sketch import approx_distinct
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    exact = len(ds.unique("user_id"))
+    return pd.DataFrame({
+        "approx_users": pd.Series([round(est, 4)], dtype=float),
+        "exact_users": pd.Series([exact], dtype=np.int64)})
+
+
+APPROX_DISTINCT_SQL = """
+WITH h AS (
+  SELECT DISTINCT md5_number_lower('hll:' || CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+r AS (
+  SELECT CAST(h >> 52 AS BIGINT) AS bucket,
+         CASE WHEN (h & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+              ELSE 53 - length(bin(h & ((1::UBIGINT << 52) - 1)))
+         END AS rank
+  FROM h),
+regs AS (SELECT bucket, MAX(rank) AS register FROM r GROUP BY bucket),
+s AS (
+  SELECT SUM(POW(2.0, -register)) + (4096 - COUNT(*)) AS denom,
+         4096 - COUNT(*) AS zeros
+  FROM regs),
+est AS (
+  SELECT CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / denom
+                   <= 2.5 * 4096 AND zeros > 0
+              THEN 4096.0 * LN(4096.0 / zeros)
+              ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / denom
+         END AS e
+  FROM s)
+SELECT ROUND((SELECT e FROM est), 4) AS approx_users,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events
+"""
+
+
 def streaming_dedup_count(sf_dir: str) -> pd.DataFrame:
     """Streaming first-seen dedup through the sharded shared-index
     actors (ops/stream.py — the raw-actor escape hatch for state the
@@ -2633,6 +2704,8 @@ REGISTRY: dict = {
     "split_export_roundtrip": (split_export_roundtrip, SPLIT_EXPORT_SQL),
     "streaming_dedup_count": (streaming_dedup_count,
                               STREAMING_DEDUP_COUNT_SQL),
+    "hll_registers_users": (hll_registers_users, HLL_REGISTERS_SQL),
+    "approx_distinct_users": (approx_distinct_users, APPROX_DISTINCT_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

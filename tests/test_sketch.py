@@ -68,3 +68,34 @@ def test_hll_duplicates_and_merge_property(ray_session):
         ru.sort_values("bucket").reset_index(drop=True), merged)
     # small-range correction path: estimate of 900 keys is close
     assert abs(SK.hll_estimate(ru) - 900) / 900 < 0.065
+
+
+def test_cms_counts_exact_for_heavy_and_one_sided(ray_session):
+    import ray.data
+
+    keys = ["hot"] * 500 + [f"cold{i}" for i in range(300)]
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(4)
+    counters = SK.cms_counters(ds, "k", width=256, depth=4).to_pandas()
+    # total per depth row == N (counts are exact occurrence counts)
+    assert (counters.groupby("d")["cnt"].sum() == len(keys)).all()
+    est = SK.cms_estimate(counters, ["hot", "cold7", "absent"], width=256,
+                          depth=4)
+    assert est["hot"] >= 500            # never undercounts
+    assert est["cold7"] >= 1
+    assert est["hot"] <= 500 + 300      # bounded by collisions
+    # absent keys may collide, but min-over-depth keeps them small
+    assert est["absent"] <= 300
+
+
+def test_bloom_no_false_negatives(ray_session):
+    import ray.data
+
+    present = [f"k{i}" for i in range(400)]
+    ds = ray.data.from_pandas(pd.DataFrame({"k": present})).repartition(4)
+    bits = set(SK.bloom_bits(ds, "k").to_pandas()["bit"])
+    got = SK.bloom_contains(bits, present)
+    assert got.all()                    # zero false negatives
+    absent = [f"miss{i}" for i in range(400)]
+    fp = SK.bloom_contains(bits, absent).mean()
+    # m=32768, k=4, n=400 → theoretical fp ~ (1-exp(-kn/m))^k ≈ 5e-6
+    assert fp < 0.01

@@ -83,3 +83,88 @@ def approx_distinct(ds: ray.data.Dataset, key_col: str, *,
                     salt: str = "hll") -> float:
     """Approximate COUNT(DISTINCT key_col) — the two-step composition."""
     return hll_estimate(hll_registers(ds, key_col, salt=salt).to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy hitters) and Bloom filter — like the HLL, their
+# state is pure integers over the md5 hash convention, so the full counter
+# table / bit set value-checks in oracle SQL.
+# ---------------------------------------------------------------------------
+
+def cms_counters(ds: ray.data.Dataset, key_col: str, *, width: int = 2048,
+                 depth: int = 4, salt: str = "cms") -> ray.data.Dataset:
+    """Count-min sketch counters as (d, bucket, cnt) rows — cnt is the
+    EXACT number of key OCCURRENCES hashing to (row d, bucket), so the
+    table is deterministic and SQL-reproducible. Per-batch partial
+    counts bound the exchange at depth × width rows per block; two
+    sketches merge by elementwise +. ~``depth × width`` ints of state
+    estimate any key's frequency within ε·N (ε ≈ e/width) with
+    one-sided error (never an undercount)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        frames = []
+        for d in range(depth):
+            b = (_key_u64(keys, f"{salt}{d}") % np.uint64(width)) \
+                .astype(np.int64)
+            vc = pd.Series(b).value_counts(sort=False)
+            frames.append(pd.DataFrame({
+                "d": np.int64(d),
+                "bucket": vc.index.to_numpy(np.int64),
+                "cnt": vc.to_numpy(np.int64)}))
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["d", "bucket"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def cms_estimate(counters: pd.DataFrame, keys, *, width: int = 2048,
+                 depth: int = 4, salt: str = "cms") -> pd.Series:
+    """Point frequency estimates: min over depth rows of the key's
+    counter. Driver-side over the (small) counter frame."""
+    lut = {(int(r.d), int(r.bucket)): int(r.cnt)
+           for r in counters.itertuples()}
+    out = []
+    for k in keys:
+        # int() BEFORE the modulo: np.uint64 % python-int silently
+        # promotes to float64 and corrupts high-bit hashes
+        est = min(lut.get(
+            (d, int(_key_u64([k], f"{salt}{d}")[0]) % width), 0)
+            for d in range(depth))
+        out.append(est)
+    return pd.Series(out, index=list(keys), dtype=np.int64)
+
+
+def bloom_bits(ds: ray.data.Dataset, key_col: str, *, m_bits: int = 1 << 15,
+               k: int = 4, salt: str = "bloom") -> ray.data.Dataset:
+    """Distributed Bloom-filter build (the reference's ST2 mechanism,
+    re-expressed exact-checkable): the DISTINCT set-bit positions of the
+    key set under ``k`` salted hash functions, one row per set bit.
+    Per-batch partials emit each block's distinct bits (≤ m_bits rows),
+    a groupby dedups across blocks; two filters union by set-union.
+    Membership: a key is possibly-present iff ALL its k bits are set
+    (no false negatives by construction)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        bits = np.unique(np.concatenate([
+            (_key_u64(keys, f"{salt}{i}") % np.uint64(m_bits))
+            .astype(np.int64)
+            for i in range(k)])) if keys else np.array([], dtype=np.int64)
+        return pa.table({"bit": pa.array(bits, pa.int64())})
+
+    from ray.data.aggregate import Count
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bit").aggregate(Count(alias_name="_n")) \
+        .select_columns(["bit"])
+
+
+def bloom_contains(bits: set, keys, *, m_bits: int = 1 << 15, k: int = 4,
+                   salt: str = "bloom") -> pd.Series:
+    """Membership test against a built filter's set-bit set."""
+    out = [all(int(_key_u64([key], f"{salt}{i}")[0]) % m_bits in bits
+               for i in range(k)) for key in keys]
+    return pd.Series(out, index=list(keys), dtype=bool)

@@ -2506,6 +2506,50 @@ FROM events
 """
 
 
+def cms_counters_users(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch counters over events.user_id (width 2048 ×
+    depth 4) — EXACT occurrence counts per (row, bucket), value-checked
+    against the straightforward hash-and-count SQL. Per-batch partials
+    bound the exchange at depth × width rows per block."""
+    from .ops.sketch import cms_counters
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    out = cms_counters(ds, "user_id").to_pandas()
+    for c in ("d", "bucket", "cnt"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["d", "bucket"]).reset_index(drop=True)
+
+
+CMS_COUNTERS_SQL = """
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(md5_number_lower('cms' || d || ':' || CAST(user_id AS VARCHAR))
+            % 2048 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events, UNNEST(range(4)) AS t(d)
+GROUP BY 1, 2
+ORDER BY d, bucket
+"""
+
+
+def bloom_bits_users(sf_dir: str) -> pd.DataFrame:
+    """Distributed Bloom-filter build over events.user_id (the
+    reference's ST2 Bloom dedup mechanism, re-expressed exact-checkable):
+    the distinct set-bit positions under 4 salted hash functions."""
+    from .ops.sketch import bloom_bits
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    out = bloom_bits(ds, "user_id").to_pandas()
+    out["bit"] = out["bit"].astype(np.int64)
+    return out.sort_values("bit").reset_index(drop=True)
+
+
+BLOOM_BITS_SQL = """
+SELECT DISTINCT
+       CAST(md5_number_lower('bloom' || i || ':' || CAST(user_id AS VARCHAR))
+            % 32768 AS BIGINT) AS bit
+FROM events, UNNEST(range(4)) AS t(i)
+ORDER BY bit
+"""
+
+
 def streaming_dedup_count(sf_dir: str) -> pd.DataFrame:
     """Streaming first-seen dedup through the sharded shared-index
     actors (ops/stream.py — the raw-actor escape hatch for state the
@@ -2706,6 +2750,8 @@ REGISTRY: dict = {
                               STREAMING_DEDUP_COUNT_SQL),
     "hll_registers_users": (hll_registers_users, HLL_REGISTERS_SQL),
     "approx_distinct_users": (approx_distinct_users, APPROX_DISTINCT_SQL),
+    "cms_counters_users": (cms_counters_users, CMS_COUNTERS_SQL),
+    "bloom_bits_users": (bloom_bits_users, BLOOM_BITS_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

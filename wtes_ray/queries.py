@@ -2627,6 +2627,47 @@ ORDER BY doc_id
 """
 
 
+def length_percentiles_docs(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed percentiles (p25/p50/p75/p95 of n_chars) via the
+    count prefix scan: rank every row without a global sort, keep the
+    rows at ranks ceil(q·N) — PERCENTILE_DISC semantics, integer-exact
+    on both sides. N comes from the parquet footer."""
+    import math
+
+    from .ops.curate import global_rank
+    n = _n_rows(sf_dir, "documents")
+    qs = [0.25, 0.50, 0.75, 0.95]
+    want = {math.ceil(q * n): q for q in qs}
+    ranked = global_rank(_read_pq(_t(sf_dir, "documents"),
+                                  columns=["doc_id", "n_chars"]),
+                         order_cols=["n_chars", "doc_id"])
+    targets = pa.array(sorted(want))
+    hits = ranked.map_batches(
+        lambda t: t.filter(pc.is_in(t["rank"], value_set=targets)),
+        batch_format="pyarrow").to_pandas()
+    out = pd.DataFrame({
+        "q": [want[r] for r in hits["rank"]],
+        "n_chars": hits["n_chars"].astype(np.int64)})
+    return out.sort_values("q").reset_index(drop=True)
+
+
+LENGTH_PERCENTILES_SQL = """
+SELECT 0.25 AS q, CAST(PERCENTILE_DISC(0.25) WITHIN GROUP
+                       (ORDER BY n_chars) AS BIGINT) AS n_chars
+FROM documents
+UNION ALL
+SELECT 0.50, CAST(PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY n_chars)
+                  AS BIGINT) FROM documents
+UNION ALL
+SELECT 0.75, CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY n_chars)
+                  AS BIGINT) FROM documents
+UNION ALL
+SELECT 0.95, CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY n_chars)
+                  AS BIGINT) FROM documents
+ORDER BY q
+"""
+
+
 def pack_docs_budget(sf_dir: str) -> pd.DataFrame:
     """Token-budget shard packing: bin = floor(chars-before-this-doc /
     100k) in doc_id order — the cumulative-SUM window, computed as a
@@ -2745,6 +2786,8 @@ REGISTRY: dict = {
     "leakage_safe_split_docs": (leakage_safe_split_docs,
                                 LEAKAGE_SAFE_SPLIT_SQL),
     "quality_deciles_docs": (quality_deciles_docs, QUALITY_DECILES_SQL),
+    "length_percentiles_docs": (length_percentiles_docs,
+                                LENGTH_PERCENTILES_SQL),
     "split_export_roundtrip": (split_export_roundtrip, SPLIT_EXPORT_SQL),
     "streaming_dedup_count": (streaming_dedup_count,
                               STREAMING_DEDUP_COUNT_SQL),

@@ -221,3 +221,46 @@ def test_pack_by_budget_matches_window(corpus):
     out2 = C.pack_by_budget(ds, budget=500, weight_col="n_chars",
                             key_range=(0, 299), num_buckets=8).to_pandas()
     assert out2.sort_values("doc_id")["bin"].tolist() == out["bin"].tolist()
+
+
+def test_priority_sample_invariants(corpus):
+    """Priority sampling: selected set == global top-k by (priority desc,
+    key asc); est_w == max(w, tau) with tau the (k+1)-th priority; sum of
+    est_w over the sample is within sampling error of the true sum(w)."""
+    import hashlib
+
+    ds, df = corpus
+    k = 25
+    out = C.priority_sample(ds, k, weight_col="n_chars", key_col="doc_id",
+                            salt="t")
+
+    def pri(row):
+        h = int.from_bytes(hashlib.md5(
+            f"t:{row.doc_id}".encode()).digest()[8:16], "little")
+        return float(row.n_chars) / ((float(h) + 1.0) * 2.0 ** -64)
+
+    ref = df.copy()
+    ref["priority"] = [pri(r) for r in ref.itertuples()]
+    ref = ref.sort_values(["priority", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    want = ref.head(k)
+    tau = ref["priority"].iloc[k]
+    assert sorted(out["doc_id"]) == sorted(want["doc_id"])
+    got = out.set_index("doc_id")
+    for r in want.itertuples():
+        assert got.loc[r.doc_id, "priority"] == r.priority
+        assert got.loc[r.doc_id, "est_w"] == max(float(r.n_chars), tau)
+    # Horvitz-Thompson: the estimator should land near the true total
+    assert abs(out["est_w"].sum() - df["n_chars"].sum()) \
+        / df["n_chars"].sum() < 0.5
+
+
+def test_priority_sample_small_corpus_tau_zero(ray_session):
+    """k >= corpus: everything selected, tau=0, est_w == w."""
+    import ray.data
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "w0": [5, 1, 9]})
+    out = C.priority_sample(ray.data.from_pandas(df), 10,
+                            weight_col="w0", key_col="doc_id")
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert list(out["est_w"]) == [5.0, 1.0, 9.0]

@@ -99,3 +99,62 @@ def test_bloom_no_false_negatives(ray_session):
     fp = SK.bloom_contains(bits, absent).mean()
     # m=32768, k=4, n=400 → theoretical fp ~ (1-exp(-kn/m))^k ≈ 5e-6
     assert fp < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    keys = (rng.zipf(1.3, 120_000) % 3000).astype(np.int64)
+    return (ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(8),
+            keys)
+
+
+def test_mg_summary_superset_guarantee(skewed_ds):
+    """Mergeable-summaries bound: stored <= true <= stored + E, and every
+    key with true count > E survives truncation — at a k small enough
+    that every block genuinely truncates."""
+    ds, keys = skewed_ds
+    summary, e_bound = SK.mg_summary(ds, "k", k=64)
+    assert e_bound > 0          # truncation actually exercised
+    true = pd.Series(keys).value_counts()
+    stored = dict(zip(summary["k"], summary["cnt_lb"]))
+    for key, t in true.items():
+        if t > e_bound:
+            assert key in stored
+        if key in stored:
+            assert stored[key] <= t <= stored[key] + e_bound
+
+
+def test_heavy_hitters_exact(skewed_ds):
+    ds, keys = skewed_ds
+    _, e_bound = SK.mg_summary(ds, "k", k=64)
+    thr = e_bound + 40
+    got = SK.heavy_hitters(ds, "k", threshold=thr, k=64)
+    true = pd.Series(keys).value_counts()
+    want = true[true >= thr].sort_index()
+    assert list(got["k"]) == list(want.index)
+    assert list(got["n"]) == list(want.values)
+
+
+def test_heavy_hitters_rejects_uncertifiable_threshold(skewed_ds):
+    ds, _ = skewed_ds
+    _, e_bound = SK.mg_summary(ds, "k", k=64)
+    with pytest.raises(ValueError, match="error bound"):
+        SK.heavy_hitters(ds, "k", threshold=e_bound, k=64)
+
+
+def test_heavy_hitters_string_keys(ray_session):
+    """Key-type agnostic (the extraction corpus keys are string URLs)."""
+    import ray.data
+
+    df = pd.DataFrame({"k": ["a"] * 30 + ["b"] * 10 + ["c"] * 3})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = SK.heavy_hitters(ds, "k", threshold=10)
+    assert list(got["k"]) == ["a", "b"]
+    assert list(got["n"]) == [30, 10]

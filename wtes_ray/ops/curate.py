@@ -204,6 +204,48 @@ def stratified_sample(ds: ray.data.Dataset, *, group_col: str, n: int,
     return capped.drop_columns(["__h"])
 
 
+def priority_sample(ds: ray.data.Dataset, k: int, *, weight_col: str,
+                    key_col: str = "doc_id",
+                    salt: str = "ps1") -> pd.DataFrame:
+    """Weighted sampling without replacement via Priority Sampling
+    (Duffield–Lund–Thorup, JACM'07): priority = w / u with u a
+    content-addressed uniform in (0, 1] (md5 → uint64 → ``(h+1)·2⁻⁶⁴``),
+    keep the top-``k`` priorities, and attach the unbiased
+    Horvitz-Thompson weight ``est_w = max(w, τ)`` where τ is the
+    (k+1)-th priority (``Σ est_w`` estimates ``Σ w`` over the corpus).
+    Every arithmetic step — uint64→double cast, ``+1.0``, ×2⁻⁶⁴
+    (a power of two, exact), one division, one max — is a single
+    correctly-rounded IEEE-754 op, so the emitted doubles are
+    BIT-IDENTICAL to the DuckDB oracle with no rounding.
+
+    Scale shape: priorities are computed per block and each block emits
+    only its local top-(k+1) (the ``_sorted_head`` pattern); the driver
+    merges blocks × (k+1) survivor rows. Weights and keys never shuffle."""
+
+    def pri(batch: pa.Table) -> pa.Table:
+        h = _key_u64(batch.column(key_col).to_pylist(), salt)
+        u = (h.astype(np.float64) + 1.0) * 2.0 ** -64
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
+                           "w": w, "priority": w / u})
+        head = df.sort_values(["priority", key_col],
+                              ascending=[False, True]).head(k + 1)
+        return _arrow(head)
+
+    parts = [p.to_pandas() for p in
+             ray.get(ds.map_batches(pri, batch_format="pyarrow")
+                     .to_arrow_refs()) if p.num_rows]
+    allp = pd.concat(parts, ignore_index=True) if parts else \
+        pd.DataFrame({key_col: [], "w": [], "priority": []})
+    top = allp.sort_values(["priority", key_col],
+                           ascending=[False, True]).head(k + 1)
+    tau = float(top["priority"].iloc[k]) if len(top) > k else 0.0
+    out = top.head(k).copy()
+    out["est_w"] = np.maximum(out["w"].to_numpy(np.float64), tau)
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
 def mixture_sample(ds: ray.data.Dataset, rates: dict, *,
                    group_col: str, key_col: str = "doc_id",
                    salt: str = "mix") -> ray.data.Dataset:

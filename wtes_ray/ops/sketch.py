@@ -168,3 +168,105 @@ def bloom_contains(bits: set, keys, *, m_bits: int = 1 << 15, k: int = 4,
     out = [all(int(_key_u64([key], f"{salt}{i}")[0]) % m_bits in bits
                for i in range(k)) for key in keys]
     return pd.Series(out, index=list(keys), dtype=bool)
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed heavy hitters via mergeable Misra-Gries summaries
+# (Agarwal et al., "Mergeable Summaries", PODS'12) + a candidate recount.
+# ---------------------------------------------------------------------------
+
+def mg_summary(ds: ray.data.Dataset, key_col: str, *,
+               k: int = 4096) -> tuple[pd.DataFrame, int]:
+    """Pass 1 of exact heavy hitters: a merged Misra-Gries summary of
+    size ≤ ``k`` PER BLOCK plus its total error bound ``E``.
+
+    Each block reduces to its exact per-key counts, then truncates to an
+    MG summary: with ``d`` = the (k+1)-th largest block count (0 when the
+    block has ≤ k distinct keys), keep keys whose count exceeds ``d`` with
+    stored count ``count − d``. Stored counts UNDERCOUNT the block by at
+    most ``d``, so after the (tiny, ≤ k-rows-per-block) groupby-sum merge:
+
+        stored(key) ≤ true(key) ≤ stored(key) + E,   E = Σ_blocks d
+
+    and every key with true count > E appears in the summary — the
+    superset guarantee :func:`heavy_hitters` builds on. The exchange
+    carries ``min(k, distinct)`` rows per block, never one row per
+    occurrence, regardless of corpus size.
+
+    Returns ``(summary frame [key_col, cnt_lb], E)``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch.column(key_col).to_pandas()) \
+            .value_counts(sort=True)
+        if len(vc) > k:
+            d = int(vc.iloc[k])
+            vc = (vc.iloc[:k] - d)
+            vc = vc[vc > 0]
+        else:
+            d = 0
+        out = pd.DataFrame({key_col: vc.index.to_numpy(),
+                            "cnt_lb": vc.to_numpy(np.int64),
+                            "err": np.int64(0)})
+        # one marker row per block carries the block's decrement; its key
+        # slot reuses an arbitrary in-block key (cnt_lb=0, so it merges
+        # inertly — emitted even when truncation empties the summary,
+        # else E undercounts and the superset guarantee breaks)
+        if d:
+            marker = pd.DataFrame(
+                {key_col: [batch.column(key_col)[0].as_py()],
+                 "cnt_lb": np.array([0], np.int64),
+                 "err": np.array([d], np.int64)})
+            out = pd.concat([out, marker], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Sum("cnt_lb", alias_name="cnt_lb"),
+                                    Sum("err", alias_name="err")) \
+        .to_pandas()
+    e_bound = int(merged["err"].sum())
+    summary = merged[merged["cnt_lb"] > 0][[key_col, "cnt_lb"]] \
+        .reset_index(drop=True)
+    return summary, e_bound
+
+
+def heavy_hitters(ds: ray.data.Dataset, key_col: str, *, threshold: int,
+                  k: int = 4096) -> pd.DataFrame:
+    """EXACT keys with ≥ ``threshold`` occurrences, in two bounded passes:
+    (1) :func:`mg_summary` yields candidates (provable superset of every
+    key with true count ≥ threshold, given threshold > E) pruned to those
+    whose upper bound ``cnt_lb + E`` can still reach the threshold;
+    (2) the candidate set is ``ray.put`` once and each block emits exact
+    partial counts for CANDIDATE keys only → a candidates-sized
+    groupby-sum → filter. Output counts are exact (SQL-oracle:
+    ``GROUP BY key HAVING COUNT(*) ≥ threshold``), yet no pass ever
+    shuffles more than ``min(k, |candidates|)`` rows per block.
+
+    Raises when ``threshold ≤ E`` (the summary cannot certify the
+    superset) — rerun with a larger ``k`` rather than silently
+    degrading to a full-key shuffle."""
+    summary, e_bound = mg_summary(ds, key_col, k=k)
+    if threshold <= e_bound:
+        raise ValueError(
+            f"threshold {threshold} <= MG error bound {e_bound}; "
+            f"increase k (now {k}) for the superset guarantee")
+    cand = summary[summary["cnt_lb"] + e_bound >= threshold][key_col]
+    cand_ref = ray.put(frozenset(cand.tolist()))
+    from .curate import _cached_get
+
+    def recount(batch: pa.Table) -> pa.Table:
+        keys = _cached_get(cand_ref)
+        s = pd.Series(batch.column(key_col).to_pandas())
+        vc = s[s.isin(keys)].value_counts(sort=False)
+        return pa.Table.from_pandas(
+            pd.DataFrame({key_col: vc.index.to_numpy(),
+                          "n": vc.to_numpy(np.int64)}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(recount, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Sum("n", alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out[out["n"] >= threshold].sort_values(key_col) \
+        .reset_index(drop=True)

@@ -2550,6 +2550,113 @@ ORDER BY bit
 """
 
 
+def heavy_hitters_users(sf_dir: str) -> pd.DataFrame:
+    """EXACT heavy hitters (users with ≥ 80 events) in two bounded
+    passes (ops/sketch.py:heavy_hitters): pass 1 merges per-block
+    Misra-Gries summaries — ≤ k rows per block enter the exchange, with
+    the mergeable-summaries superset guarantee (every key with true
+    count > E survives truncation); pass 2 broadcasts the pruned
+    candidate set once and recounts ONLY those keys exactly. The full
+    key space never shuffles, yet the output is exact — hence the plain
+    GROUP BY ... HAVING oracle."""
+    from .ops.sketch import heavy_hitters
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    return heavy_hitters(ds, "user_id", threshold=80)
+
+
+HEAVY_HITTERS_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id HAVING COUNT(*) >= 80
+ORDER BY user_id
+"""
+
+
+def priority_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Weighted corpus sampling (Duffield–Lund–Thorup priority
+    sampling) of 100 docs by n_chars weight, with the unbiased
+    Horvitz-Thompson weight est_w = max(w, τ). All emitted doubles are
+    BIT-IDENTICAL to the SQL oracle — every step is one correctly-
+    rounded IEEE op on both sides (see ops/curate.py:priority_sample),
+    the same unrounded-doubles parity class as ngram_jaccard_planted."""
+    from .ops.curate import priority_sample
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return priority_sample(ds, 100, weight_col="n_chars",
+                           key_col="doc_id", salt="ps1")
+
+
+PRIORITY_SAMPLE_SQL = """
+WITH p AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         CAST(n_chars AS DOUBLE) /
+           ((CAST(md5_number_lower('ps1:' || CAST(doc_id AS VARCHAR))
+                  AS DOUBLE) + 1.0) * 5.421010862427522e-20) AS priority
+  FROM documents),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+      FROM p)
+SELECT doc_id, w, priority,
+       CASE WHEN w >= t.tau THEN w ELSE t.tau END AS est_w
+FROM r, (SELECT COALESCE(MAX(priority), 0.0) AS tau FROM r
+         WHERE rn = 101) t
+WHERE rn <= 100 ORDER BY doc_id
+"""
+
+
+def events_cube(sf_dir: str) -> pd.DataFrame:
+    """One-pass grouping-sets aggregate (CUBE over event_type ×
+    hour-of-day): each block reduces to its (type, hod) partial counts
+    and derives ALL FOUR grouping sets locally, so the exchange carries
+    ≤ 4·|types|·24 rows per block regardless of corpus size; the global
+    groupby just sums. Sentinels '(all)' / -1 encode rolled-up
+    dimensions (COALESCE on the SQL side) — no second pass, no second
+    shuffle for the rollups."""
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "hod": (us // 3_600_000_000) % 24,
+            "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = base.groupby(["event_type", "hod"], as_index=False) \
+            .agg(n=("value", "size"), sum_value=("value", "sum"))
+        gt = g.groupby("event_type", as_index=False)[["n", "sum_value"]] \
+            .sum()
+        gt["hod"] = np.int64(-1)
+        gh = g.groupby("hod", as_index=False)[["n", "sum_value"]].sum()
+        gh["event_type"] = "(all)"
+        ga = pd.DataFrame({"event_type": ["(all)"], "hod": np.int64(-1),
+                           "n": [g["n"].sum()],
+                           "sum_value": [g["sum_value"].sum()]})
+        out = pd.concat([g, gt, gh, ga], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return _arrow(out[["event_type", "hod", "n", "sum_value"]])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hod"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"))
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values(["event_type", "hod"]).reset_index(drop=True)
+
+
+EVENTS_CUBE_SQL = """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(hod, -1) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM (SELECT event_type,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+             value
+      FROM events)
+GROUP BY GROUPING SETS ((event_type, hod), (event_type), (hod), ())
+ORDER BY event_type, hod
+"""
+
+
 def streaming_dedup_count(sf_dir: str) -> pd.DataFrame:
     """Streaming first-seen dedup through the sharded shared-index
     actors (ops/stream.py — the raw-actor escape hatch for state the
@@ -2795,6 +2902,9 @@ REGISTRY: dict = {
     "approx_distinct_users": (approx_distinct_users, APPROX_DISTINCT_SQL),
     "cms_counters_users": (cms_counters_users, CMS_COUNTERS_SQL),
     "bloom_bits_users": (bloom_bits_users, BLOOM_BITS_SQL),
+    "heavy_hitters_users": (heavy_hitters_users, HEAVY_HITTERS_SQL),
+    "priority_sample_docs": (priority_sample_docs, PRIORITY_SAMPLE_SQL),
+    "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

@@ -264,3 +264,37 @@ def test_priority_sample_small_corpus_tau_zero(ray_session):
                             weight_col="w0", key_col="doc_id")
     assert list(out["doc_id"]) == [1, 2, 3]
     assert list(out["est_w"]) == [5.0, 1.0, 9.0]
+
+
+def test_bm25_topk_matches_local_reference(corpus):
+    """Distributed two-pass BM25 == single-process textbook scoring."""
+    import math
+    import re
+
+    ds, df = corpus
+    q = ["w1", "w2", "w7"]
+    k1, b = 1.2, 0.75
+    out = C.bm25_topk(ds, q, 8)
+
+    word = re.compile(r"[a-z0-9_]+")
+    toks = {r.doc_id: word.findall(r.text.lower()) for r in df.itertuples()}
+    n = len(df)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {t: sum(1 for ts in toks.values() if t in ts) for t in q}
+    scores = {}
+    for d, ts in toks.items():
+        s, hit = 0.0, False
+        for t in sorted(set(q)):
+            tf = ts.count(t)
+            if tf:
+                hit = True
+                idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                               + 1.0)
+                s += idf * tf * (k1 + 1.0) \
+                    / (tf + k1 * (1.0 - b + b * len(ts) / avgdl))
+        if hit:
+            scores[d] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    want = sorted(want)
+    assert list(out["doc_id"]) == [d for d, _ in want]
+    assert list(out["score"]) == [s for _, s in want]

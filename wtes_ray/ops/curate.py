@@ -423,6 +423,79 @@ def posting_lists(ds: ray.data.Dataset, terms: Sequence[str], *,
                 .rename("docs").reset_index()
 
 
+def bm25_topk(ds: ray.data.Dataset, query_terms: Sequence[str], k: int, *,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
+    """BM25 retrieval: top-``k`` docs for a (small) query-term set, in
+    the canonical two-pass shape:
+
+    pass 1 — corpus statistics: each block reduces to (rows, Σdl) plus a
+    per-query-term document frequency; the exchange carries
+    ``|terms| + 2`` rows per block. df/avgdl/N land on the driver as a
+    few floats (this is the stage you'd checkpoint and reuse across
+    queries at 100 TB — stats don't change per query batch).
+
+    pass 2 — scoring: idf/avgdl ship in the task closure (bytes, not a
+    broadcast table); each block tokenizes once, scores docs containing
+    ≥1 query term, and emits only its LOCAL top-k; the driver merges
+    blocks × k survivors. Texts and the full score column never shuffle.
+
+    Ordering is by ROUNDED (6dp) score desc then id — rounding BEFORE
+    ranking makes the cut ULP-stable, so the result is reproducible in
+    oracle SQL (same robust-idf ``ln((N-df+.5)/(df+.5)+1)`` form)."""
+    qterms = sorted(set(query_terms))
+
+    def stats_partial(batch: pd.DataFrame) -> pa.Table:
+        toks = [_WORD_RE.findall(t.lower())
+                for t in batch[text_col].fillna("")]
+        rows = [("__docs__", len(toks)),
+                ("__dl__", sum(len(ts) for ts in toks))]
+        for q in qterms:
+            rows.append((q, sum(1 for ts in toks if q in ts)))
+        return _arrow(pd.DataFrame(rows, columns=["term", "cnt"]))
+
+    stats = ds.map_batches(stats_partial, batch_format="pandas") \
+        .groupby("term").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    lut = dict(zip(stats["term"], stats["cnt"]))
+    n_docs = int(lut.pop("__docs__", 0))
+    avgdl = float(lut.pop("__dl__", 0)) / n_docs if n_docs else 0.0
+    idf = {q: math.log((n_docs - lut.get(q, 0) + 0.5)
+                       / (lut.get(q, 0) + 0.5) + 1.0) for q in qterms}
+
+    def score_partial(batch: pd.DataFrame) -> pa.Table:
+        ids, scores = [], []
+        for d, t in zip(batch[id_col], batch[text_col].fillna("")):
+            toks = _WORD_RE.findall(t.lower())
+            dl = len(toks)
+            s = 0.0
+            hit = False
+            for q in qterms:
+                tf = toks.count(q)
+                if tf:
+                    hit = True
+                    s += idf[q] * tf * (k1 + 1.0) \
+                        / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            if hit:
+                ids.append(d)
+                scores.append(s)
+        df = pd.DataFrame({id_col: pd.Series(ids),
+                           "score": np.round(np.array(scores, float), 6)})
+        return _arrow(df.sort_values(["score", id_col],
+                                     ascending=[False, True]).head(k))
+
+    parts = [p.to_pandas() for p in
+             ray.get(ds.map_batches(score_partial, batch_format="pandas")
+                     .to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return pd.DataFrame({id_col: pd.Series(dtype=object),
+                             "score": pd.Series(dtype=float)})
+    out = pd.concat(parts, ignore_index=True) \
+        .sort_values(["score", id_col], ascending=[False, True]) \
+        .head(k)
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------

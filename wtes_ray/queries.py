@@ -2657,6 +2657,47 @@ ORDER BY event_type, hod
 """
 
 
+def bm25_topk_docs(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 retrieval for the query {hash, join, window}
+    (ops/curate.py:bm25_topk): pass 1 reduces each block to
+    |terms|+2 stat rows (df / N / Σdl), pass 2 ships the few idf
+    floats in the closure, scores per block and emits local top-k
+    heads only. Scores are rounded to 6dp BEFORE ranking on both
+    sides, so the cut is ULP-stable and fully SQL-checkable."""
+    from .ops.curate import bm25_topk
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bm25_topk(ds, ["hash", "join", "window"], 10)
+
+
+BM25_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+       FROM toks GROUP BY doc_id),
+st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+              CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                AS avgdl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM toks WHERE term IN ('hash', 'join', 'window')
+       GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              ROUND(SUM(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                        * tf.tf * (1.2 + 1.0)
+                        / (tf.tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl.dl / st.avgdl))),
+                    6) AS score
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+       GROUP BY tf.doc_id)
+SELECT doc_id, score
+FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id
+"""
+
+
 def streaming_dedup_count(sf_dir: str) -> pd.DataFrame:
     """Streaming first-seen dedup through the sharded shared-index
     actors (ops/stream.py — the raw-actor escape hatch for state the
@@ -2905,6 +2946,7 @@ REGISTRY: dict = {
     "heavy_hitters_users": (heavy_hitters_users, HEAVY_HITTERS_SQL),
     "priority_sample_docs": (priority_sample_docs, PRIORITY_SAMPLE_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
+    "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

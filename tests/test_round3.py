@@ -260,3 +260,78 @@ def test_empty_schema_warning_filter_is_selective():
     quiet_empty_schema_warnings()  # idempotent
     assert sum(isinstance(x, _EmptySchemaDivergenceFilter)
                for x in lg.filters) == 1
+
+
+# ---------------------------------------------------------------------------
+# PageRank (ops/graph.py)
+# ---------------------------------------------------------------------------
+
+def _dense_pagerank(edges, iters=3, d=0.85):
+    """Dense numpy reference: damped power iteration with uniform
+    dangling-mass redistribution over the distinct edge set."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[ix[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[ix[v]] += r[ix[u]] / outdeg[ix[u]]
+        dangling = r[outdeg == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_dense_reference_with_dangling(ray_session):
+    """Graph with a dangling node (3), a multi-edge (0→1 twice, must
+    collapse), a self-loop and an isolated sink."""
+    import ray.data as rd
+
+    from wtes_ray.ops.graph import pagerank
+
+    raw = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 4), (5, 3)]
+    ds = rd.from_pandas(pd.DataFrame(raw, columns=["src", "dst"]))
+    got = pagerank(ds, iterations=3).to_pandas() \
+        .set_index("node")["pagerank"].to_dict()
+    want = _dense_pagerank(raw)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    # total rank is conserved by the dangling redistribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_distributed_path_equals_driver_path(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    raw = list(zip(rng.randint(0, 40, 300), rng.randint(0, 45, 300)))
+    ds = rd.from_pandas(pd.DataFrame(raw, columns=["src", "dst"]))
+    a = pagerank(ds, iterations=2).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = pagerank(ds, iterations=2, force_distributed=True,
+                 num_buckets=8).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a["node"].tolist() == b["node"].tolist()
+    np.testing.assert_allclose(a["pagerank"], b["pagerank"], atol=1e-12)
+
+
+def test_pagerank_empty_edges(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.graph import pagerank
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"src": pd.Series([], dtype="int64"),
+         "dst": pd.Series([], dtype="int64")}))
+    out = pagerank(ds, iterations=2)
+    # NB: Ray's to_pandas() drops columns for 0-row datasets; the schema
+    # (the Dataset contract) is what downstream stages consume
+    assert out.count() == 0
+    assert out.schema().names == ["node", "pagerank"]

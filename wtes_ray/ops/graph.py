@@ -1,0 +1,238 @@
+"""Iterative graph computation over edge Datasets: distributed PageRank.
+
+The reference system materializes an entity-relation graph (Neo4j sink /
+pyecharts chart, ``src/IO/neo4jExecutor.py``); a training-data engine built
+on that graph needs graph-wide scores, and PageRank is the canonical one
+(used in practice for web-corpus quality weighting, e.g. Common-Crawl-style
+harmonic/PageRank centrality filters).
+
+Shape per iteration (classic power iteration, damping ``d``):
+
+    rank'(v) = (1-d)/N + d * ( Σ_{(u,v)∈E} rank(u)/outdeg(u)
+                               + dangling_mass/N )
+
+where ``dangling_mass`` is the total rank sitting on nodes with no
+out-edges (redistributed uniformly — the standard stochastic-matrix fix).
+
+Two execution paths, size-dispatched like the rest of the repo
+(queries.BROADCAST_ROWS_BUDGET pattern):
+
+- **driver-vector path** (node count ≤ ``nodes_budget``): the rank vector
+  is node-sized state, broadcast once per iteration via ``ray.put`` as a
+  pandas Series; EDGES stream through ``map_batches`` (never materialized)
+  with per-block partial sums per dst, finished by one small
+  ``groupby(dst).sum`` exchange. This is the realistic single-cluster
+  shape for up to ~10^8 nodes (a float64 vector), even when the edge set
+  is 100 TB.
+- **distributed path** (above budget, or ``force_distributed``): the rank
+  vector itself is a Dataset co-partitioned with the edges through the
+  bucketed hash join (ops/joins.py) — nothing node-sized ever lands on
+  the driver. Kept exactly result-equivalent to the driver path
+  (tests/test_round3.py pins equality to 1e-12).
+
+Both paths make one streaming pass over the edges per iteration — the
+information-theoretic minimum for power iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .joins import bucketed_hash_join
+
+
+def _arrow(df: pd.DataFrame) -> pa.Table:
+    # arrow blocks into every exchange; strip the b'pandas' metadata dict
+    # that breaks Schema.__hash__ (see queries._arrow)
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+def distinct_edges(edges: ray.data.Dataset, *, src: str = "src",
+                   dst: str = "dst") -> ray.data.Dataset:
+    """Collapse multi-edges to the distinct (src, dst) set.
+
+    Per-block ``drop_duplicates`` partials shrink the exchange (a block
+    rarely holds the same pair twice more than once), then one
+    groupby-count finishes globally; the count column is dropped."""
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.select([src, dst]).to_pandas().drop_duplicates()
+        return _arrow(df)
+
+    from ray.data.aggregate import Count
+    return edges.map_batches(local, batch_format="pyarrow") \
+        .groupby([src, dst]).aggregate(Count()) \
+        .map_batches(lambda t: t.select([src, dst]), batch_format="pyarrow")
+
+
+def out_degrees(edges: ray.data.Dataset, *, src: str = "src",
+                dst: str = "dst") -> ray.data.Dataset:
+    """(node, outdeg) over the DISTINCT edge set — one row per node that
+    has at least one out-edge."""
+    from ray.data.aggregate import Count
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "outdeg"])
+
+    return edges.groupby(src).aggregate(Count()) \
+        .map_batches(rename, batch_format="pyarrow")
+
+
+def _node_set(edges: ray.data.Dataset, src: str, dst: str) -> ray.data.Dataset:
+    """Distinct (node) Dataset = src ∪ dst. Per-block Arrow distinct
+    partials, finished by one groupby-count (NOT per-group map_groups —
+    the ~50 µs/group dispatch trap, see ops.dedup._grouped_exchange)."""
+    from ray.data.aggregate import Count
+
+    def both(t: pa.Table) -> pa.Table:
+        col = pa.concat_arrays([
+            c.combine_chunks() for c in (t.column(src).cast(pa.int64()),
+                                         t.column(dst).cast(pa.int64()))])
+        u = pa.Table.from_arrays([col], names=["node"])
+        return u.group_by("node").aggregate([])
+
+    return edges.map_batches(both, batch_format="pyarrow") \
+        .groupby("node").aggregate(Count()) \
+        .map_batches(lambda t: t.select(["node"]), batch_format="pyarrow")
+
+
+def pagerank(edges: ray.data.Dataset, *, iterations: int = 3,
+             damping: float = 0.85, src: str = "src", dst: str = "dst",
+             dedupe: bool = True, nodes_budget: int = 1_000_000,
+             force_distributed: bool = False,
+             num_buckets: int = 32) -> ray.data.Dataset:
+    """Distributed PageRank over an edge Dataset; returns (node, pagerank).
+
+    ``dedupe=False`` asserts the input is already a distinct edge set and
+    skips the collapse exchange. Path dispatch: driver-vector when the
+    node count fits ``nodes_budget``, bucketed-join otherwise (see module
+    docstring)."""
+    from .dedup import _consolidate
+    e = distinct_edges(edges, src=src, dst=dst) if dedupe else edges
+    # ~iterations passes read the edge set; pin the blocks once, and
+    # coalesce the groupby's many tiny output blocks (sort-slice trap,
+    # see ops.dedup._consolidate) before the per-iteration exchanges
+    e = _consolidate(e)
+
+    nodes = _node_set(e, src, dst).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(_arrow(
+            pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "pagerank": pd.Series([], dtype="float64")})))
+    base = (1.0 - damping) / n
+
+    if not force_distributed and n <= nodes_budget:
+        return _pagerank_driver_vector(e, nodes, n, base, damping,
+                                       iterations, src, dst)
+    return _pagerank_distributed(e, nodes, n, base, damping, iterations,
+                                 src, dst, num_buckets)
+
+
+def _pagerank_driver_vector(e, nodes, n, base, damping, iterations,
+                            src, dst) -> ray.data.Dataset:
+    deg = out_degrees(e, src=src, dst=dst).to_pandas()
+    node_ids = nodes.to_pandas()["node"].to_numpy()
+    outdeg = pd.Series(0, index=node_ids, dtype="int64")
+    outdeg.loc[deg["node"].to_numpy()] = deg["outdeg"].to_numpy()
+    rank = pd.Series(1.0 / n, index=node_ids, dtype="float64")
+    dangling_ix = outdeg.index[outdeg.to_numpy() == 0]
+
+    for _ in range(iterations):
+        w = rank[outdeg > 0] / outdeg[outdeg > 0]
+        w_ref = ray.put(w)
+
+        def partial(t: pa.Table, *, _w=w_ref) -> pa.Table:
+            ws = ray.get(_w) if isinstance(_w, ray.ObjectRef) else _w
+            df = t.select([src, dst]).to_pandas()
+            c = ws.reindex(df[src].to_numpy()).to_numpy()
+            out = (pd.DataFrame({"dst": df[dst].to_numpy(), "contrib": c})
+                   .groupby("dst", as_index=False)["contrib"].sum())
+            return _arrow(out)
+
+        contrib = e.map_batches(partial, batch_format="pyarrow") \
+            .groupby("dst").aggregate(Sum("contrib", alias_name="contrib")) \
+            .to_pandas()
+        dangling = float(rank[dangling_ix].sum())
+        new = pd.Series(base + damping * dangling / n, index=node_ids,
+                        dtype="float64")
+        new.loc[contrib["dst"].to_numpy()] += \
+            damping * contrib["contrib"].to_numpy()
+        rank = new
+
+    out = pd.DataFrame({"node": node_ids, "pagerank": rank.to_numpy()})
+    return ray.data.from_arrow(_arrow(out))
+
+
+def _pagerank_distributed(e, nodes, n, base, damping, iterations,
+                          src, dst, num_buckets) -> ray.data.Dataset:
+    deg = out_degrees(e, src=src, dst=dst)
+    state_schema = pa.schema([("node", pa.int64()), ("outdeg", pa.int64()),
+                              ("rank", pa.float64())])
+
+    def seed(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["outdeg"] = df["outdeg"].fillna(0).astype("int64")
+        df["rank"] = 1.0 / n
+        return _arrow(df[["node", "outdeg", "rank"]])
+
+    state = bucketed_hash_join(
+        nodes, deg, on="node", how="left", num_buckets=num_buckets) \
+        .map_batches(seed, batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        def weights(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df = df[df["outdeg"] > 0]
+            out = pd.DataFrame({src: df["node"].to_numpy(),
+                                "w": (df["rank"] / df["outdeg"]).to_numpy()})
+            return _arrow(out)
+
+        w = state.map_batches(weights, batch_format="pyarrow")
+        joined = bucketed_hash_join(
+            e, w, on=src, num_buckets=num_buckets,
+            right_schema=pa.schema([(src, pa.int64()), ("w", pa.float64())]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            out = (pd.DataFrame({"node": df[dst].to_numpy(),
+                                 "contrib": df["w"].to_numpy()})
+                   .groupby("node", as_index=False)["contrib"].sum())
+            return _arrow(out)
+
+        contrib = joined.map_batches(partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("contrib", alias_name="contrib"))
+
+        def dangling_partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            s = float(df.loc[df["outdeg"] == 0, "rank"].sum())
+            return _arrow(pd.DataFrame({"d": [s]}))
+
+        dangling = state.map_batches(
+            dangling_partial, batch_format="pyarrow").sum("d") or 0.0
+
+        def advance(t: pa.Table, *, _dg=dangling) -> pa.Table:
+            df = t.to_pandas()
+            c = df["contrib"].fillna(0.0) if "contrib" in df.columns else 0.0
+            df["rank"] = base + damping * (c + _dg / n)
+            return _arrow(df[["node", "outdeg", "rank"]])
+
+        state = bucketed_hash_join(
+            state, contrib, on="node", how="left", num_buckets=num_buckets,
+            left_schema=state_schema,
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("contrib", pa.float64())])) \
+            .map_batches(advance, batch_format="pyarrow").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _arrow(pd.DataFrame({"node": df["node"].to_numpy(),
+                                    "pagerank": df["rank"].to_numpy()}))
+
+    return state.map_batches(finish, batch_format="pyarrow")

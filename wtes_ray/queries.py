@@ -2849,6 +2849,77 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Graph: distributed PageRank (ops/graph.py)
+# ---------------------------------------------------------------------------
+
+_PR_MOD = 1000          # node id = key % _PR_MOD (deterministic synth graph)
+_PR_ITERS = 3
+_PR_DAMPING = "0.85"    # literal text shared by both sides: float('0.85')
+                        # and DuckDB's 0.85 cast to DOUBLE are the same bits
+
+
+def pagerank_lineitem(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the order→part graph (node = key mod 1000): 3 damped
+    power iterations with dangling-mass redistribution, each one streaming
+    pass over the distinct edge set with per-block partial sums (ops/
+    graph.pagerank — driver-vector path at this node count; the bucketed
+    fully-distributed path is pinned result-equal in tests)."""
+    from .ops.graph import pagerank
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("l_orderkey").to_numpy() % _PR_MOD,
+            "dst": t.column("l_partkey").to_numpy() % _PR_MOD})
+
+    out = pagerank(ds.map_batches(edges, batch_format="pyarrow"),
+                   iterations=_PR_ITERS,
+                   damping=float(_PR_DAMPING)).to_pandas()
+    out["pagerank"] = out["pagerank"].round(8)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_sql(iters: int = _PR_ITERS, damping: str = _PR_DAMPING,
+                  mod: int = _PR_MOD) -> str:
+    """Unrolled-CTE PageRank oracle: r{k} references r{k-1}, so DuckDB
+    evaluates the exact same power iteration (incl. dangling mass) in
+    plain ANSI SQL. 8dp rounding kills summation-order ULP drift (ranks
+    are O(1e-3); per-iteration float error is O(1e-16))."""
+    d = f"CAST({damping} AS DOUBLE)"
+    ctes = [f"""edges AS (
+  SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
+  FROM lineitem)""",
+            """nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges)""",
+            """deg AS (SELECT src AS node, COUNT(*) AS outdeg
+         FROM edges GROUP BY src)""",
+            """nd AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg
+        FROM nodes n LEFT JOIN deg d USING (node))""",
+            "cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+            """r0 AS (SELECT node, outdeg, 1.0 / (SELECT n FROM cnt) AS rank
+        FROM nd)"""]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        ctes.append(f"""r{k} AS (
+  SELECT nd.node, nd.outdeg,
+         (1 - {d}) / (SELECT n FROM cnt)
+         + {d} * (COALESCE(c.contrib, 0)
+                  + (SELECT COALESCE(SUM(rank), 0) FROM {prev}
+                     WHERE outdeg = 0) / (SELECT n FROM cnt)) AS rank
+  FROM nd
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS contrib
+             FROM edges e JOIN {prev} r ON e.src = r.node
+             GROUP BY e.dst) c USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, ROUND(rank, 8) AS pagerank FROM r{iters}"
+            + "\nORDER BY node")
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2947,6 +3018,7 @@ REGISTRY: dict = {
     "priority_sample_docs": (priority_sample_docs, PRIORITY_SAMPLE_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_SQL),
+    "pagerank_lineitem": (pagerank_lineitem, PAGERANK_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

@@ -147,3 +147,75 @@ def test_arrow_bucket_impl_keeps_int_types_on_left_join(ray_session):
     assert dict(zip(sch.names, sch.types))["n"] == pa.int64()
     df = out.to_pandas().sort_values("k")
     assert df["n"].isna().sum() == 3
+
+
+# ---------------------------------------------------------------------------
+# global_asof_join
+# ---------------------------------------------------------------------------
+
+def test_global_asof_matches_merge_asof_reference(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.joins import global_asof_join
+
+    rng = np.random.RandomState(11)
+    # sparse right side so many buckets are right-empty → carry-in must
+    # cross bucket boundaries; left keys both before and after all rights
+    lk = np.sort(rng.choice(np.arange(0, 100_000), 400, replace=False))
+    rk = np.sort(rng.choice(np.arange(5_000, 60_000), 25, replace=False))
+    left = pd.DataFrame({"lid": np.arange(400, dtype=np.int64),
+                         "k": lk.astype(np.int64)})
+    right = pd.DataFrame({"k": rk.astype(np.int64),
+                          "v": rng.rand(25)})
+    got = global_asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="k", right_on="k", value_col="v",
+        num_buckets=32).to_pandas().sort_values("lid").reset_index(drop=True)
+    want = pd.merge_asof(left, right, on="k", direction="backward")
+    assert got["lid"].tolist() == want["lid"].tolist()
+    np.testing.assert_allclose(got["v"], want["v"])  # NaN == NaN here
+    # left rows before the first right row really are unmatched
+    assert got.loc[got["k"] < rk[0], "v"].isna().all()
+    # exact-timestamp matches are included
+    exact = got.loc[got["k"].isin(set(rk)), ["k", "v"]]
+    if len(exact):
+        m = right.set_index("k")["v"]
+        assert (exact["v"].to_numpy() ==
+                m.loc[exact["k"]].to_numpy()).all()
+
+
+def test_global_asof_timestamp_keys(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.joins import global_asof_join
+
+    t0 = pd.Timestamp("2025-01-01")
+    left = pd.DataFrame({
+        "lid": np.arange(6, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(minutes=m) for m in (0, 5, 10, 15, 20, 25)]})
+    right = pd.DataFrame({
+        "ts": [t0 + pd.Timedelta(minutes=m) for m in (4, 15)],
+        "v": [1.5, 2.5]})
+    got = global_asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="ts", right_on="ts", value_col="v",
+        num_buckets=4).to_pandas().sort_values("lid")
+    vals = got["v"].tolist()
+    assert np.isnan(vals[0])                 # before first tick
+    assert vals[1] == 1.5 and vals[2] == 1.5
+    assert vals[3] == 2.5                    # exact match at 15min
+    assert vals[4] == 2.5 and vals[5] == 2.5
+
+
+def test_global_asof_empty_right(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.joins import global_asof_join
+
+    left = pd.DataFrame({"lid": [0, 1], "k": np.int64([3, 9])})
+    right = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "v": pd.Series([], dtype="float64")})
+    got = global_asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="k", right_on="k", value_col="v").to_pandas()
+    assert len(got) == 2 and got["v"].isna().all()

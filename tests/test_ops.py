@@ -483,3 +483,26 @@ def test_dedup_filter_join_path_matches_broadcast(ray_session, docs_ds):
                     .to_pandas()["doc_id"])
     assert kept_j == kept_b
     assert 0 in kept_j and not {5, 6} & set(kept_j)
+
+
+def test_repetition_stats_hand_computed(ray_session):
+    import ray.data as rd
+
+    texts = {
+        0: "a b a b a b",          # 6 toks, 2 distinct; top bigram "a b"×3/5
+        1: "x y z x y z x y z",    # 9 toks; top trigram "x y z"×3/7
+        2: "only",                 # 1 token: no n-grams
+        3: "",                     # empty
+        4: "Mixed CASE mixed case",  # lowercased: 2 distinct of 4
+    }
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    out = T.repetition_stats(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 6
+    assert out.loc[0, "distinct_ratio"] == round(2 / 6, 6)
+    assert out.loc[0, "top_bigram_frac"] == round(3 / 5, 6)
+    assert out.loc[0, "top_trigram_frac"] == round(2 / 4, 6)  # "a b a"×2
+    assert out.loc[1, "top_trigram_frac"] == round(3 / 7, 6)
+    assert out.loc[2].tolist() == [1, 1.0, 0.0, 0.0]
+    assert out.loc[3].tolist() == [0, 0.0, 0.0, 0.0]
+    assert out.loc[4, "distinct_ratio"] == 0.5

@@ -210,3 +210,138 @@ def bucketed_hash_join(
 
     return tagged_l.union(tagged_r).groupby(_BUCKET).map_groups(
         join_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Global (non-keyed) as-of join
+# ---------------------------------------------------------------------------
+
+def global_asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                     left_on: str, right_on: str, value_col: str,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """For every left row, attach ``value_col`` of the right row with the
+    greatest ``right_on`` <= ``left_on`` (backward as-of, exact matches
+    allowed) — DuckDB's ``ASOF LEFT JOIN`` without a `by` key, which a
+    plain hash exchange cannot express: a left row's match may live in a
+    DIFFERENT partition.
+
+    Distributed shape (the repo's range-bucket + O(B) driver-prefix
+    pattern, cf. ops/curate.pack_by_budget):
+
+    1. equal-width range buckets over the combined [min, max] of both
+       ``on`` domains (4 cheap aggregates; no data to the driver);
+    2. per-bucket right-side summary — each bucket's LATEST (on, value)
+       row — via per-block partials; the B-row table prefix-scans on the
+       driver into carry_in[b] = latest right row strictly before bucket
+       b's first possible left row;
+    3. one co-partitioned exchange by bucket; each bucket merges locally
+       (sorted ``merge_asof`` over int64 keys — the us→ns promotion trap
+       never arises) with its carry_in row prepended, so boundary-crossing
+       matches are exact.
+
+    ``right_on`` values must be unique (pre-reduce duplicates — e.g. one
+    row per timestamp — upstream; ties would make "the" match ambiguous).
+    Left columns pass through; ``value_col`` is NULL when no right row
+    precedes. Equal-width buckets assume the keys aren't pathologically
+    skewed into one bucket; for heavy skew pass a larger ``num_buckets``
+    (empty buckets cost nothing)."""
+    lkey, rkey = "__asof_l", "__asof_r"
+
+    def to_i64(t: pa.Table, col: str, out: str) -> pa.Table:
+        # timestamps cast to their epoch-us int64 representation; ints pass
+        return t.append_column(out, t.column(col).cast(pa.int64()))
+
+    lt = left.map_batches(lambda t: to_i64(t, left_on, lkey),
+                          batch_format="pyarrow").materialize()
+    rt = right.map_batches(lambda t: to_i64(t, right_on, rkey),
+                           batch_format="pyarrow").materialize()
+    if rt.count() == 0 or lt.count() == 0:
+        def null_val(t: pa.Table) -> pa.Table:
+            return t.drop_columns([lkey]).append_column(
+                value_col, pa.nulls(t.num_rows, pa.float64()))
+        return lt.map_batches(null_val, batch_format="pyarrow")
+
+    lo = min(lt.min(lkey), rt.min(rkey))
+    hi = max(lt.max(lkey), rt.max(rkey))
+    width = max(1, (hi - lo) // num_buckets + 1)
+
+    # per-bucket latest right row: per-block partial argmax, driver finish
+    def right_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": t.column(rkey).to_numpy(),
+                           "v": t.column(value_col).to_numpy()})
+        df["b"] = np.clip((df["k"] - lo) // width, 0, num_buckets - 1)
+        ix = df.groupby("b")["k"].idxmax()
+        out = df.loc[ix, ["b", "k", "v"]]
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    summ = rt.map_batches(right_partial, batch_format="pyarrow").to_pandas()
+    summ = summ.loc[summ.groupby("b")["k"].idxmax()].sort_values("b")
+    carry: dict[int, tuple[int, float]] = {}
+    latest: tuple[int, float] | None = None
+    by_b = {int(r.b): (int(r.k), r.v) for r in summ.itertuples()}
+    for b in range(num_buckets):
+        if latest is not None:
+            carry[b] = latest
+        if b in by_b:
+            latest = by_b[b]
+
+    def tag(key: str):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(key).to_numpy()
+            b = np.clip((k - lo) // width, 0, num_buckets - 1)
+            return t.append_column("__bucket", pa.array(b.astype(np.int64)))
+        return f
+
+    left_cols = [c for c in lt.schema().names if c != lkey]
+    l_tagged = lt.map_batches(tag(lkey), batch_format="pyarrow")
+    r_tagged = rt.map_batches(tag(rkey), batch_format="pyarrow")
+
+    # unified side-tagged layout for the single exchange
+    def widen_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("__side", pa.array(
+            np.zeros(t.num_rows, dtype=np.int8)))
+        t = t.append_column(rkey, pa.nulls(t.num_rows, pa.int64()))
+        return t.append_column("__rv", pa.nulls(t.num_rows, pa.float64()))
+
+    def widen_right(t: pa.Table) -> pa.Table:
+        base = pa.table({c: pa.nulls(t.num_rows, f.type)
+                         for c, f in zip(lt.schema().names,
+                                         _arrow_schema(lt))
+                         if c != lkey})
+        base = base.append_column(lkey, pa.nulls(t.num_rows, pa.int64()))
+        base = base.append_column("__bucket", t.column("__bucket"))
+        base = base.append_column("__side", pa.array(
+            np.ones(t.num_rows, dtype=np.int8)))
+        base = base.append_column(rkey, t.column(rkey))
+        return base.append_column(
+            "__rv", t.column(value_col).cast(pa.float64()))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy()
+        lpart = g.filter(pc.equal(g.column("__side"),
+                                  pa.scalar(0, pa.int8())))
+        rpart = g.filter(pc.equal(g.column("__side"),
+                                  pa.scalar(1, pa.int8())))
+        b = int(g.column("__bucket")[0].as_py())
+        rk = rpart.column(rkey).to_numpy().astype(np.int64, copy=True)
+        rv = rpart.column("__rv").to_numpy()
+        if b in carry:
+            rk = np.concatenate([[carry[b][0]], rk])
+            rv = np.concatenate([[carry[b][1]], rv])
+        ldf = lpart.select(left_cols + [lkey]).to_pandas()
+        if len(rk) == 0:
+            ldf[value_col] = np.nan
+        else:
+            order = np.argsort(rk, kind="stable")
+            rk, rv = rk[order], np.asarray(rv, dtype=np.float64)[order]
+            pos = np.searchsorted(rk, ldf[lkey].to_numpy(), side="right") - 1
+            vals = np.where(pos >= 0, rv[np.clip(pos, 0, None)], np.nan)
+            ldf[value_col] = vals
+        out = ldf[left_cols + [value_col]]
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return l_tagged.map_batches(widen_left, batch_format="pyarrow") \
+        .union(r_tagged.map_batches(widen_right, batch_format="pyarrow")) \
+        .groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")

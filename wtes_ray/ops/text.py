@@ -148,6 +148,52 @@ def stopword_stats(ds: ray.data.Dataset, *, text_col: str = "text",
     return ds.map_batches(f, batch_format="pandas")
 
 
+def repetition_stats(ds: ray.data.Dataset, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> ray.data.Dataset:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetition removal"): training corpora drop documents whose
+    text is dominated by a few repeated n-grams. Per doc, over lowercased
+    ``[a-z0-9_]+`` tokens (the vocab/TF-IDF token class — ASCII-pinned so
+    it means the same as the DuckDB RE2 oracle):
+
+      n_tokens        token count
+      distinct_ratio  |{distinct tokens}| / n_tokens        (0.0 if empty)
+      top_bigram_frac  max bigram count / (n_tokens - 1)    (0.0 if <2)
+      top_trigram_frac max trigram count / (n_tokens - 2)   (0.0 if <3)
+
+    The per-doc token walk is the irreducible row work (same posture as
+    stopword_stats); n-gram counting is one Counter pass over zipped
+    token views — no string concatenation per n-gram."""
+    from collections import Counter
+
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        n_tok, d_ratio, bi_frac, tri_frac = [], [], [], []
+        for t in texts:
+            toks = tok_re.findall(t.lower())
+            n = len(toks)
+            n_tok.append(n)
+            d_ratio.append(len(set(toks)) / n if n else 0.0)
+            bi_frac.append(
+                max(Counter(zip(toks, toks[1:])).values()) / (n - 1)
+                if n >= 2 else 0.0)
+            tri_frac.append(
+                max(Counter(zip(toks, toks[1:], toks[2:])).values()) / (n - 2)
+                if n >= 3 else 0.0)
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_tokens": pd.Series(n_tok, index=batch.index, dtype="int64"),
+            "distinct_ratio": pd.Series(d_ratio, index=batch.index).round(6),
+            "top_bigram_frac": pd.Series(bi_frac, index=batch.index).round(6),
+            "top_trigram_frac": pd.Series(tri_frac,
+                                          index=batch.index).round(6),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
                  id_col: str = "doc_id") -> ray.data.Dataset:
     """Content fingerprints: md5 hex (exact-dup key, SQL-checkable) and a

@@ -2848,6 +2848,110 @@ ORDER BY doc_id
 """
 
 
+def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
+    """Global (non-keyed) as-of join: every purchase event picks up the
+    value of the LATEST click anywhere in the stream at-or-before its
+    timestamp. A hash exchange can't express this — the match may sit in
+    another partition — so it runs through ops/joins.global_asof_join's
+    range-bucket + driver-prefix carry-in. Clicks pre-reduce to one tick
+    per timestamp (MAX value) to make the match unique on both sides."""
+    from ray.data.aggregate import Max
+
+    from .ops.joins import global_asof_join
+
+    ev = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_id", "ts", "event_type", "value"])
+
+    def typed(kind: str, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"),
+                                     kind)).select(cols)
+        return f
+
+    purchases = ev.map_batches(typed("purchase", ["event_id", "ts"]),
+                               batch_format="pyarrow")
+    ticks = ev.map_batches(typed("click", ["ts", "value"]),
+                           batch_format="pyarrow") \
+        .groupby("ts").aggregate(Max("value", alias_name="click_value"))
+    out = global_asof_join(purchases, ticks, left_on="ts", right_on="ts",
+                           value_col="click_value").to_pandas()
+    out["click_value"] = out["click_value"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ASOF_PURCHASE_CLICK_SQL = """
+WITH ticks AS (SELECT ts, MAX(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY ts),
+p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.ts, ROUND(t.click_value, 6) AS click_value
+FROM p ASOF LEFT JOIN ticks t ON p.ts >= t.ts
+ORDER BY p.event_id
+"""
+
+
+def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition filters (ops/text.repetition_stats):
+    distinct-token ratio and most-frequent bigram/trigram fractions per
+    doc — the signals a training pipeline thresholds to drop boilerplate
+    and degenerate repetition. Embarrassingly parallel map_batches; no
+    exchange."""
+    from .ops.text import repetition_stats
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = repetition_stats(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# Zipped unnest (value + generate_subscripts position) reconstructs token
+# order, LEAD windows build the n-grams; token class matches the Python
+# side's ASCII [a-z0-9_]+ exactly (RE2 \w would also work but is kept
+# explicit like VOCAB_TOP_TERMS_SQL).
+DOC_REPETITION_SQL = """
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM arr),
+base AS (SELECT doc_id, len(toks) AS n_tokens FROM arr),
+dist AS (SELECT doc_id, COUNT(DISTINCT term) AS n_distinct
+         FROM toks GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, MAX(c) AS top_bi FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, pos, term,
+                 LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+          FROM toks)
+    WHERE t2 IS NOT NULL GROUP BY doc_id, term, t2)
+  GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, MAX(c) AS top_tri FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, pos, term,
+                 LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+                 LEAD(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+          FROM toks)
+    WHERE t3 IS NOT NULL GROUP BY doc_id, term, t2, t3)
+  GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN b.n_tokens > 0
+                  THEN CAST(COALESCE(d.n_distinct, 0) AS DOUBLE) / b.n_tokens
+                  ELSE 0.0 END, 6) AS distinct_ratio,
+       ROUND(CASE WHEN b.n_tokens >= 2
+                  THEN CAST(COALESCE(bi.top_bi, 0) AS DOUBLE)
+                       / (b.n_tokens - 1)
+                  ELSE 0.0 END, 6) AS top_bigram_frac,
+       ROUND(CASE WHEN b.n_tokens >= 3
+                  THEN CAST(COALESCE(tri.top_tri, 0) AS DOUBLE)
+                       / (b.n_tokens - 2)
+                  ELSE 0.0 END, 6) AS top_trigram_frac
+FROM base b
+LEFT JOIN dist d USING (doc_id)
+LEFT JOIN bi USING (doc_id)
+LEFT JOIN tri USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph: distributed PageRank (ops/graph.py)
 # ---------------------------------------------------------------------------
@@ -3019,6 +3123,8 @@ REGISTRY: dict = {
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_SQL),
     "pagerank_lineitem": (pagerank_lineitem, PAGERANK_SQL),
+    "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
+    "asof_purchase_click": (asof_purchase_click, ASOF_PURCHASE_CLICK_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

@@ -506,3 +506,49 @@ def test_repetition_stats_hand_computed(ray_session):
     assert out.loc[2].tolist() == [1, 1.0, 0.0, 0.0]
     assert out.loc[3].tolist() == [0, 0.0, 0.0, 0.0]
     assert out.loc[4, "distinct_ratio"] == 0.5
+
+
+def test_semantic_dedup_keep_rule(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.dedup import semantic_dedup
+
+    # two well-separated directions; ids interleaved across the groups so
+    # "lowest id survives" is exercised within each cluster
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    rows = [
+        (0, a), (2, a * 3.0), (4, a + 1e-9),        # group A: keep 0 only
+        (1, b), (3, b * 0.5),                        # group B: keep 1 only
+        (5, np.array([0.7, 0.7, 0.0])),              # diagonal: kept
+    ]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1].tolist() for r in rows]}))
+    out = semantic_dedup(ds, n_clusters=3, threshold=0.999,
+                         train_size=6, seed=3).to_pandas() \
+        .set_index("vec_id")
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[1, "keep"])
+    assert not out.loc[2, "keep"] and not out.loc[4, "keep"]
+    assert not out.loc[3, "keep"] or out.loc[3, "centroid_id"] != \
+        out.loc[1, "centroid_id"]   # same-direction pair co-clusters here
+    assert not out["truncated"].any()
+    assert len(out) == 6
+
+
+def test_semantic_dedup_truncation_flag(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.dedup import semantic_dedup
+
+    # 30 identical vectors, one cluster, cap at 10: ids 1..9 drop (dup of
+    # 0), ids 10+ are beyond the cap → keep=True but truncated flagged
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(30, dtype=np.int64),
+         "embedding": [[1.0, 2.0]] * 30}))
+    out = semantic_dedup(ds, n_clusters=1, threshold=0.99,
+                         max_cluster=10).to_pandas().set_index("vec_id")
+    assert out["truncated"].all()
+    assert bool(out.loc[0, "keep"])
+    assert not out.loc[1:9, "keep"].any()
+    assert out.loc[10:, "keep"].all()

@@ -876,3 +876,66 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *,
                               pairs_block)
 
     return _combine_pairs(pairs, "cosine")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(ds: ray.data.Dataset, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_clusters: int = 16,
+                   threshold: float = 0.95, train_size: int = 4096,
+                   iters: int = 8, seed: int = 13,
+                   max_cluster: int = 20_000,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embeddings with a coarse quantizer trained on a bounded sample, then
+    deduplicate WITHIN each cluster only — the clustering converts the
+    O(n²) all-pairs cosine into per-cluster work, betting (as the paper
+    does) that near-duplicates co-cluster.
+
+    Keep rule (deterministic variant of the paper's random exemplar): a
+    vector is dropped iff some SAME-CLUSTER vector with a smaller id has
+    cosine >= ``threshold`` to it. Lowest-id exemplars always survive,
+    and the rule needs no iteration — one masked matmul per cluster.
+
+    Returns (id_col, centroid_id, keep, truncated) for EVERY input row.
+    Clusters larger than ``max_cluster`` dedup only their ``max_cluster``
+    lowest ids (the rest keep=True) and set ``truncated`` — the explicit
+    cap-and-flag contract every pair-emitting op here follows. Exchange
+    shape: one assignment map over the corpus, then the bucketed
+    per-group exchange (``_grouped_exchange`` on centroid_id) — vectors
+    shuffle once, co-partitioned by cluster."""
+    from .similarity import assign_ivf, train_ivf_centroids
+
+    cent = train_ivf_centroids(ds, n_centroids=n_clusters, vec_col=vec_col,
+                               train_size=train_size, iters=iters, seed=seed)
+    assigned = assign_ivf(ds, cent, vec_col=vec_col)
+
+    def dedup_block(g: pd.DataFrame) -> pa.Table:
+        ids, cents, keeps, truncs = [], [], [], []
+        for cid, grp in g.groupby("centroid_id", sort=False):
+            grp = grp.sort_values(id_col)
+            truncated = len(grp) > max_cluster
+            work = grp.iloc[:max_cluster]
+            mat = np.stack(work[vec_col].values).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            sim = unit @ unit.T
+            # column j drops iff any strictly-upper entry >= threshold
+            drop = (np.triu(sim, 1) >= threshold).any(axis=0)
+            keep = np.ones(len(grp), dtype=bool)
+            keep[:len(work)] = ~drop
+            ids.extend(grp[id_col].tolist())
+            cents.extend([cid] * len(grp))
+            keeps.extend(keep.tolist())
+            truncs.extend([truncated] * len(grp))
+        return _arrow(pd.DataFrame({
+            id_col: pd.Series(ids, dtype=g[id_col].dtype),
+            "centroid_id": pd.Series(cents, dtype="int64"),
+            "keep": pd.Series(keeps, dtype="bool"),
+            "truncated": pd.Series(truncs, dtype="bool")}))
+
+    return _grouped_exchange(assigned, "centroid_id", dedup_block,
+                             num_buckets=num_buckets)

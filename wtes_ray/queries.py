@@ -2848,6 +2848,38 @@ ORDER BY doc_id
 """
 
 
+def semantic_dedup_planted(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (cluster-then-dedup, ops/dedup.semantic_dedup) on the
+    planted corpus at a near-exact threshold. The multi-cluster run is
+    still SQL-checkable: at 0.9999 the only above-threshold pairs are the
+    planted identical vectors (the exhaustive-pairs oracle of
+    embedding_neardup_planted proves that set), and an identical vector
+    always lands in the same cluster as its original (same argmax), so
+    the within-cluster keep rule equals the global NOT-EXISTS rule the
+    oracle expresses."""
+    from .ops.dedup import semantic_dedup
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    head = _sorted_head(_t(sf_dir, "embeddings"), "vec_id",
+                        ["vec_id", "embedding"], 10)
+    dup = pa.table({"vec_id": pc.add(head["vec_id"], pa.scalar(10**12)),
+                    "embedding": head["embedding"]})
+    out = semantic_dedup(ds.union(rd.from_arrow(dup)), n_clusters=8,
+                         threshold=0.9999).to_pandas()
+    return out[["vec_id", "keep"]].sort_values("vec_id") \
+        .reset_index(drop=True)
+
+
+SEMANTIC_DEDUP_PLANTED_SQL = f"""
+WITH planted AS ({EMB_PLANTED_SQL})
+SELECT x.vec_id,
+       NOT EXISTS (SELECT 1 FROM planted y
+                   WHERE y.vec_id < x.vec_id
+                     AND list_cosine_similarity(x.e, y.e) >= 0.9999) AS keep
+FROM planted x
+ORDER BY vec_id
+"""
+
+
 def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     """Global (non-keyed) as-of join: every purchase event picks up the
     value of the LATEST click anywhere in the stream at-or-before its
@@ -3125,6 +3157,8 @@ REGISTRY: dict = {
     "pagerank_lineitem": (pagerank_lineitem, PAGERANK_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
     "asof_purchase_click": (asof_purchase_click, ASOF_PURCHASE_CLICK_SQL),
+    "semantic_dedup_planted": (semantic_dedup_planted,
+                               SEMANTIC_DEDUP_PLANTED_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_audio_features": (media_audio_features, None),

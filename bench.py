@@ -149,7 +149,9 @@ def run_bench(headline_only: bool = False) -> dict:
                   "doc_token_stats", "quality_scores",
                   "topk_cosine_bruteforce", "minhash_neardup_docs",
                   "media_features", "vocab_top_terms",
-                  "decontaminate_docs", "pack_docs_budget"]
+                  "decontaminate_docs", "pack_docs_budget",
+                  "pagerank_lineitem", "asof_purchase_click",
+                  "doc_repetition_stats"]
         for name in subset:
             fn, _sql = Q.REGISTRY[name]
             tq = time.time()

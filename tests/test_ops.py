@@ -552,3 +552,26 @@ def test_semantic_dedup_truncation_flag(ray_session):
     assert bool(out.loc[0, "keep"])
     assert not out.loc[1:9, "keep"].any()
     assert out.loc[10:, "keep"].all()
+
+
+def test_cross_doc_ngram_stats_hand_computed(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.text import cross_doc_ngram_stats
+
+    texts = {
+        0: "a b c d e x y z w q",        # grams: 6; shares "a b c d e" w/ 1
+        1: "p a b c d e r s t",          # 5 grams; 1 shared
+        2: "one two three four",         # <5 tokens → no row
+        3: "a b c d e a b c d e a",      # overlapping repeats of the gram
+    }
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    out = cross_doc_ngram_stats(ds, n=5, min_docs=2).to_pandas() \
+        .set_index("doc_id")
+    assert 2 not in out.index
+    assert out.loc[0, "n_grams"] == 6 and out.loc[0, "n_dup_grams"] == 1
+    assert out.loc[1, "n_grams"] == 5 and out.loc[1, "n_dup_grams"] == 1
+    # doc 3: 7 gram positions; "a b c d e" occurs at pos 0 and 5 (count 2)
+    assert out.loc[3, "n_grams"] == 7 and out.loc[3, "n_dup_grams"] == 2
+    assert out.loc[3, "dup_frac"] == round(2 / 7, 6)

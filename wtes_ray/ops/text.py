@@ -194,6 +194,83 @@ def repetition_stats(ds: ray.data.Dataset, *, text_col: str = "text",
     return ds.map_batches(f, batch_format="pandas")
 
 
+def cross_doc_ngram_stats(ds: ray.data.Dataset, *, n: int = 5,
+                          min_docs: int = 2, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          num_buckets: int = 64) -> ray.data.Dataset:
+    """Cross-document duplicated-n-gram coverage — the C4 / "Deduplicating
+    Training Data" (Lee et al. 2021) boilerplate signal: per doc, how many
+    of its word n-gram positions carry a gram that also appears in at
+    least ``min_docs`` distinct documents.
+
+    Returns (id_col, n_grams, n_dup_grams, dup_frac). Docs with fewer
+    than ``n`` tokens have no grams and emit no row (matches the SQL
+    LEAD-window formulation, where tail positions are NULL).
+
+    Exchange shape: per block, docs reduce to DISTINCT (gram, doc,
+    within-doc count) rows — gram strings shuffle ONCE, co-partitioned by
+    gram through the bucketed exchange, where each gram's distinct-doc
+    count decides duplication and per-doc dup contributions emit
+    directly. A second, doc-keyed groupby (rows ≈ distinct grams per
+    doc, far smaller) folds contributions into the per-doc totals. No
+    stage ever holds the corpus-wide gram set (contrast decontaminate's
+    broadcast REFERENCE set, which is external and small)."""
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    from collections import Counter
+
+    def pairs_and_totals(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, grams, cnts = [], [], []
+        for doc, t in zip(batch[id_col], batch[text_col].fillna("")):
+            toks = tok_re.findall(t.lower())
+            if len(toks) < n:
+                continue
+            c = Counter(" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+            ids.extend([doc] * len(c))
+            grams.extend(c.keys())
+            cnts.extend(c.values())
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype=batch[id_col].dtype),
+            "gram": pd.Series(grams, dtype="object"),
+            "cnt": pd.Series(cnts, dtype="int64")})
+
+    pairs = ds.map_batches(pairs_and_totals, batch_format="pandas")
+
+    def per_gram(g: pd.DataFrame) -> pa.Table:
+        # rows are distinct (gram, doc): a gram's row count IS its doc count
+        sizes = g.groupby("gram")["gram"].transform("size")
+        dup = g[sizes >= min_docs]
+        out = pd.DataFrame({id_col: dup[id_col],
+                            "n_grams": np.int64(0),
+                            "n_dup_grams": dup["cnt"].to_numpy()})
+        tot = g.groupby(id_col, as_index=False)["cnt"].sum()
+        out2 = pd.DataFrame({id_col: tot[id_col],
+                             "n_grams": tot["cnt"].to_numpy(),
+                             "n_dup_grams": np.int64(0)})
+        from .dedup import _arrow as _arrow_blk
+        return _arrow_blk(pd.concat([out, out2], ignore_index=True))
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _grouped_exchange
+    merged = _grouped_exchange(pairs, "gram", per_gram,
+                               num_buckets=num_buckets) \
+        .groupby(id_col).aggregate(Sum("n_grams", alias_name="n_grams"),
+                                   Sum("n_dup_grams",
+                                       alias_name="n_dup_grams"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["n_grams"] = df["n_grams"].astype("int64")
+        df["n_dup_grams"] = df["n_dup_grams"].astype("int64")
+        df["dup_frac"] = (df["n_dup_grams"] / df["n_grams"]).round(6)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
                  id_col: str = "doc_id") -> ray.data.Dataset:
     """Content fingerprints: md5 hex (exact-dup key, SQL-checkable) and a

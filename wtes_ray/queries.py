@@ -2984,6 +2984,46 @@ ORDER BY b.doc_id
 """
 
 
+def cross_doc_ngram_docs(sf_dir: str) -> pd.DataFrame:
+    """Cross-document duplicated 5-gram coverage per doc (ops/text.
+    cross_doc_ngram_stats): the C4-style boilerplate signal — what
+    fraction of a doc's 5-gram positions carry a gram shared with ≥2
+    distinct docs. Gram strings shuffle once, co-partitioned by gram."""
+    from .ops.text import cross_doc_ngram_stats
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = cross_doc_ngram_stats(ds, n=5, min_docs=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# `term || ' ' || NULL` is NULL, so tail positions (LEAD past the doc end)
+# drop exactly like the Python range(len - n + 1); docs with <5 tokens
+# emit no row on either side.
+CROSS_DOC_NGRAM_SQL = """
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM arr),
+g AS (
+  SELECT doc_id,
+         term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w
+              || ' ' || LEAD(term, 3) OVER w || ' ' || LEAD(term, 4) OVER w
+           AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+g2 AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL),
+dup AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS c
+                          FROM g2 GROUP BY gram) WHERE c >= 2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM dup))
+            AS BIGINT) AS n_dup_grams,
+       ROUND(CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM dup))
+                  AS DOUBLE) / COUNT(*), 6) AS dup_frac
+FROM g2 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph: distributed PageRank (ops/graph.py)
 # ---------------------------------------------------------------------------
@@ -3156,6 +3196,7 @@ REGISTRY: dict = {
     "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_SQL),
     "pagerank_lineitem": (pagerank_lineitem, PAGERANK_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
+    "cross_doc_ngram_docs": (cross_doc_ngram_docs, CROSS_DOC_NGRAM_SQL),
     "asof_purchase_click": (asof_purchase_click, ASOF_PURCHASE_CLICK_SQL),
     "semantic_dedup_planted": (semantic_dedup_planted,
                                SEMANTIC_DEDUP_PLANTED_SQL),

@@ -298,3 +298,28 @@ def test_bm25_topk_matches_local_reference(corpus):
     want = sorted(want)
     assert list(out["doc_id"]) == [d for d, _ in want]
     assert list(out["score"]) == [s for _, s in want]
+
+
+def test_uniform_sample_k_exact_and_extensible(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import uniform_sample_k
+
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "val": np.arange(200) * 2})
+    ds = rd.from_pandas(df).repartition(7)
+    s10 = uniform_sample_k(ds, 10, key_col="doc_id").to_pandas()
+    s25 = uniform_sample_k(ds, 25, key_col="doc_id").to_pandas()
+    assert len(s10) == 10 and len(s25) == 25
+    # prefix property: smaller samples are subsets of larger ones
+    assert set(s10["doc_id"]).issubset(set(s25["doc_id"]))
+    # deterministic across partitionings
+    s10b = uniform_sample_k(rd.from_pandas(df).repartition(3), 10,
+                            key_col="doc_id").to_pandas()
+    assert s10["doc_id"].tolist() == s10b["doc_id"].tolist()
+    # payload columns ride along untouched
+    assert (s10["val"] == s10["doc_id"] * 2).all()
+    # salt changes the permutation
+    s10c = uniform_sample_k(ds, 10, key_col="doc_id",
+                            salt="other").to_pandas()
+    assert s10["doc_id"].tolist() != s10c["doc_id"].tolist()

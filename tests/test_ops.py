@@ -575,3 +575,72 @@ def test_cross_doc_ngram_stats_hand_computed(ray_session):
     # doc 3: 7 gram positions; "a b c d e" occurs at pos 0 and 5 (count 2)
     assert out.loc[3, "n_grams"] == 7 and out.loc[3, "n_dup_grams"] == 2
     assert out.loc[3, "dup_frac"] == round(2 / 7, 6)
+
+
+def test_label_centroids_match_dense_mean(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.similarity import label_centroids
+
+    rng = np.random.RandomState(5)
+    labs = rng.randint(0, 3, 40)
+    vecs = rng.randn(40, 6)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"label": labs, "embedding": [v.tolist() for v in vecs]})) \
+        .repartition(5)
+    out = label_centroids(ds).to_pandas() \
+        .sort_values(["label", "dim"]).reset_index(drop=True)
+    assert len(out) == 3 * 6
+    for lab in range(3):
+        want = vecs[labs == lab].mean(axis=0)
+        got = out.loc[out["label"] == lab].sort_values("dim")[
+            "centroid"].to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-12)
+    assert out["dim"].min() == 1 and out["dim"].max() == 6
+
+
+def test_kmeans_lloyd_matches_dense_reference(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(9)
+    # three separated blobs + a seed set that starts badly
+    vecs = np.concatenate([rng.randn(30, 4) + off
+                           for off in (0.0, 6.0, -6.0)])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    init = vecs[:3].copy()
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": ids, "embedding": [v.tolist() for v in vecs]})) \
+        .repartition(6)
+    assign, cent = kmeans_lloyd(ds, init, iterations=3)
+    got = assign.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+
+    # dense reference
+    c = init.copy()
+    for _ in range(3):
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for ci in range(3):
+            if (lab == ci).any():
+                c[ci] = vecs[lab == ci].mean(axis=0)
+    d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1)
+    assert (got == want).all()
+    np.testing.assert_allclose(cent, c, atol=1e-9)
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.similarity import kmeans_lloyd
+
+    vecs = np.array([[0.0, 0.0], [0.1, 0.0], [10.0, 0.0], [10.1, 0.0]])
+    init = np.array([[0.0, 0.0], [10.0, 0.0], [99.0, 99.0]])  # c2 never wins
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(4, dtype=np.int64),
+         "embedding": [v.tolist() for v in vecs]}))
+    _, cent = kmeans_lloyd(ds, init, iterations=2)
+    np.testing.assert_allclose(cent[2], [99.0, 99.0])
+    np.testing.assert_allclose(cent[0], [0.05, 0.0])
+    np.testing.assert_allclose(cent[1], [10.05, 0.0])

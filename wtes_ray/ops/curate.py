@@ -101,6 +101,37 @@ def hash_sample(ds: ray.data.Dataset, *, permille: int,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def uniform_sample_k(ds: ray.data.Dataset, k: int, *,
+                     key_col: str = "doc_id",
+                     salt: str = "usample") -> pa.Table:
+    """EXACTLY-k uniform sample without replacement: order every row by
+    (md5_u64(salt:key), key) and keep the first k — a deterministic
+    permutation, so the prefix is a uniform k-subset, reproducible across
+    runs/partitionings, and extensible (the k=100 sample is a superset of
+    the k=50 sample — the top-k-by-hash trick Bernoulli ``hash_sample``
+    can't offer when an exact count is required).
+
+    Per-block local top-k heads, driver finish over ≤ k·blocks survivor
+    rows (never data-sized; the _sorted_head / q10 pattern — a global
+    Ray sort would cost a full exchange for a k-row result). Returns an
+    Arrow table of the sampled rows (hash key column included as
+    ``__u64`` for inspection/extension, ordered by it)."""
+
+    def local_head(t: pa.Table) -> pa.Table:
+        h = _key_u64(t.column(key_col).to_pylist(), salt)
+        t = t.append_column("__u64", pa.array(h.astype(np.uint64)))
+        return t.sort_by([("__u64", "ascending"),
+                          (key_col, "ascending")]).slice(0, k)
+
+    parts = ray.get(
+        ds.map_batches(local_head, batch_format="pyarrow").to_arrow_refs())
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts).sort_by(
+        [("__u64", "ascending"), (key_col, "ascending")]).slice(0, k)
+
+
 def hash_split(ds: ray.data.Dataset, *,
                splits: Sequence[tuple[str, int]] = (
                    ("train", 900), ("val", 50), ("test", 50)),

@@ -26,6 +26,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 
@@ -123,6 +124,128 @@ def topk_cosine_multi(ds: ray.data.Dataset, queries: np.ndarray,
                             ascending=[True, False, True])
     return allp.groupby("query_id", sort=True).head(k) \
                .reset_index(drop=True)
+
+
+def label_centroids(ds: ray.data.Dataset, *, label_col: str = "label",
+                    vec_col: str = "embedding") -> ray.data.Dataset:
+    """Per-label mean embedding (class centroids / prototype vectors — the
+    per-group vector aggregate behind prototype classifiers and cluster
+    summaries), exactly, in LONG layout: one row per (label, dim) with the
+    float64 mean.
+
+    Exchange shape: each block reduces to |labels|·dim partial rows
+    (label, dim, s=Σv, c=n) — a per-batch float64 matmul-free masked sum —
+    and one small groupby((label, dim)) finishes. The corpus vectors
+    never shuffle; only label-count-sized partials do. ``dim`` is
+    1-based to match SQL's generate_subscripts."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        rows = {"label": [], "dim": [], "s": [], "c": []}
+        if len(batch):
+            mat = _as_matrix(batch[vec_col]).astype(np.float64)
+            labs = batch[label_col].to_numpy()
+            d = mat.shape[1]
+            for lab in np.unique(labs):
+                m = labs == lab
+                rows["label"].extend([int(lab)] * d)
+                rows["dim"].extend(range(1, d + 1))
+                rows["s"].extend(mat[m].sum(axis=0))
+                rows["c"].extend([int(m.sum())] * d)
+        t = pa.table({"label": pa.array(rows["label"], pa.int64()),
+                      "dim": pa.array(rows["dim"], pa.int64()),
+                      "s": pa.array(rows["s"], pa.float64()),
+                      "c": pa.array(rows["c"], pa.int64())})
+        return t
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["label", "dim"]).aggregate(Sum("s", alias_name="s"),
+                                             Sum("c", alias_name="c"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        cent = _pc.divide(t.column("s").cast(pa.float64()),
+                          t.column("c").cast(pa.float64()))
+        return pa.table({"label": t.column("label"),
+                         "dim": t.column("dim"),
+                         "centroid": cent})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans_lloyd(ds: ray.data.Dataset, init: np.ndarray, *,
+                 iterations: int = 2, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> tuple[ray.data.Dataset,
+                                                  np.ndarray]:
+    """Distributed FULL-CORPUS Lloyd's k-means (contrast
+    :func:`train_ivf_centroids`, which trains on a bounded sample): every
+    iteration is ONE streaming pass over the vectors — per-batch argmin
+    assignment (euclidean, lowest-id tie-break) plus (cluster, dim, Σ, n)
+    partial rows — finished by a small groupby((cluster, dim)) whose
+    result (k·dim rows) is the only thing the driver ever holds. Empty
+    clusters keep their previous centroid (the standard fix).
+
+    ``init`` is the (k × dim) starting centroid matrix — pass a
+    deterministic seed (e.g. the k lowest-id vectors) for reproducible
+    runs. Returns (assignments Dataset (id_col, cluster), final
+    centroids). The assignment pass re-runs once after the last update so
+    the returned labels correspond to the returned centroids."""
+    from ray.data.aggregate import Sum
+
+    cent = np.asarray(init, dtype=np.float64).copy()
+    k, dim = cent.shape
+
+    def assign_of(c: np.ndarray):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame({id_col: batch[id_col],
+                                     "cluster": pd.Series([],
+                                                          dtype="int64")})
+            mat = _as_matrix(batch[vec_col]).astype(np.float64)
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over the last two
+            # terms (||x||² is constant per row); ties → lowest cluster id
+            d = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+            return pd.DataFrame({id_col: batch[id_col],
+                                 "cluster": d.argmin(axis=1)
+                                 .astype("int64")})
+        return f
+
+    def partials_of(c: np.ndarray):
+        def f(batch: pd.DataFrame) -> pa.Table:
+            rows = {"cluster": [], "dim": [], "s": [], "c": []}
+            if len(batch):
+                mat = _as_matrix(batch[vec_col]).astype(np.float64)
+                d = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+                lab = d.argmin(axis=1)
+                for ci in np.unique(lab):
+                    m = lab == ci
+                    rows["cluster"].extend([int(ci)] * dim)
+                    rows["dim"].extend(range(dim))
+                    rows["s"].extend(mat[m].sum(axis=0))
+                    rows["c"].extend([int(m.sum())] * dim)
+            return pa.table({"cluster": pa.array(rows["cluster"],
+                                                 pa.int64()),
+                             "dim": pa.array(rows["dim"], pa.int64()),
+                             "s": pa.array(rows["s"], pa.float64()),
+                             "c": pa.array(rows["c"], pa.int64())})
+        return f
+
+    for _ in range(iterations):
+        agg = ds.map_batches(partials_of(cent.copy()),
+                             batch_format="pandas") \
+            .groupby(["cluster", "dim"]).aggregate(
+                Sum("s", alias_name="s"), Sum("c", alias_name="c")) \
+            .to_pandas()
+        new = cent.copy()
+        for ci, grp in agg.groupby("cluster"):
+            grp = grp.sort_values("dim")
+            n = int(grp["c"].iloc[0])
+            if n > 0:
+                new[int(ci)] = grp["s"].to_numpy() / n
+        cent = new
+
+    return (ds.map_batches(assign_of(cent.copy()), batch_format="pandas"),
+            cent)
 
 
 def train_ivf_centroids(ds: ray.data.Dataset, *, n_centroids: int = 16,

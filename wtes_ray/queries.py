@@ -2984,6 +2984,86 @@ ORDER BY b.doc_id
 """
 
 
+def topk_retrieve_docs(sf_dir: str) -> pd.DataFrame:
+    """Retrieval with payload attach (the RAG-prep composition): exact
+    top-10 cosine over the corpus, then ONLY the 10 winners' document
+    metadata read back with a doc_id pushdown filter (the q10
+    winner-attach pattern — the payload table is never scanned)."""
+    from .ops.similarity import topk_cosine
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    hits = topk_cosine(ds, _query_vec(sf_dir), k=10).to_pandas()
+    ids = sorted(int(v) for v in hits["vec_id"])
+    docs = pq.read_table(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"],
+                         filters=[("doc_id", "in", ids)]).to_pandas()
+    out = hits.merge(docs, left_on="vec_id", right_on="doc_id")
+    out["cosine"] = out["cosine"].round(6)
+    return out[["vec_id", "cosine", "lang", "n_chars"]] \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
+TOPK_RETRIEVE_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      (SELECT qe FROM q)), 6) AS cosine
+  FROM embeddings
+  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                  (SELECT qe FROM q)) DESC, vec_id
+  LIMIT 10)
+SELECT t.vec_id, t.cosine, d.lang, d.n_chars
+FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+ORDER BY t.vec_id
+"""
+
+
+def uniform_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Exactly-64 uniform sample without replacement: rank all docs by
+    md5(salt:doc_id) and keep the prefix (ops/curate.uniform_sample_k —
+    per-block heads + a ≤ k·blocks driver finish; no global sort). The
+    top-k-by-hash prefix is extensible: a later k=128 request is a
+    superset of this one."""
+    from .ops.curate import uniform_sample_k
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    t = uniform_sample_k(ds, 64, key_col="doc_id", salt="usample")
+    df = t.rename_columns(
+        ["doc_id", "n_chars", "sample_key"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+UNIFORM_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+       md5_number_lower('usample:' || CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT 64
+"""
+
+
+def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact per-label mean embedding (class prototypes) in long layout —
+    ops/similarity.label_centroids: per-block (label, dim, Σ, n) partials,
+    one small groupby finish; corpus vectors never shuffle."""
+    from .ops.similarity import label_centroids
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+    df = label_centroids(ds).to_pandas()
+    df["centroid"] = df["centroid"].round(6)
+    return df.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim, ROUND(AVG(v), 6) AS centroid
+FROM e GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 def cross_doc_ngram_docs(sf_dir: str) -> pd.DataFrame:
     """Cross-document duplicated 5-gram coverage per doc (ops/text.
     cross_doc_ngram_stats): the C4-style boilerplate signal — what
@@ -3022,6 +3102,134 @@ SELECT doc_id,
                   AS DOUBLE) / COUNT(*), 6) AS dup_frac
 FROM g2 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """The fused corpus quality filter a training pipeline actually runs:
+    heuristic quality score + stopword density + within-doc repetition,
+    thresholded into one keep decision. Three exchange-free signal stages
+    over the same pruned read, fused via two doc-keyed bucketed hash
+    joins (the scale-honest attach — signal tables are corpus-sized).
+    Thresholds compare the 6dp-ROUNDED signals on both sides, so the
+    boundary semantics are bit-identical to the oracle."""
+    from .ops.joins import bucketed_hash_join
+    from .ops.runtime import stateless
+    from .ops.text import TextScorer, repetition_stats, stopword_stats
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    q = ds.map_batches(stateless(TextScorer), batch_format="pandas") \
+        .map_batches(lambda t: t.select(["doc_id", "quality"]),
+                     batch_format="pyarrow")
+    s = stopword_stats(ds).map_batches(
+        lambda t: t.select(["doc_id", "stopword_ratio"]),
+        batch_format="pyarrow")
+    r = repetition_stats(ds).map_batches(
+        lambda t: t.select(["doc_id", "distinct_ratio", "top_bigram_frac"]),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(bucketed_hash_join(q, s, on="doc_id"),
+                                r, on="doc_id")
+
+    def decide(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t.column("quality"), 0.6),
+                    pc.greater_equal(t.column("stopword_ratio"), 0.04)),
+            pc.and_(pc.greater_equal(t.column("distinct_ratio"), 0.35),
+                    pc.less_equal(t.column("top_bigram_frac"), 0.1)))
+        return t.append_column("keep", keep)
+
+    df = joined.map_batches(decide, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+QUALITY_FILTER_SQL = f"""
+WITH q AS ({QUALITY_SCORES_SQL}),
+s AS ({STOPWORD_STATS_SQL}),
+r AS ({DOC_REPETITION_SQL})
+SELECT q.doc_id, q.quality, s.stopword_ratio, r.distinct_ratio,
+       r.top_bigram_frac,
+       (q.quality >= 0.6 AND s.stopword_ratio >= 0.04
+        AND r.distinct_ratio >= 0.35 AND r.top_bigram_frac <= 0.1) AS keep
+FROM q JOIN s USING (doc_id) JOIN r USING (doc_id)
+ORDER BY q.doc_id
+"""
+
+
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def kmeans_assign_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed full-corpus Lloyd's k-means (ops/similarity.
+    kmeans_lloyd): k=4 centroids seeded from the 4 lowest vec_ids
+    (pushdown-filtered read), 2 update iterations, each one streaming
+    pass emitting (cluster, dim, Σ, n) partials. Output is the final
+    assignment. Parity note: the oracle scores with the same expanded
+    form (‖c‖² − 2·x·c via list_inner_product), so Ray and SQL disagree
+    only if two centroids are equidistant to ~1e-15 relative — not
+    observed on this corpus; ties at equal distance break to the lower
+    cluster id on both sides (numpy argmin-first / CASE order)."""
+    from .ops.similarity import kmeans_lloyd
+    init_t = pq.read_table(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", _KM_K)]) \
+        .sort_by("vec_id")
+    init = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in init_t["embedding"].to_pylist()])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    assign, _cent = kmeans_lloyd(ds, init, iterations=_KM_ITERS)
+    return assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Unrolled k-means oracle: assign/update pairs expand to CTE chains
+    (like the PageRank oracle). Scoring uses the SAME expanded euclidean
+    form as the Ray side (‖c‖² − 2·x·c — ‖x‖² is rank-invariant), CASE
+    order implements the lowest-id tie-break, and an empty cluster keeps
+    its previous centroid via a COUNT(*) guard."""
+    def assign(name: str, cents: list[str]) -> str:
+        ds = ",\n         ".join(
+            f"list_inner_product({c}, {c})"
+            f" - 2 * list_inner_product(e, {c}) AS d{i}"
+            for i, c in enumerate(cents))
+        cases = []
+        for i in range(k - 1):
+            conds = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k))
+            cases.append(f"WHEN {conds} THEN {i}")
+        case = "CASE " + " ".join(cases) + f" ELSE {k - 1} END"
+        # AS MATERIALIZED: the chain is referenced many times downstream
+        # (4 means + the next assign); DuckDB's default CTE inlining would
+        # re-evaluate it combinatorially across iterations
+        return (f"{name} AS MATERIALIZED (\n"
+                f"  SELECT vec_id, e, {case} AS cluster\n"
+                f"  FROM (SELECT vec_id, e,\n         {ds}\n"
+                f"        FROM e))")
+
+    ctes = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings)"]
+    cents = [f"(SELECT e FROM e WHERE vec_id = {i})" for i in range(k)]
+    for it in range(1, iters + 1):
+        ctes.append(assign(f"a{it}", cents))
+        new_cents = []
+        for ci in range(k):
+            ctes.append(
+                f"""m{it}_{ci} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM a{it} WHERE cluster = {ci}) > 0
+              THEN (SELECT list(m ORDER BY dim) FROM
+                    (SELECT dim, AVG(v) AS m
+                     FROM (SELECT unnest(e) AS v,
+                                  generate_subscripts(e, 1) AS dim
+                           FROM a{it} WHERE cluster = {ci})
+                     GROUP BY dim))
+              ELSE {cents[ci]} END AS ce)""")
+            new_cents.append(f"(SELECT ce FROM m{it}_{ci})")
+        cents = new_cents
+    ctes.append(assign("af", cents))
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM af"
+            + "\nORDER BY vec_id")
+
+
+KMEANS_ASSIGN_SQL = _kmeans_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -3197,6 +3405,13 @@ REGISTRY: dict = {
     "pagerank_lineitem": (pagerank_lineitem, PAGERANK_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
     "cross_doc_ngram_docs": (cross_doc_ngram_docs, CROSS_DOC_NGRAM_SQL),
+    "uniform_sample_docs": (uniform_sample_docs, UNIFORM_SAMPLE_SQL),
+    "topk_retrieve_docs": (topk_retrieve_docs, TOPK_RETRIEVE_SQL),
+    "kmeans_assign_embeddings": (kmeans_assign_embeddings,
+                                 KMEANS_ASSIGN_SQL),
+    "quality_filter_docs": (quality_filter_docs, QUALITY_FILTER_SQL),
+    "label_centroids_embeddings": (label_centroids_embeddings,
+                                   LABEL_CENTROIDS_SQL),
     "asof_purchase_click": (asof_purchase_click, ASOF_PURCHASE_CLICK_SQL),
     "semantic_dedup_planted": (semantic_dedup_planted,
                                SEMANTIC_DEDUP_PLANTED_SQL),

@@ -323,3 +323,49 @@ def test_uniform_sample_k_exact_and_extensible(ray_session):
     s10c = uniform_sample_k(ds, 10, key_col="doc_id",
                             salt="other").to_pandas()
     assert s10["doc_id"].tolist() != s10c["doc_id"].tolist()
+
+
+def test_corpus_diff_hand_computed(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import corpus_diff
+
+    old = pd.DataFrame({"doc_id": np.int64([1, 2, 3, 4]),
+                        "text": ["a", "b", "c", None]})
+    new = pd.DataFrame({"doc_id": np.int64([2, 3, 4, 9]),
+                        "text": ["b CHANGED", "c", None, "fresh"]})
+    out = corpus_diff(rd.from_pandas(old), rd.from_pandas(new)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["change"]))
+    # 1 removed, 2 changed, 3 unchanged (absent), 4 None==None (absent),
+    # 9 added
+    assert got == {1: "removed", 2: "changed", 9: "added"}
+
+
+def test_exact_quantiles_match_sorted_rank(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(100.0, 25.0, size=5003)
+    v[::37] = v[0]  # ties, including at a probable bucket boundary
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(9)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.999, 1.0]
+    got = exact_quantiles(ds, "x", qs, num_buckets=64)
+    s = np.sort(v)
+    import math
+    want = [float(s[max(1, math.ceil(q * len(v))) - 1]) for q in qs]
+    assert got["q"].tolist() == sorted(qs)
+    assert got["value"].tolist() == [w for _, w in
+                                     sorted(zip(qs, want))]
+
+
+def test_exact_quantiles_constant_column(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import exact_quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"x": np.full(100, 3.5)}))
+    got = exact_quantiles(ds, "x", [0.5, 1.0], num_buckets=16)
+    assert got["value"].tolist() == [3.5, 3.5]

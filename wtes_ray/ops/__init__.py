@@ -11,9 +11,14 @@ column plumbing (opaque binary payloads with typed metadata and
 actor-pool decode stages), corpus curation (curate.py: deterministic
 hash sampling and train/val/test splits, mixtures, per-group quotas,
 stratified samples, vocabulary/TF-IDF, posting lists, benchmark
-decontamination, token-budget packing, distributed ROW_NUMBER), and a
-bucketed hash join (joins.py) for equi/semi/anti joins whose build side
-is too big to broadcast.
+decontamination, token-budget packing, distributed ROW_NUMBER,
+exactly-k hash samples, corpus version diffs), graph computation
+(graph.py: distributed PageRank), clustering (full-corpus Lloyd's
+k-means, SemDeDup semantic dedup, per-label centroids), corpus-level
+text signals (Gopher repetition stats, C4 cross-doc n-gram coverage),
+a bucketed hash join (joins.py) for equi/semi/anti joins whose build
+side is too big to broadcast, and a global (non-keyed) as-of join
+over range buckets.
 
 All stages follow the engine's rules: vectorized map_batches bodies,
 actor pools for stateful stages, partial aggregation before any shuffle,

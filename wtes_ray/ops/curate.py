@@ -41,6 +41,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
@@ -130,6 +131,132 @@ def uniform_sample_k(ds: ray.data.Dataset, k: int, *,
         return pa.table({})
     return pa.concat_tables(parts).sort_by(
         [("__u64", "ascending"), (key_col, "ascending")]).slice(0, k)
+
+
+def corpus_diff(old: ray.data.Dataset, new: ray.data.Dataset, *,
+                id_col: str = "doc_id",
+                text_col: str = "text",
+                num_buckets: int = 32) -> ray.data.Dataset:
+    """Content diff between two corpus versions — the incremental-ingest
+    primitive: which ids were ADDED, which REMOVED, which rows CHANGED
+    content. Returns (id_col, change ∈ {'added','removed','changed'});
+    unchanged rows emit nothing (the output is delta-sized).
+
+    Texts never move: each side first reduces to (id, md5) digests
+    inside map_batches, then three bucketed hash joins do the set
+    algebra (anti both ways for added/removed, inner for the digest
+    compare) — co-partitioned, no broadcast, no driver materialization.
+    md5 equality stands in for text equality (collision odds ~2⁻¹²⁸)."""
+    from .joins import bucketed_hash_join
+
+    def digest(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        h = [hashlib.md5(("" if x is None else x).encode()).hexdigest()
+             for x in texts]
+        return pa.table({id_col: t.column(id_col),
+                         "h": pa.array(h, pa.string())})
+
+    do = old.map_batches(digest, batch_format="pyarrow").materialize()
+    dn = new.map_batches(digest, batch_format="pyarrow").materialize()
+
+    def tagged(ds, tag):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: t.column(id_col),
+                "change": pa.array([tag] * t.num_rows, pa.string())})
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    ido = do.select_columns([id_col])
+    idn = dn.select_columns([id_col])
+    removed = tagged(bucketed_hash_join(ido, idn, on=id_col, how="anti",
+                                        num_buckets=num_buckets), "removed")
+    added = tagged(bucketed_hash_join(idn, ido, on=id_col, how="anti",
+                                      num_buckets=num_buckets), "added")
+
+    def rename_h(name):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([id_col, name])
+        return f
+
+    both = bucketed_hash_join(
+        do.map_batches(rename_h("h_old"), batch_format="pyarrow"),
+        dn.map_batches(rename_h("h_new"), batch_format="pyarrow"),
+        on=id_col, num_buckets=num_buckets)
+
+    def changed_only(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.equal(t.column("h_old"), t.column("h_new")))
+        kept = t.filter(mask)
+        return pa.table({
+            id_col: kept.column(id_col),
+            "change": pa.array(["changed"] * kept.num_rows, pa.string())})
+
+    changed = both.map_batches(changed_only, batch_format="pyarrow")
+    return removed.union(added).union(changed)
+
+
+def exact_quantiles(ds: ray.data.Dataset, col: str,
+                    qs: Sequence[float], *,
+                    num_buckets: int = 256) -> pd.DataFrame:
+    """EXACT global quantiles (PERCENTILE_DISC semantics: the value at
+    1-based rank ceil(q·n) under ORDER BY col) without a global sort OR
+    per-row ranks — the two-pass range-bucket counting scheme:
+
+    1. one streaming pass reduces to ``num_buckets`` equal-width bucket
+       COUNTS (per-batch partials; B driver numbers);
+    2. an O(B) cumulative scan locates each target rank's bucket and its
+       LOCAL rank within it; a second pass filters only those buckets'
+       rows (expected n/B each) — the only values that ever leave their
+       blocks — and each bucket sorts locally to pick its ranks.
+
+    Compare ``global_rank`` (ranks EVERY row, one full exchange): this
+    moves only the probed buckets. Equal-width buckets assume the value
+    distribution isn't collapsed into one bucket; heavy skew just makes
+    the pass-2 filtrate larger, never wrong. Returns a DataFrame
+    (q, value) ordered by q."""
+    mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    span = max(hi - lo, 1e-300)
+    B = num_buckets
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.minimum(((v - lo) / span * B).astype(np.int64), B - 1)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = bucket_of(t.column(col).to_numpy(zero_copy_only=False))
+        ids, cnt = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(ids, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    cp = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("b").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    counts = np.zeros(B, dtype=np.int64)
+    counts[cp["b"].to_numpy()] = cp["cnt"].to_numpy()
+    n = int(counts.sum())
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))  # rows before b
+
+    want: dict[int, list[tuple[float, int]]] = {}
+    for q in qs:
+        r = max(1, int(math.ceil(q * n)))  # 1-based global rank
+        b = int(np.searchsorted(np.cumsum(counts), r))
+        want.setdefault(b, []).append((q, r - int(starts[b])))
+    probe = ray.put(set(want))
+
+    def pass2(t: pa.Table) -> pa.Table:
+        pb = ray.get(probe) if isinstance(probe, ray.ObjectRef) else probe
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        b = bucket_of(v)
+        keep = np.isin(b, list(pb))
+        return pa.table({"b": pa.array(b[keep], pa.int64()),
+                         col: pa.array(v[keep])})
+
+    sub = ds.map_batches(pass2, batch_format="pyarrow").to_pandas()
+    out = []
+    for b, targets in want.items():
+        vals = np.sort(sub.loc[sub["b"] == b, col].to_numpy())
+        for q, local_r in targets:
+            out.append((q, float(vals[local_r - 1])))
+    return pd.DataFrame(sorted(out), columns=["q", "value"])
 
 
 def hash_split(ds: ray.data.Dataset, *,

@@ -3104,6 +3104,137 @@ FROM g2 GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def corpus_diff_docs(sf_dir: str) -> pd.DataFrame:
+    """Version diff between the documents table and a deterministically
+    derived v2 (drop doc_id%7==0, append ' v2' to text where doc_id%11==0,
+    add 5 new ids): added/removed/changed deltas via ops/curate.
+    corpus_diff — (id, md5) digests through three bucketed joins; texts
+    never shuffle, output is delta-sized."""
+    from .ops.curate import corpus_diff
+    old = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_v2(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = ids % 7 != 0
+        t = t.filter(pa.array(keep))
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        texts = [x + " v2" if i % 11 == 0 else x
+                 for i, x in zip(ids, texts)]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    head = _sorted_head(_t(sf_dir, "documents"), "doc_id",
+                        ["doc_id", "text"], 5)
+    new = old.map_batches(to_v2, batch_format="pyarrow").union(
+        rd.from_arrow(pa.table({
+            "doc_id": pc.add(head["doc_id"], pa.scalar(10**12)),
+            "text": head["text"]})))
+    df = corpus_diff(old, new).to_pandas()
+    return df.sort_values(["doc_id", "change"]).reset_index(drop=True)
+
+
+CORPUS_DIFF_SQL = """
+WITH newv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000000 AS doc_id, text
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5))
+SELECT d.doc_id, 'removed' AS change FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM newv)
+UNION ALL
+SELECT n.doc_id, 'added' FROM newv n
+WHERE n.doc_id NOT IN (SELECT doc_id FROM documents)
+UNION ALL
+SELECT d.doc_id, 'changed' FROM documents d JOIN newv n USING (doc_id)
+WHERE d.text <> n.text
+ORDER BY doc_id, change
+"""
+
+
+def event_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-type z-score outliers (|z| > 2): two streaming passes — moment
+    partials (type, n, Σv, Σv²) reduced to a 5-row stats table, then a
+    broadcast flag pass. Sample stddev matches SQL STDDEV_SAMP; both
+    sides agree to ~1e-13 relative, far from the |z|=2 cut for every
+    row in this corpus (the boundary-proximity caveat of any float
+    threshold, cf. kmeans_assign_embeddings)."""
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pandas(),
+                           "v": t.column("value").to_numpy()})
+        g = df.groupby("event_type")["v"].agg(["count", "sum",
+                                               lambda s: (s ** 2).sum()])
+        g.columns = ["n", "s1", "s2"]
+        return _arrow(g.reset_index())
+
+    agg = _for_agg(ds.map_batches(moments, batch_format="pyarrow")) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2")).to_pandas()
+    m = agg["s1"] / agg["n"]
+    s = np.sqrt((agg["s2"] - agg["s1"] ** 2 / agg["n"]) / (agg["n"] - 1))
+    stats = {t: (mm, ss) for t, mm, ss in zip(agg["event_type"], m, s)}
+    ref = ray.put(stats)
+
+    def flag(t: pa.Table, *, _r=ref) -> pa.Table:
+        st = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+        df = t.to_pandas()
+        ms = df["event_type"].map(lambda k: st[k][0]).to_numpy()
+        ss = df["event_type"].map(lambda k: st[k][1]).to_numpy()
+        z = (df["value"].to_numpy() - ms) / ss
+        out = df[np.abs(z) > 2.0].copy()
+        out["z"] = pd.Series(z, index=df.index)[np.abs(z) > 2.0].round(6)
+        return _arrow(out)
+
+    df = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+EVENT_OUTLIERS_SQL = """
+WITH st AS (SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS s
+            FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - st.m) / st.s, 6) AS z
+FROM events e JOIN st USING (event_type)
+WHERE ABS((e.value - st.m) / st.s) > 2.0
+ORDER BY e.event_id
+"""
+
+
+def event_value_p95(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group percentile (p95 of value per event_type):
+    PERCENTILE_DISC semantics — sorted group, 1-based rank ceil(0.95·n).
+    Groups co-partition through the bucketed exchange; each computes its
+    percentile in one vectorized pass (no per-group callback)."""
+    import math
+
+    from .ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        for t, grp in g.groupby("event_type", sort=False):
+            v = np.sort(grp["value"].to_numpy())
+            rows.append((t, float(v[math.ceil(0.95 * len(v)) - 1])))
+        return _arrow(pd.DataFrame(rows, columns=["event_type", "p95"]))
+
+    df = _grouped_exchange(ds, "event_type", block,
+                           num_buckets=8).to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+EVENT_P95_SQL = """
+SELECT event_type,
+       PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY value) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
     """The fused corpus quality filter a training pipeline actually runs:
     heuristic quality score + stopword density + within-doc repetition,
@@ -3308,6 +3439,519 @@ PAGERANK_SQL = _pagerank_sql()
 # ---------------------------------------------------------------------------
 
 # name → (callable, oracle_sql | None)
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join (adapted: no commitdate column, so
+    the existence predicate is 'order has a returned line'): the date
+    window prunes orders at the scan; lineitem reduces to per-batch
+    DISTINCT returned orderkeys (keys only — never full lines) and meets
+    orders in a bucketed SEMI join; the priority counts finish as
+    per-block partials → a 5-row combine."""
+    from .ops.joins import bucketed_hash_join
+    lo = pa.scalar(pd.Timestamp("1996-07-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-10-01"), pa.timestamp("us"))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        t = t.filter(m)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    orders = _read_pq(_t(sf_dir, "orders"),
+                      columns=["o_orderkey", "o_orderdate",
+                               "o_orderpriority"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        return pa.table({"o_orderkey": pc.unique(t["l_orderkey"])})
+
+    rkeys = _read_pq(_t(sf_dir, "lineitem"),
+                     columns=["l_orderkey", "l_returnflag"]) \
+        .map_batches(returned_keys, batch_format="pyarrow")
+
+    sj = bucketed_hash_join(
+        orders, rkeys, "o_orderkey", how="semi", num_buckets=32,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]))
+
+    def cnt_partial(df: pd.DataFrame) -> pa.Table:
+        return _arrow(df.groupby("o_orderpriority", as_index=False)
+                      .size().rename(columns={"size": "order_count"}))
+
+    df = _for_agg(sj.map_batches(cnt_partial, batch_format="pandas")) \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("order_count", alias_name="order_count")).to_pandas()
+    df["order_count"] = df["order_count"].astype(np.int64)
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """TPC-H Q7-shaped 4-way join: revenue flowing between two nations
+    (supplier side vs customer side) by ship year. Scale shape: nation is
+    a true 25-row broadcast; supplier and customer each get the
+    size-budget cutover (broadcast suppkey/custkey→nation dicts under
+    ``broadcast_rows_budget``, bucketed hash joins above it); lineitem
+    pre-reduces to (orderkey, supp_nation, year, volume) partials — the
+    pair-nation filter drops ~23/25 of rows BEFORE the orderkey exchange
+    where it meets the orders→cust_nation side."""
+    from .ops.joins import bucketed_hash_join
+    pair = ("NATION_1", "NATION_2")
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    n_name = {k: v for k, v in zip(nation["n_nationkey"].to_pylist(),
+                                   nation["n_name"].to_pylist())
+              if v in pair}
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def li_partial(t: pa.Table) -> pd.DataFrame:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_pandas(),
+            "l_suppkey": t["l_suppkey"].to_pandas(),
+            "l_year": pc.year(t["l_shipdate"]).to_pandas().astype(np.int64),
+            "volume": (t["l_extendedprice"].to_numpy()
+                       * (1.0 - t["l_discount"].to_numpy()))})
+        return df
+
+    li = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                           "l_extendedprice", "l_discount"])
+
+    if _n_rows(sf_dir, "supplier") <= broadcast_rows_budget:
+        sup = pq.read_table(_t(sf_dir, "supplier"),
+                            columns=["s_suppkey", "s_nationkey"])
+        s_nat = {s: n_name[n] for s, n in
+                 zip(sup["s_suppkey"].to_pylist(),
+                     sup["s_nationkey"].to_pylist()) if n in n_name}
+        sref = ray.put(s_nat)
+
+        def li_supp(t: pa.Table) -> pa.Table:
+            lut = ray.get(sref)
+            df = li_partial(t)
+            df["supp_nation"] = df["l_suppkey"].map(lut)
+            df = df[df["supp_nation"].notna()]
+            return _arrow(df.groupby(
+                ["l_orderkey", "supp_nation", "l_year"], as_index=False)
+                ["volume"].sum())
+
+        li_n = li.map_batches(li_supp, batch_format="pyarrow")
+    else:
+        nref = ray.put(n_name)
+
+        def sup_side(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(nref)
+            df = pd.DataFrame({"l_suppkey": df["s_suppkey"],
+                               "supp_nation": df["s_nationkey"].map(lut)})
+            return df[df["supp_nation"].notna()]
+
+        sup_n = _read_pq(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"]) \
+            .map_batches(sup_side, batch_format="pandas")
+        li_n = bucketed_hash_join(
+            li.map_batches(lambda t: _arrow(li_partial(t)),
+                           batch_format="pyarrow"),
+            sup_n, "l_suppkey", num_buckets=32,
+            left_schema=pa.schema([("l_suppkey", pa.int64()),
+                                   ("l_orderkey", pa.int64()),
+                                   ("l_year", pa.int64()),
+                                   ("volume", pa.float64())]),
+            right_schema=pa.schema([("l_suppkey", pa.int64()),
+                                    ("supp_nation", pa.string())])) \
+            .map_batches(
+                lambda df: _arrow(df.groupby(
+                    ["l_orderkey", "supp_nation", "l_year"],
+                    as_index=False)["volume"].sum()),
+                batch_format="pandas")
+
+    if _n_rows(sf_dir, "customer") <= broadcast_rows_budget:
+        cust = pq.read_table(_t(sf_dir, "customer"),
+                             columns=["c_custkey", "c_nationkey"])
+        c_nat = {c: n_name[n] for c, n in
+                 zip(cust["c_custkey"].to_pylist(),
+                     cust["c_nationkey"].to_pylist()) if n in n_name}
+        cref = ray.put(c_nat)
+
+        def orders_side(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(cref)
+            out = pd.DataFrame({"l_orderkey": df["o_orderkey"],
+                                "cust_nation": df["o_custkey"].map(lut)})
+            return out[out["cust_nation"].notna()]
+
+        orders_n = _read_pq(_t(sf_dir, "orders"),
+                            columns=["o_orderkey", "o_custkey"]) \
+            .map_batches(orders_side, batch_format="pandas")
+    else:
+        nref2 = ray.put(n_name)
+
+        def cust_side(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(nref2)
+            out = pd.DataFrame({"o_custkey": df["c_custkey"],
+                                "cust_nation": df["c_nationkey"].map(lut)})
+            return out[out["cust_nation"].notna()]
+
+        cust_n = _read_pq(_t(sf_dir, "customer"),
+                          columns=["c_custkey", "c_nationkey"]) \
+            .map_batches(cust_side, batch_format="pandas")
+        orders_n = bucketed_hash_join(
+            _read_pq(_t(sf_dir, "orders"),
+                     columns=["o_orderkey", "o_custkey"]),
+            cust_n, "o_custkey", num_buckets=32,
+            left_schema=pa.schema([("o_custkey", pa.int64()),
+                                   ("o_orderkey", pa.int64())]),
+            right_schema=pa.schema([("o_custkey", pa.int64()),
+                                    ("cust_nation", pa.string())])) \
+            .map_batches(
+                lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                                    "cust_nation": t["cust_nation"]}),
+                batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        li_n, orders_n, "l_orderkey", num_buckets=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("supp_nation", pa.string()),
+                               ("l_year", pa.int64()),
+                               ("volume", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("cust_nation", pa.string())]))
+
+    def vol_partial(df: pd.DataFrame) -> pa.Table:
+        df = df[df["supp_nation"] != df["cust_nation"]]
+        return _arrow(df.groupby(
+            ["supp_nation", "cust_nation", "l_year"], as_index=False)
+            ["volume"].sum().rename(columns={"volume": "revenue"}))
+
+    df = _for_agg(joined.map_batches(vol_partial, batch_format="pandas")) \
+        .groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13-shaped distribution: how many customers placed k orders,
+    INCLUDING k=0 — the left-join histogram without a left join: orders
+    reduce to per-custkey counts (per-batch partials → one groupby over
+    pre-reduced rows), a bucketed SEMI join keeps only real customers,
+    the k-histogram finishes as partials, and the k=0 row is customer's
+    footer row count minus the matched-group count (two scalars — the
+    full outer side never materializes anywhere)."""
+    from .ops.joins import bucketed_hash_join
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        return _arrow(pd.DataFrame(
+            {"c_custkey": t["o_custkey"].to_pandas()})
+            .groupby("c_custkey", as_index=False).size()
+            .rename(columns={"size": "c_count"}))
+
+    counts = _for_agg(_read_pq(_t(sf_dir, "orders"), columns=["o_custkey"])
+                      .map_batches(o_partial, batch_format="pyarrow")) \
+        .groupby("c_custkey").aggregate(Sum("c_count", alias_name="c_count"))
+
+    matched = bucketed_hash_join(
+        counts, _read_pq(_t(sf_dir, "customer"), columns=["c_custkey"]),
+        "c_custkey", how="semi", num_buckets=32,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_count", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]))
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        return _arrow(df.groupby("c_count", as_index=False).size()
+                      .rename(columns={"size": "custdist"}))
+
+    hist = _for_agg(matched.map_batches(hist_partial,
+                                        batch_format="pandas")) \
+        .groupby("c_count") \
+        .aggregate(Sum("custdist", alias_name="custdist")).to_pandas()
+    zero = _n_rows(sf_dir, "customer") - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [zero]})])
+    hist["c_count"] = hist["c_count"].astype(np.int64)
+    hist["custdist"] = hist["custdist"].astype(np.int64)
+    return hist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]) \
+        .reset_index(drop=True)
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15-shaped argmax: per-supplier revenue in one quarter
+    (per-batch partials → groupby), global MAX via a streaming aggregate,
+    winners filtered distributed-side, and the ≤handful of winning
+    suppliers' names read back with a parquet pushdown filter — the
+    supplier table itself is never scanned in full on the driver.
+    Revenue rounds to 2dp BEFORE the max so the equality filter matches
+    SQL bit-exactly."""
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-04-01"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        df = pd.DataFrame({
+            "s_suppkey": t["l_suppkey"].to_pandas(),
+            "total_rev": (t["l_extendedprice"].to_numpy()
+                          * (1.0 - t["l_discount"].to_numpy()))})
+        return _arrow(df.groupby("s_suppkey", as_index=False)
+                      ["total_rev"].sum())
+
+    rev = _for_agg(_read_pq(_t(sf_dir, "lineitem"),
+                            columns=["l_suppkey", "l_shipdate",
+                                     "l_extendedprice", "l_discount"])
+                   .map_batches(partial, batch_format="pyarrow")) \
+        .groupby("s_suppkey").aggregate(Sum("total_rev",
+                                            alias_name="total_rev")) \
+        .map_batches(lambda t: pa.table(
+            {"s_suppkey": t["s_suppkey"],
+             "total_rev": pc.round(t["total_rev"], 2)}),
+            batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Max as _Max
+    mx = float(rev.aggregate(_Max("total_rev", alias_name="mx"))["mx"])
+    winners = rev.map_batches(
+        lambda t: t.filter(pc.equal(t["total_rev"], pa.scalar(mx))),
+        batch_format="pyarrow").to_pandas()
+
+    names = pq.read_table(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in",
+                  winners["s_suppkey"].tolist())]).to_pandas()
+    df = winners.merge(names, on="s_suppkey")
+    return df[["s_suppkey", "s_name", "total_rev"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s JOIN rev r USING (s_suppkey)
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17-shaped correlated-threshold scalar: yearly revenue from
+    small-quantity lines of one brand's parts. Two streaming passes over
+    the brand's lines (partkeys arrive as a broadcast set from a
+    PUSHDOWN-filtered part read — one brand ≈ |part|/n_brands): pass 1
+    reduces to per-part (Σqty, n) → a per-part 0.2·avg threshold dict
+    (bounded by the brand's part count); pass 2 filters l_quantity below
+    its part's threshold and sums extendedprice. Quantities are
+    integer-valued doubles, so the partial sums — hence the thresholds —
+    are EXACT in float64 regardless of summation order and the strict <
+    matches SQL bit-for-bit."""
+    brand = "Brand#13"
+    parts = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"],
+                          filters=[("p_brand", "==", brand)])
+    keyset = ray.put(set(parts["p_partkey"].to_pylist()))
+
+    li = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(keyset) if isinstance(keyset, ray.ObjectRef) else keyset
+        df = pd.DataFrame({"l_partkey": t["l_partkey"].to_pandas(),
+                           "qty": t["l_quantity"].to_pandas()})
+        df = df[df["l_partkey"].isin(ks)]
+        g = df.groupby("l_partkey", as_index=False) \
+            .agg(s=("qty", "sum"), n=("qty", "size"))
+        return _arrow(g)
+
+    agg = _for_agg(li.map_batches(qty_partial, batch_format="pyarrow")) \
+        .groupby("l_partkey").aggregate(
+            Sum("s", alias_name="s"), Sum("n", alias_name="n")).to_pandas()
+    thr = {int(k): 0.2 * (s / n) for k, s, n in
+           zip(agg["l_partkey"], agg["s"], agg["n"])}
+    tref = ray.put(thr)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        lut = ray.get(tref) if isinstance(tref, ray.ObjectRef) else tref
+        q = t["l_quantity"].to_numpy()
+        ep = t["l_extendedprice"].to_numpy()
+        # vectorized threshold lookup; parts outside the brand map to NaN
+        # and q < NaN is False, so they drop
+        tv = pd.Series(t["l_partkey"].to_numpy()).map(lut).to_numpy()
+        return pa.table({"rev": pa.array([float(ep[q < tv].sum())],
+                                         pa.float64())})
+
+    tot = li.map_batches(rev_partial, batch_format="pyarrow") \
+        .aggregate(Sum("rev", alias_name="rev"))["rev"]
+    return pd.DataFrame({"avg_yearly": [round(tot / 7.0, 2)]})
+
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < 0.2 * (SELECT AVG(l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q22_sales_opportunity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22-shaped (adapted: no phone column, so groups are
+    c_nationkey): rich customers with NO RECENT orders (every synthetic
+    customer has some order, so the classic no-orders predicate is empty
+    at every sf; 'no order since 2000-07-01' keeps the NOT-EXISTS shape
+    with a real answer). The global positive-balance average reduces from
+    per-batch (Σ, n) partials; customers above it anti-join the recent
+    orders' per-batch-DISTINCT custkeys in
+    the bucketed exchange (the scale-safe NOT EXISTS); nation totals
+    finish as partials. Float caveat (cf. kmeans_assign_embeddings): the
+    avg threshold is an order-dependent float64 sum, so a customer within
+    1 ULP of it could flip sides vs SQL — no corpus row is near the
+    boundary."""
+    from .ops.joins import bucketed_hash_join
+    cust = _read_pq(_t(sf_dir, "customer"),
+                    columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        v = t["c_acctbal"].to_numpy()
+        v = v[v > 0.0]
+        return pa.table({"s": pa.array([float(v.sum())], pa.float64()),
+                         "n": pa.array([len(v)], pa.int64())})
+
+    a = cust.map_batches(avg_partial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    avg = a["s"] / a["n"]
+
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], pa.scalar(avg))),
+        batch_format="pyarrow")
+
+    since = pa.scalar(pd.Timestamp("2000-07-01"), pa.timestamp("us"))
+    okeys = _read_pq(_t(sf_dir, "orders"),
+                     columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: pa.table(
+            {"c_custkey": pc.unique(t.filter(
+                pc.greater_equal(t["o_orderdate"], since))["o_custkey"])}),
+            batch_format="pyarrow")
+
+    no_orders = bucketed_hash_join(
+        rich, okeys, "c_custkey", how="anti", num_buckets=32,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_nationkey", pa.int32()),
+                               ("c_acctbal", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]))
+
+    def nat_partial(df: pd.DataFrame) -> pa.Table:
+        return _arrow(df.groupby("c_nationkey", as_index=False)
+                      .agg(numcust=("c_custkey", "size"),
+                           totacctbal=("c_acctbal", "sum")))
+
+    df = _for_agg(no_orders.map_batches(nat_partial,
+                                        batch_format="pandas")) \
+        .groupby("c_nationkey").aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal", alias_name="totacctbal")).to_pandas()
+    if df.empty:  # Ray to_pandas drops columns on 0-row datasets
+        df = pd.DataFrame({"c_nationkey": pd.Series([], dtype=np.int32),
+                           "numcust": pd.Series([], dtype=np.int64),
+                           "totacctbal": pd.Series([], dtype=np.float64)})
+    df["numcust"] = df["numcust"].astype(np.int64)
+    df["totacctbal"] = df["totacctbal"].round(2)
+    return df.sort_values("c_nationkey").reset_index(drop=True)
+
+
+Q22_SQL = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def price_percentiles_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Exact GLOBAL percentiles of l_extendedprice (PERCENTILE_DISC at
+    0.25/0.5/0.75/0.95) via ops/curate.exact_quantiles — the two-pass
+    range-bucket counting scheme: pass 1 reduces to 256 bucket counts,
+    pass 2 moves only the ≤4 probed buckets' values. No global sort, no
+    per-row ranks."""
+    from .ops.curate import exact_quantiles
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    df = exact_quantiles(ds, "l_extendedprice",
+                         [0.25, 0.5, 0.75, 0.95])
+    df["value"] = df["value"].round(2)
+    return df.reset_index(drop=True)
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT CAST(0.25 AS DOUBLE) AS q, ROUND(PERCENTILE_DISC(0.25) WITHIN GROUP
+       (ORDER BY l_extendedprice), 2) AS value FROM lineitem
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE), ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP
+       (ORDER BY l_extendedprice), 2) FROM lineitem
+UNION ALL
+SELECT CAST(0.75 AS DOUBLE), ROUND(PERCENTILE_DISC(0.75) WITHIN GROUP
+       (ORDER BY l_extendedprice), 2) FROM lineitem
+UNION ALL
+SELECT CAST(0.95 AS DOUBLE), ROUND(PERCENTILE_DISC(0.95) WITHIN GROUP
+       (ORDER BY l_extendedprice), 2) FROM lineitem
+ORDER BY q
+"""
+
+
 REGISTRY: dict = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -3410,6 +4054,17 @@ REGISTRY: dict = {
     "kmeans_assign_embeddings": (kmeans_assign_embeddings,
                                  KMEANS_ASSIGN_SQL),
     "quality_filter_docs": (quality_filter_docs, QUALITY_FILTER_SQL),
+    "corpus_diff_docs": (corpus_diff_docs, CORPUS_DIFF_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
+    "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
+    "price_percentiles_lineitem": (price_percentiles_lineitem,
+                                   PRICE_PERCENTILES_SQL),
+    "event_outliers": (event_outliers, EVENT_OUTLIERS_SQL),
+    "event_value_p95": (event_value_p95, EVENT_P95_SQL),
     "label_centroids_embeddings": (label_centroids_embeddings,
                                    LABEL_CENTROIDS_SQL),
     "asof_purchase_click": (asof_purchase_click, ASOF_PURCHASE_CLICK_SQL),

@@ -644,3 +644,40 @@ def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(ray_session):
     np.testing.assert_allclose(cent[2], [99.0, 99.0])
     np.testing.assert_allclose(cent[0], [0.05, 0.0])
     np.testing.assert_allclose(cent[1], [10.05, 0.0])
+
+
+def test_chunk_documents_windows(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.text import chunk_documents
+
+    docs = pd.DataFrame({
+        "doc_id": np.int64([1, 2, 3, 4]),
+        "text": ["abcdefghij",  # 10 chars: chunks at 0,4,8
+                 "xy",          # shorter than window: one chunk
+                 "",            # empty: none
+                 None]})        # null: none
+    out = chunk_documents(rd.from_pandas(docs), window=6, stride=4) \
+        .to_pandas().sort_values(["doc_id", "chunk_id"])
+    got = list(zip(out["doc_id"], out["chunk_id"], out["chunk"]))
+    assert got == [(1, 0, "abcdef"), (1, 1, "efghij"), (1, 2, "ij"),
+                   (2, 0, "xy")]
+
+
+def test_redact_pii_counts_and_order(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.text import redact_pii
+
+    docs = pd.DataFrame({
+        "doc_id": np.int64([1, 2, 3]),
+        "text": ["mail a.b@c.org and a.b@c.org again",
+                 "call +1 555-123-4567 or ping 10.0.0.1",
+                 "clean text, no pii"]})
+    out = redact_pii(rd.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> and <EMAIL> again"
+    assert out.loc[0, ["n_email", "n_phone", "n_ip"]].tolist() == [2, 0, 0]
+    assert out.loc[1, "clean_text"] == "call <PHONE> or ping <IP>"
+    assert out.loc[1, ["n_email", "n_phone", "n_ip"]].tolist() == [0, 1, 1]
+    assert out.loc[2, "clean_text"] == "clean text, no pii"

@@ -271,6 +271,85 @@ def cross_doc_ngram_stats(ds: ray.data.Dataset, *, n: int = 5,
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def chunk_documents(ds: ray.data.Dataset, *, window: int = 512,
+                    stride: int = 384, text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Split documents into overlapping character windows — the
+    LLM-context chunking primitive (cf. pack_by_budget, which PACKS whole
+    docs; this SPLITS long ones). Chunk k covers
+    ``[k·stride, k·stride + window)``; a chunk exists for every
+    ``k·stride < len(text)``, so empty/NULL docs emit nothing and the
+    last chunk may be short. A pure flat expansion inside map_batches:
+    each block fans out locally (output rows ≈ len/stride per doc), no
+    exchange, streaming-safe at any corpus size. The per-doc slice loop
+    is irreducible — chunk boundaries are per-string — but each slice is
+    a C-level copy. Character (not byte) offsets, matching SQL
+    substring() on any corpus DuckDB reads as UTF-8."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_id, out_k, out_c = [], [], []
+        for i, x in zip(ids, texts):
+            if not x:
+                continue
+            for k, off in enumerate(range(0, len(x), stride)):
+                out_id.append(i)
+                out_k.append(k)
+                out_c.append(x[off:off + window])
+        return pa.table({
+            id_col: pa.array(out_id, t.schema.field(id_col).type),
+            "chunk_id": pa.array(out_k, pa.int64()),
+            "chunk": pa.array(out_c, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# PII patterns pinned to the RE2-compatible subset (no lookaround, no
+# backrefs) and re.ASCII so Python `re` and DuckDB regexp_replace agree
+# token-for-token; applied in list order, each on the PREVIOUS pattern's
+# output (an email's digits can never double-match as a phone).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(ds: ray.data.Dataset, *, text_col: str = "text",
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """Scrub emails / phone numbers / IPv4 literals to placeholder tokens
+    (the standard pre-training privacy pass), counting replacements per
+    category. Stateless vectorized stage: patterns compile once per
+    process (module import), ``re.subn`` walks each string once per
+    pattern. Counts are taken on the text as it looks AFTER the previous
+    patterns ran — the exact semantics of nested ``regexp_replace`` in
+    the SQL oracle."""
+    compiled = [(re.compile(p, re.ASCII), r) for p, r in PII_PATTERNS]
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        cleaned, counts = [], [[] for _ in compiled]
+        for t in texts:
+            for j, (rx, repl) in enumerate(compiled):
+                t, n = rx.subn(repl, t)
+                counts[j].append(n)
+            cleaned.append(t)
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "clean_text": cleaned,
+            "n_email": pd.Series(counts[0], index=batch.index,
+                                 dtype="int64"),
+            "n_phone": pd.Series(counts[1], index=batch.index,
+                                 dtype="int64"),
+            "n_ip": pd.Series(counts[2], index=batch.index,
+                              dtype="int64")})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
                  id_col: str = "doc_id") -> ray.data.Dataset:
     """Content fingerprints: md5 hex (exact-dup key, SQL-checkable) and a

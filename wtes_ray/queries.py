@@ -3235,14 +3235,12 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
-    """The fused corpus quality filter a training pipeline actually runs:
-    heuristic quality score + stopword density + within-doc repetition,
-    thresholded into one keep decision. Three exchange-free signal stages
-    over the same pruned read, fused via two doc-keyed bucketed hash
-    joins (the scale-honest attach — signal tables are corpus-sized).
-    Thresholds compare the 6dp-ROUNDED signals on both sides, so the
-    boundary semantics are bit-identical to the oracle."""
+def _quality_signals_joined(sf_dir: str) -> rd.Dataset:
+    """The fused three-signal table (quality, stopword_ratio,
+    distinct_ratio, top_bigram_frac per doc) behind quality_filter_docs
+    and quality_funnel_docs: three exchange-free signal stages over the
+    same pruned read, fused via two doc-keyed bucketed hash joins (the
+    scale-honest attach — signal tables are corpus-sized)."""
     from .ops.joins import bucketed_hash_join
     from .ops.runtime import stateless
     from .ops.text import TextScorer, repetition_stats, stopword_stats
@@ -3257,8 +3255,18 @@ def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
     r = repetition_stats(ds).map_batches(
         lambda t: t.select(["doc_id", "distinct_ratio", "top_bigram_frac"]),
         batch_format="pyarrow")
-    joined = bucketed_hash_join(bucketed_hash_join(q, s, on="doc_id"),
-                                r, on="doc_id")
+    return bucketed_hash_join(bucketed_hash_join(q, s, on="doc_id"),
+                              r, on="doc_id")
+
+
+def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """The fused corpus quality filter a training pipeline actually runs:
+    heuristic quality score + stopword density + within-doc repetition,
+    thresholded into one keep decision (signals joined by
+    ``_quality_signals_joined``). Thresholds compare the 6dp-ROUNDED
+    signals on both sides, so the boundary semantics are bit-identical
+    to the oracle."""
+    joined = _quality_signals_joined(sf_dir)
 
     def decide(t: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -3952,6 +3960,228 @@ ORDER BY q
 """
 
 
+def doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Overlapping-window document chunking (ops/text.chunk_documents,
+    window=200 chars, stride=150): the context-window splitting stage of
+    an LLM data pipeline. Pure local flat expansion — no exchange; chunk
+    offsets are characters, matching SQL substring()."""
+    from .ops.text import chunk_documents
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = chunk_documents(ds, window=200, stride=150).to_pandas()
+    return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+DOC_CHUNKS_SQL = """
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, (length(text) - 1) // 150)) AS gs
+  FROM documents WHERE length(coalesce(text, '')) > 0)
+SELECT doc_id, CAST(gs AS BIGINT) AS chunk_id,
+       substring(text, CAST(gs * 150 + 1 AS BIGINT), 200) AS chunk
+FROM g ORDER BY doc_id, chunk_id
+"""
+
+
+_PII_INJECT = (" Contact jane.doe@example.com or +1 555-123-4567"
+               " from 10.0.0.1.")
+
+
+def pii_redact_docs(sf_dir: str) -> pd.DataFrame:
+    """PII scrub (ops/text.redact_pii): emails / phones / IPv4 literals →
+    placeholder tokens with per-category replacement counts. The corpus
+    is PII-free word soup, so every 10th doc gets a deterministic planted
+    contact line first (mirrored in the oracle) — the scrubber has real
+    work and the hash check is meaningful. Patterns are RE2-compatible
+    and shared verbatim with the SQL (built from ops/text.PII_PATTERNS),
+    and counts are taken on the progressively-scrubbed text exactly like
+    the oracle's nested regexp_replace."""
+    from .ops.text import redact_pii
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        mask = (df["doc_id"] % 10 == 0)
+        df = df.copy()
+        df["text"] = t.where(~mask, t + _PII_INJECT)
+        return df
+
+    out = redact_pii(ds.map_batches(inject, batch_format="pandas")) \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pii_sql() -> str:
+    from .ops.text import PII_PATTERNS
+    (em, em_r), (ph, ph_r), (ip, ip_r) = PII_PATTERNS
+    return f"""
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN coalesce(text, '') || ' {_PII_INJECT.strip()}'
+              ELSE coalesce(text, '') END AS t0
+  FROM documents),
+s1 AS (SELECT doc_id, t0,
+              regexp_replace(t0, '{em}', '{em_r}', 'g') AS t1 FROM v),
+s2 AS (SELECT doc_id, t0, t1,
+              regexp_replace(t1, '{ph}', '{ph_r}', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{ip}', '{ip_r}', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t0, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{ph}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t2, '{ip}')) AS BIGINT) AS n_ip
+FROM s2 ORDER BY doc_id
+"""
+
+
+def quality_funnel_docs(sf_dir: str) -> pd.DataFrame:
+    """Filter-cascade accounting — how many docs survive each prefix of
+    the quality_filter_docs cascade (total → quality → +stopword →
+    +repetition), the per-stage attrition report a curation run ships
+    with. One extra pass over the fused signal table: each block emits a
+    4-row cumulative-count partial; a 4-group combine finishes."""
+    joined = _quality_signals_joined(sf_dir)
+
+    def funnel_partial(t: pa.Table) -> pa.Table:
+        q = t.column("quality").to_numpy()
+        s = t.column("stopword_ratio").to_numpy()
+        d = t.column("distinct_ratio").to_numpy()
+        b = t.column("top_bigram_frac").to_numpy()
+        c1 = q >= 0.6
+        c2 = c1 & (s >= 0.04)
+        c3 = c2 & (d >= 0.35) & (b <= 0.1)
+        return pa.table({
+            "stage": pa.array([0, 1, 2, 3], pa.int64()),
+            "n": pa.array([len(q), int(c1.sum()), int(c2.sum()),
+                           int(c3.sum())], pa.int64())})
+
+    df = _for_agg(joined.map_batches(funnel_partial,
+                                     batch_format="pyarrow")) \
+        .groupby("stage").aggregate(Sum("n", alias_name="n")).to_pandas()
+    return df.sort_values("stage").reset_index(drop=True)
+
+
+QUALITY_FUNNEL_SQL = f"""
+WITH q AS ({QUALITY_SCORES_SQL}),
+s AS ({STOPWORD_STATS_SQL}),
+r AS ({DOC_REPETITION_SQL}),
+j AS (SELECT q.quality, s.stopword_ratio, r.distinct_ratio,
+             r.top_bigram_frac
+      FROM q JOIN s USING (doc_id) JOIN r USING (doc_id))
+SELECT CAST(0 AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM j
+UNION ALL
+SELECT 1, CAST(SUM(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END)
+               AS BIGINT) FROM j
+UNION ALL
+SELECT 2, CAST(SUM(CASE WHEN quality >= 0.6 AND stopword_ratio >= 0.04
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM j
+UNION ALL
+SELECT 3, CAST(SUM(CASE WHEN quality >= 0.6 AND stopword_ratio >= 0.04
+                        AND distinct_ratio >= 0.35
+                        AND top_bigram_frac <= 0.1
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM j
+ORDER BY stage
+"""
+
+
+def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21-shaped grouped EXISTS/NOT-EXISTS (adapted: 'late' is
+    l_shipdate > o_orderdate + 90 days — there is no commit/receipt
+    column): suppliers who were the SOLE late supplier on a
+    multi-supplier order. lineitem pre-reduces to one
+    (orderkey, suppkey, max_ship) row per pair per batch; the bucketed
+    join on orderkey attaches o_orderdate AND co-partitions every
+    order's rows into one block, so the per-order EXISTS/NOT-EXISTS
+    logic runs as a vectorized pandas pass per join bucket
+    (batch_size=None pins batch == block) — no second exchange. Top-100
+    by (numwait desc, suppkey) via per-block heads + a bounded driver
+    finish; winner names attach through a pushdown-filtered supplier
+    read."""
+    from .ops.joins import bucketed_hash_join
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_pandas(),
+                           "l_suppkey": t["l_suppkey"].to_pandas(),
+                           "max_ship": t["l_shipdate"].to_pandas()})
+        return _arrow(df.groupby(["l_orderkey", "l_suppkey"],
+                                 as_index=False)["max_ship"].max())
+
+    li = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    orders = _read_pq(_t(sf_dir, "orders"),
+                      columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["l_orderkey", "o_orderdate"]), batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        li, orders, "l_orderkey", num_buckets=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("max_ship", pa.timestamp("us"))]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    def per_order(df: pd.DataFrame) -> pa.Table:
+        # finish the cross-batch (orderkey, suppkey) max first — the
+        # per-batch partials may carry one row per batch per pair
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False) \
+            .agg(max_ship=("max_ship", "max"),
+                 o_orderdate=("o_orderdate", "first"))
+        g["late"] = g["max_ship"] > g["o_orderdate"] + pd.Timedelta(days=90)
+        per_o = g.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"),
+            n_late=("late", "sum"),
+            late_supp=("l_suppkey",
+                       lambda s: s[g.loc[s.index, "late"]].max()))
+        ok = per_o[(per_o["n_supp"] >= 2) & (per_o["n_late"] == 1)]
+        out = ok.groupby("late_supp").size().reset_index() \
+            .rename(columns={"late_supp": "s_suppkey", 0: "numwait"})
+        out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+        return _arrow(out)
+
+    counts = _for_agg(joined.map_batches(per_order, batch_format="pandas",
+                                         batch_size=None)) \
+        .groupby("s_suppkey").aggregate(Sum("numwait", alias_name="numwait"))
+
+    def local_head(df: pd.DataFrame) -> pa.Table:
+        return _arrow(_topk(df, ["numwait", "s_suppkey"],
+                            [False, True], 100))
+
+    top = _topk(counts.map_batches(local_head, batch_format="pandas")
+                .to_pandas(), ["numwait", "s_suppkey"], [False, True], 100)
+    names = pq.read_table(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", top["s_suppkey"].tolist())]) \
+        .to_pandas()
+    df = top.merge(names, on="s_suppkey")
+    df["numwait"] = df["numwait"].astype(np.int64)
+    return df[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
+
+
+Q21_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.max_ship > o.o_orderdate + INTERVAL 90 DAY) AS late
+  FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+p AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+         MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY l_orderkey)
+SELECT late_supp AS s_suppkey, s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM p JOIN supplier ON s_suppkey = late_supp
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY late_supp, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 100
+"""
+
+
 REGISTRY: dict = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -4056,6 +4286,10 @@ REGISTRY: dict = {
     "quality_filter_docs": (quality_filter_docs, QUALITY_FILTER_SQL),
     "corpus_diff_docs": (corpus_diff_docs, CORPUS_DIFF_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "pii_redact_docs": (pii_redact_docs, _pii_sql()),
+    "quality_funnel_docs": (quality_funnel_docs, QUALITY_FUNNEL_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),

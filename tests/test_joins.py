@@ -219,3 +219,22 @@ def test_global_asof_empty_right(ray_session):
         rd.from_pandas(left), rd.from_pandas(right),
         left_on="k", right_on="k", value_col="v").to_pandas()
     assert len(got) == 2 and got["v"].isna().all()
+
+
+def test_bloom_semi_prefilter_no_false_negatives(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.joins import bloom_semi_prefilter
+
+    rng = np.random.default_rng(3)
+    big = pd.DataFrame({"k": rng.integers(0, 10_000, size=20_000),
+                        "v": np.arange(20_000)})
+    keys = pd.DataFrame({"k": np.arange(0, 10_000, 97)})  # ~104 members
+    out = bloom_semi_prefilter(
+        rd.from_pandas(big).repartition(4), "k",
+        rd.from_pandas(keys), "k", m_bits=1 << 14).to_pandas()
+    member = big["k"].isin(set(keys["k"]))
+    # every true match survives (no false negatives)
+    assert set(big.loc[member, "v"]) <= set(out["v"])
+    # and the filter actually filtered (fp rate far below 50%)
+    assert len(out) < 0.5 * len(big)

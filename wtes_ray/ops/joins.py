@@ -345,3 +345,46 @@ def global_asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return l_tagged.map_batches(widen_left, batch_format="pyarrow") \
         .union(r_tagged.map_batches(widen_right, batch_format="pyarrow")) \
         .groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join
+# ---------------------------------------------------------------------------
+
+def bloom_semi_prefilter(big: ray.data.Dataset, key_col: str,
+                         keys: ray.data.Dataset, keys_col: str, *,
+                         m_bits: int = 1 << 20, k: int = 4,
+                         salt: str = "bloomjoin") -> ray.data.Dataset:
+    """Shrink the BIG side of a semi/inner join BEFORE its exchange: build
+    a Bloom filter of the key side (ops/sketch.bloom_bits — per-block
+    distinct set bits, ≤ m_bits rows ever reduced, CONSTANT-size result
+    no matter how many keys), broadcast the packed m_bits/8-byte bitmap
+    once, and drop big-side rows whose key is definitely absent inside
+    map_batches. No false negatives by construction, so composing with
+    the exact bucketed join afterwards returns exactly the plain join's
+    rows — the Bloom only cuts exchange volume (survivors ≈ matches +
+    false-positive rate · non-matches; size m_bits ≈ 10–16 bits/key for
+    ~1% fp). This is the classic runtime-filter pushdown of distributed
+    SQL engines, here as a composable Dataset stage."""
+    from .sketch import bloom_bits
+    from .curate import _key_u64
+
+    bits = bloom_bits(keys, keys_col, m_bits=m_bits, k=k, salt=salt) \
+        .to_pandas()["bit"].to_numpy()
+    bitmap = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+    np.bitwise_or.at(bitmap, bits >> 3,
+                     np.uint8(1) << (bits & 7).astype(np.uint8))
+    bref = ray.put(bitmap)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bm = ray.get(bref) if not isinstance(bref, np.ndarray) else bref
+        ks = t.column(key_col).to_pylist()
+        ok = np.ones(len(ks), dtype=bool)
+        for i in range(k):
+            idx = (_key_u64(ks, f"{salt}{i}") % np.uint64(m_bits)) \
+                .astype(np.int64)
+            ok &= ((bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1) \
+                .astype(bool)
+        return t.filter(pa.array(ok))
+
+    return big.map_batches(prefilter, batch_format="pyarrow")

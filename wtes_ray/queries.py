@@ -4182,6 +4182,101 @@ LIMIT 100
 """
 
 
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition counts over per-user event sequences (the
+    journey-analysis shape: LEAD() window → pair counts). Users
+    co-partition by hash (ops.dedup._grouped_exchange, the sessionize
+    pattern); each bucket sorts once by (user, ts, event_id) and shifts —
+    no per-user callback; pair counts reduce as per-bucket partials into
+    a #types² combine."""
+    from .ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["user_id", "ts", "event_id", "event_type"])
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        nxt = g["event_type"].shift(-1)
+        same = g["user_id"].eq(g["user_id"].shift(-1))
+        p = pd.DataFrame({"event_type": g["event_type"],
+                          "next_type": nxt})[same]
+        return _arrow(p.groupby(["event_type", "next_type"],
+                                as_index=False).size()
+                      .rename(columns={"size": "n"}))
+
+    df = _for_agg(_grouped_exchange(ds, "user_id", block)) \
+        .groupby(["event_type", "next_type"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    return df.sort_values(["event_type", "next_type"]) \
+        .reset_index(drop=True)
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type ORDER BY event_type, next_type
+"""
+
+
+def bloom_semi_revenue(sf_dir: str) -> pd.DataFrame:
+    """Runtime-filter pushdown (the distributed-SQL bloom-join pattern,
+    ops/joins.bloom_semi_prefilter): revenue by returnflag over lineitems
+    of URGENT orders. The urgent orderkeys build a CONSTANT-size Bloom
+    bitmap (broadcast once); lineitem drops definite non-matches BEFORE
+    any exchange (~4/5 of the table at ~0.1% fp), then the exact bucketed
+    SEMI join removes false positives — the result is exactly the plain
+    join's, the Bloom only cut the exchange volume."""
+    from .ops.joins import bloom_semi_prefilter, bucketed_hash_join
+
+    urgent = _read_pq(_t(sf_dir, "orders"),
+                      columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda t: pa.table(
+            {"l_orderkey": t.filter(pc.equal(
+                t["o_orderpriority"],
+                pa.scalar("1-URGENT")))["o_orderkey"]}),
+            batch_format="pyarrow").materialize()
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df.groupby(["l_orderkey", "l_returnflag"],
+                          as_index=False)["revenue"].sum()
+
+    li = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_orderkey", "l_returnflag",
+                           "l_extendedprice", "l_discount"])
+    li_f = bloom_semi_prefilter(li, "l_orderkey", urgent, "l_orderkey") \
+        .map_batches(li_partial, batch_format="pandas")
+
+    sj = bucketed_hash_join(
+        li_f, urgent, "l_orderkey", how="semi", num_buckets=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_returnflag", pa.string()),
+                               ("revenue", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64())]))
+
+    df = _for_agg(sj.map_batches(
+        lambda d: _arrow(d.groupby("l_returnflag", as_index=False)
+                         ["revenue"].sum()), batch_format="pandas")) \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+BLOOM_SEMI_SQL = """
+SELECT l_returnflag, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+       AS revenue
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 REGISTRY: dict = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -4290,6 +4385,8 @@ REGISTRY: dict = {
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "pii_redact_docs": (pii_redact_docs, _pii_sql()),
     "quality_funnel_docs": (quality_funnel_docs, QUALITY_FUNNEL_SQL),
+    "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
+    "bloom_semi_revenue": (bloom_semi_revenue, BLOOM_SEMI_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),

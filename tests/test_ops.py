@@ -681,3 +681,32 @@ def test_redact_pii_counts_and_order(ray_session):
     assert out.loc[1, "clean_text"] == "call <PHONE> or ping <IP>"
     assert out.loc[1, ["n_email", "n_phone", "n_ip"]].tolist() == [0, 1, 1]
     assert out.loc[2, "clean_text"] == "clean text, no pii"
+
+
+def test_char_bigram_lm_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from wtes_ray.ops.text import (score_char_bigram_lm,
+                                   train_char_bigram_lm)
+
+    docs = pd.DataFrame({"doc_id": np.int64([1, 2, 3, 4]),
+                         "text": ["abab", "ab", "x", None]})
+    ds = rd.from_pandas(docs).repartition(2)
+    cb, cu, V = train_char_bigram_lm(ds)
+
+    def bid(a, b):
+        return ord(a) * 0x110000 + ord(b)
+
+    assert cb == {bid("a", "b"): 3, bid("b", "a"): 1}
+    assert cu == {ord("a"): 3, ord("b"): 1}
+    assert V == 2
+
+    out = score_char_bigram_lm(ds, (cb, cu, V)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # "x"/None emit nothing (no bigrams)
+    assert out["doc_id"].tolist() == [1, 2]
+    want_2 = round(math.log(4 / 5), 6)
+    want_1 = round((2 * math.log(4 / 5) + math.log(2 / 3)) / 3, 6)
+    assert out["logprob"].tolist() == [want_1, want_2]

@@ -350,6 +350,95 @@ def redact_pii(ds: ray.data.Dataset, *, text_col: str = "text",
     return ds.map_batches(f, batch_format="pandas")
 
 
+# bigram id space: ord(a)·0x110000 + ord(b) — one id per ordered char
+# pair over the full Unicode range; the ASCII fast path computes the
+# same ids from raw bytes (ASCII ords == byte values)
+_BIGRAM_BASE = 0x110000
+
+
+def _bigram_ids(t: str) -> np.ndarray:
+    if t.isascii():
+        codes = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int64)
+    else:
+        codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+    return codes[:-1] * _BIGRAM_BASE + codes[1:]
+
+
+def train_char_bigram_lm(ds: ray.data.Dataset, *,
+                         text_col: str = "text"
+                         ) -> tuple[dict, dict, int]:
+    """One streaming pass of character-bigram counting — the training
+    half of a CCNet-style LM quality filter (Wenzek et al., 2020, which
+    scores docs with a KenLM n-gram model; a char bigram model is the
+    sandbox-honest stand-in with the same dataflow). Per-batch partial
+    (bigram_id, count) tables — numpy bincount over raw bytes on the
+    ASCII fast path — reduce through one groupby; the finished model is
+    CHARSET-bounded (|alphabet|² entries no matter the corpus size), so
+    broadcasting it is scale-safe by construction.
+
+    Returns ``(bigram_counts, context_counts, V)`` where context counts
+    are bigram-START totals (Σ over bigrams sharing a first char) and
+    ``V`` = distinct context chars — the Laplace denominator."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        parts = [_bigram_ids(x) for x in texts if x and len(x) >= 2]
+        if parts:
+            ids, cnt = np.unique(np.concatenate(parts), return_counts=True)
+        else:
+            ids = np.array([], dtype=np.int64)
+            cnt = ids
+        return pa.table({"bid": pa.array(ids, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bid").aggregate(_Sum("cnt", alias_name="cnt")).to_pandas()
+    bids = agg["bid"].to_numpy()
+    cnts = agg["cnt"].to_numpy()
+    cb = dict(zip(bids.tolist(), cnts.tolist()))
+    firsts = bids // _BIGRAM_BASE
+    cu_ser = pd.Series(cnts).groupby(pd.Series(firsts)).sum()
+    cu = {int(k): int(v) for k, v in cu_ser.items()}
+    return cb, cu, len(cu)
+
+
+def score_char_bigram_lm(ds: ray.data.Dataset, model: tuple[dict, dict,
+                                                            int], *,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> ray.data.Dataset:
+    """Scoring half of the LM quality filter: per-doc mean Laplace
+    log-likelihood per bigram, ``mean(ln((c(ab)+1)/(c(a·)+V)))`` —
+    higher = more corpus-typical (the CCNet keep/cut signal). The model
+    rides once via ``ray.put``; per doc the bigram ids vectorize and two
+    dict maps + one ``np.log`` finish it. Docs with < 2 chars emit
+    nothing (no bigrams — mirrored by the oracle's length guard)."""
+    cb, cu, V = model
+    ref = ray.put((cb, cu, V))
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(ref) if not isinstance(ref, tuple) else ref
+        cb_, cu_, v_ = m
+        ids_out, lp_out = [], []
+        for i, x in zip(t.column(id_col).to_pylist(),
+                        t.column(text_col).to_pylist()):
+            if not x or len(x) < 2:
+                continue
+            bids = _bigram_ids(x)
+            b = pd.Series(bids).map(cb_).fillna(0.0).to_numpy()
+            u = pd.Series(bids // _BIGRAM_BASE).map(cu_) \
+                .fillna(0.0).to_numpy()
+            lp = float(np.log((b + 1.0) / (u + float(v_))).sum()
+                       / len(bids))
+            ids_out.append(i)
+            lp_out.append(round(lp, 6))
+        return pa.table({id_col: pa.array(ids_out,
+                                          t.schema.field(id_col).type),
+                         "logprob": pa.array(lp_out, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
                  id_col: str = "doc_id") -> ray.data.Dataset:
     """Content fingerprints: md5 hex (exact-dup key, SQL-checkable) and a

@@ -4277,7 +4277,44 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def lm_quality_docs(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al., 2020) with a
+    char-bigram model (the sandbox-honest KenLM stand-in, ops/text):
+    one counting pass trains the charset-bounded model, the broadcast
+    scoring pass emits per-doc mean Laplace log-likelihood. Float note:
+    per-doc LN terms are exact both sides (integer counts), only the
+    summation order differs — ~1e-12 drift vs the 6dp rounding, same
+    envelope as event_outliers."""
+    from .ops.text import score_char_bigram_lm, train_char_bigram_lm
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    model = train_char_bigram_lm(ds)
+    df = score_char_bigram_lm(ds, model).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+LM_QUALITY_SQL = """
+WITH ex AS (
+  SELECT doc_id, substring(text, CAST(i AS BIGINT), 2) AS b
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 1)) AS i
+        FROM documents WHERE length(coalesce(text, '')) >= 2)),
+bgc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM ex GROUP BY b),
+uc AS (SELECT substring(b, 1, 1) AS u, CAST(SUM(cb) AS BIGINT) AS cu
+       FROM bgc GROUP BY 1),
+v AS (SELECT COUNT(*) AS nv FROM uc)
+SELECT e.doc_id,
+       ROUND(SUM(LN((bgc.cb + 1.0) / (uc.cu + v.nv))) / COUNT(*), 6)
+         AS logprob
+FROM ex e
+JOIN bgc USING (b)
+JOIN uc ON uc.u = substring(e.b, 1, 1)
+CROSS JOIN v
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+
+
 REGISTRY: dict = {
+    "lm_quality_docs": (lm_quality_docs, LM_QUALITY_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

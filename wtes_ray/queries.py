@@ -4313,8 +4313,94 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 """
 
 
+def hybrid_retrieval_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid dense+sparse retrieval with reciprocal-rank fusion
+    (Cormack et al., 2009): BM25 top-20 for {hash, join, window} fuses
+    with cosine top-20 for query vec 0 via Σ 1/(60+rank), joined on the
+    aligned doc_id/vec_id key. Both lists rank by their 6dp-ROUNDED
+    score with an id tie-break (the bm25_topk ULP-stability trick,
+    applied to the dense side too), so the ranks — and therefore the
+    fused scores, integer-rank rationals — are bit-exact against SQL.
+    Each side is its own bounded-driver-finish top-k pipeline; fusion
+    touches only 2·k rows."""
+    from .ops.curate import bm25_topk
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    sp = bm25_topk(ds, ["hash", "join", "window"], 20)
+    sp = sp.sort_values(["score", "doc_id"], ascending=[False, True])
+    sp["r"] = np.arange(1, len(sp) + 1)
+
+    qv = _query_vec(sf_dir)
+    qn = qv / np.linalg.norm(qv)
+    qref = ray.put(qn)
+
+    def dense_block(t: pa.Table) -> pa.Table:
+        q = ray.get(qref) if not isinstance(qref, np.ndarray) else qref
+        M = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        M = M.astype(np.float64)
+        c = (M @ q) / np.linalg.norm(M, axis=1)
+        df = pd.DataFrame({"doc_id": t["vec_id"].to_pandas(),
+                           "c": np.round(c, 6)})
+        return _arrow(_topk(df, ["c", "doc_id"], [False, True], 20))
+
+    emb = _read_pq(_t(sf_dir, "embeddings"),
+                   columns=["vec_id", "embedding"])
+    dn = _topk(emb.map_batches(dense_block, batch_format="pyarrow")
+               .to_pandas(), ["c", "doc_id"], [False, True], 20)
+    dn["r"] = np.arange(1, len(dn) + 1)
+
+    fused = pd.concat([sp[["doc_id", "r"]], dn[["doc_id", "r"]]])
+    fused["s"] = 1.0 / (60.0 + fused["r"])
+    out = fused.groupby("doc_id", as_index=False)["s"].sum()
+    out["rrf"] = out["s"].round(6)
+    out = _topk(out, ["rrf", "doc_id"], [False, True], 10)
+    return out[["doc_id", "rrf"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+HYBRID_RRF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+       FROM toks GROUP BY doc_id),
+st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+              CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                AS avgdl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM toks WHERE term IN ('hash', 'join', 'window')
+       GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              ROUND(SUM(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                        * tf.tf * (1.2 + 1.0)
+                        / (tf.tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl.dl / st.avgdl))),
+                    6) AS score
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+       GROUP BY tf.doc_id),
+sp AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id = 0),
+dn AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+       FROM (SELECT vec_id AS doc_id,
+                    ROUND(list_cosine_similarity(
+                        CAST(embedding AS DOUBLE[]),
+                        (SELECT qe FROM q)), 6) AS c
+             FROM embeddings ORDER BY c DESC, doc_id LIMIT 20)),
+u AS (SELECT doc_id, 1.0 / (60.0 + r) AS s FROM sp
+      UNION ALL
+      SELECT doc_id, 1.0 / (60.0 + r) FROM dn)
+SELECT doc_id, ROUND(SUM(s), 6) AS rrf FROM u GROUP BY doc_id
+ORDER BY ROUND(SUM(s), 6) DESC, doc_id LIMIT 10
+"""
+
+
 REGISTRY: dict = {
     "lm_quality_docs": (lm_quality_docs, LM_QUALITY_SQL),
+    "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

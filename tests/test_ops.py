@@ -710,3 +710,45 @@ def test_char_bigram_lm_hand_computed(ray_session):
     want_2 = round(math.log(4 / 5), 6)
     want_1 = round((2 * math.log(4 / 5) + math.log(2 / 3)) / 3, 6)
     assert out["logprob"].tolist() == [want_1, want_2]
+
+
+def test_pq_codes_match_dense_per_subspace(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.similarity import pq_codes, pq_decode
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8)
+    ids = np.arange(60, dtype=np.int64)
+    init = vecs[:3].copy()
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": ids, "embedding": [v.tolist() for v in vecs]})) \
+        .repartition(5)
+    codes_ds, books = pq_codes(ds, init, m=2, iterations=2)
+    got = codes_ds.to_pandas().pivot(index="vec_id", columns="sub",
+                                     values="code").to_numpy()
+    assert books.shape == (2, 3, 4)
+
+    # dense reference: independent Lloyd's per 4-dim subspace
+    want = np.zeros((60, 2), dtype=np.int64)
+    ref_books = []
+    for s in range(2):
+        x = vecs[:, s * 4:(s + 1) * 4]
+        c = init[:, s * 4:(s + 1) * 4].copy()
+        for _ in range(2):
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
+            for ci in range(3):
+                if (lab == ci).any():
+                    c[ci] = x[lab == ci].mean(axis=0)
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        want[:, s] = d.argmin(axis=1)
+        ref_books.append(c)
+    assert (got == want).all()
+    np.testing.assert_allclose(books, np.stack(ref_books), atol=1e-9)
+
+    # reconstruction = per-row concatenation of chosen centroids, and it
+    # is closer (in its subspace) than any other centroid choice
+    rec = pq_decode(want, books)
+    assert rec.shape == (60, 8)
+    np.testing.assert_allclose(rec[:, :4], books[0][want[:, 0]])

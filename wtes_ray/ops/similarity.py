@@ -459,3 +459,66 @@ def lsh_topk_cosine(ds: ray.data.Dataset, query: np.ndarray, k: int = 10, *,
 
     return ds.map_batches(score, batch_format="pandas") \
              .sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) codebooks + codes
+# ---------------------------------------------------------------------------
+
+def pq_codes(ds: ray.data.Dataset, init: np.ndarray, *, m: int = 4,
+             iterations: int = 1, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> tuple[ray.data.Dataset,
+                                              np.ndarray]:
+    """Product-quantization encoding (Jégou et al., TPAMI 2011): the
+    vector splits into ``m`` contiguous subspaces, each trained with its
+    own :func:`kmeans_lloyd` codebook over the sliced corpus and encoded
+    to that codebook's argmin id — the memory-compression path for
+    billion-vector ANN (dim·4 bytes → m codes). Training is ``m``
+    independent streaming k-means runs over slice views (the slice
+    happens per batch inside map_batches; full vectors never copy);
+    codes come back as the long layout (id, sub, code), one union of the
+    m assignment datasets.
+
+    ``init`` is a (k × dim) FULL-dimension seed matrix; subspace s seeds
+    from its slice (deterministic, like kmeans_assign_embeddings).
+    Returns (codes Dataset, (m × k × dim/m) codebook tensor)."""
+    k, dim = np.asarray(init).shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    outs, books = [], []
+    for s in range(m):
+        lo, hi = s * dsub, (s + 1) * dsub
+
+        def slicer(batch: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
+            mat = _as_matrix(batch[vec_col])
+            return pd.DataFrame({
+                id_col: batch[id_col].reset_index(drop=True),
+                vec_col: list(mat[:, lo:hi])})
+
+        sub = ds.map_batches(slicer, batch_format="pandas")
+        assign, cent = kmeans_lloyd(sub, np.asarray(init)[:, lo:hi],
+                                    iterations=iterations,
+                                    vec_col=vec_col, id_col=id_col)
+        books.append(cent)
+
+        def tag(t: pa.Table, s=s) -> pa.Table:
+            return pa.table({
+                id_col: t.column(id_col),
+                "sub": pa.array(np.full(t.num_rows, s, dtype=np.int64)),
+                "code": t.column("cluster")})
+
+        outs.append(assign.map_batches(tag, batch_format="pyarrow"))
+    codes = outs[0]
+    for o in outs[1:]:
+        codes = codes.union(o)
+    return codes, np.stack(books)
+
+
+def pq_decode(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Reconstruct (n × dim) vectors from (n × m) codes — each row is the
+    concatenation of its chosen subspace centroids (the ADC table's
+    other half; used by tests to bound quantization error)."""
+    n, m = codes.shape
+    return np.concatenate([books[s][codes[:, s]] for s in range(m)],
+                          axis=1)

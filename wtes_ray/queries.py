@@ -3319,12 +3319,20 @@ def kmeans_assign_embeddings(sf_dir: str) -> pd.DataFrame:
     return assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
-def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, *,
+                vec_expr: str = "CAST(embedding AS DOUBLE[])",
+                select_extra: str = "",
+                prefix: str = "") -> str:
     """Unrolled k-means oracle: assign/update pairs expand to CTE chains
     (like the PageRank oracle). Scoring uses the SAME expanded euclidean
     form as the Ray side (‖c‖² − 2·x·c — ‖x‖² is rank-invariant), CASE
     order implements the lowest-id tie-break, and an empty cluster keeps
-    its previous centroid via a COUNT(*) guard."""
+    its previous centroid via a COUNT(*) guard.
+
+    ``vec_expr`` parameterizes the input vector (the PQ oracle passes a
+    list SLICE per subspace), ``select_extra`` injects literal output
+    columns, ``prefix`` namespaces the CTEs so several chains can UNION
+    in one statement."""
     def assign(name: str, cents: list[str]) -> str:
         ds = ",\n         ".join(
             f"list_inner_product({c}, {c})"
@@ -3343,28 +3351,34 @@ def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
                 f"  FROM (SELECT vec_id, e,\n         {ds}\n"
                 f"        FROM e))")
 
-    ctes = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
-            "FROM embeddings)"]
-    cents = [f"(SELECT e FROM e WHERE vec_id = {i})" for i in range(k)]
+    p = prefix
+    ctes = [f"{p}e AS (SELECT vec_id, {vec_expr} AS e FROM embeddings)"]
+    cents = [f"(SELECT e FROM {p}e WHERE vec_id = {i})" for i in range(k)]
+
+    def assign_p(name: str, cents: list[str]) -> str:
+        # re-point the generic assign body at the prefixed source CTE
+        return assign(name, cents).replace("FROM e)", f"FROM {p}e)")
+
     for it in range(1, iters + 1):
-        ctes.append(assign(f"a{it}", cents))
+        ctes.append(assign_p(f"{p}a{it}", cents))
         new_cents = []
         for ci in range(k):
             ctes.append(
-                f"""m{it}_{ci} AS MATERIALIZED (
-  SELECT CASE WHEN (SELECT COUNT(*) FROM a{it} WHERE cluster = {ci}) > 0
+                f"""{p}m{it}_{ci} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM {p}a{it} WHERE cluster = {ci}) > 0
               THEN (SELECT list(m ORDER BY dim) FROM
                     (SELECT dim, AVG(v) AS m
                      FROM (SELECT unnest(e) AS v,
                                   generate_subscripts(e, 1) AS dim
-                           FROM a{it} WHERE cluster = {ci})
+                           FROM {p}a{it} WHERE cluster = {ci})
                      GROUP BY dim))
               ELSE {cents[ci]} END AS ce)""")
-            new_cents.append(f"(SELECT ce FROM m{it}_{ci})")
+            new_cents.append(f"(SELECT ce FROM {p}m{it}_{ci})")
         cents = new_cents
-    ctes.append(assign("af", cents))
+    ctes.append(assign_p(f"{p}af", cents))
     return ("WITH " + ",\n".join(ctes)
-            + "\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM af"
+            + f"\nSELECT vec_id, {select_extra}"
+            + f"CAST(cluster AS BIGINT) AS cluster FROM {p}af"
             + "\nORDER BY vec_id")
 
 
@@ -4313,6 +4327,50 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 """
 
 
+_PQ_M = 4
+_PQ_K = 4
+_PQ_ITERS = 1
+
+
+def pq_codes_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization encoding (ops/similarity.pq_codes): 4
+    subspaces × 4-centroid codebooks (seeded from vecs 0..3, 1 Lloyd's
+    iteration each), every vector encoded to its per-subspace argmin —
+    the third fully-oracled ITERATIVE algorithm (after PageRank and
+    k-means). The oracle unions 4 generated kmeans CTE chains, each over
+    a list SLICE of the embedding."""
+    from .ops.similarity import pq_codes
+    init_t = pq.read_table(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", _PQ_K)]) \
+        .sort_by("vec_id")
+    init = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in init_t["embedding"].to_pylist()])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    codes, _books = pq_codes(ds, init, m=_PQ_M, iterations=_PQ_ITERS)
+    return codes.to_pandas().sort_values(["vec_id", "sub"]) \
+        .reset_index(drop=True)
+
+
+def _pq_sql(m: int = _PQ_M, k: int = _PQ_K,
+            iters: int = _PQ_ITERS, dim: int = 64) -> str:
+    dsub = dim // m
+    parts = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        inner = _kmeans_sql(
+            k, iters,
+            vec_expr=f"(CAST(embedding AS DOUBLE[]))[{lo}:{hi}]",
+            select_extra=f"CAST({s} AS BIGINT) AS sub, ",
+            prefix=f"p{s}_")
+        parts.append(f"SELECT vec_id, sub, cluster AS code\n"
+                     f"FROM ({inner})")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY vec_id, sub"
+
+
+PQ_CODES_SQL = _pq_sql()
+
+
 def hybrid_retrieval_rrf(sf_dir: str) -> pd.DataFrame:
     """Hybrid dense+sparse retrieval with reciprocal-rank fusion
     (Cormack et al., 2009): BM25 top-20 for {hash, join, window} fuses
@@ -4401,6 +4459,7 @@ ORDER BY ROUND(SUM(s), 6) DESC, doc_id LIMIT 10
 REGISTRY: dict = {
     "lm_quality_docs": (lm_quality_docs, LM_QUALITY_SQL),
     "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
+    "pq_codes_embeddings": (pq_codes_embeddings, PQ_CODES_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

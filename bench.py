@@ -151,7 +151,8 @@ def run_bench(headline_only: bool = False) -> dict:
                   "media_features", "vocab_top_terms",
                   "decontaminate_docs", "pack_docs_budget",
                   "pagerank_lineitem", "asof_purchase_click",
-                  "doc_repetition_stats"]
+                  "doc_repetition_stats", "lm_quality_docs",
+                  "bloom_semi_revenue"]
         for name in subset:
             fn, _sql = Q.REGISTRY[name]
             tq = time.time()

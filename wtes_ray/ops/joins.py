@@ -351,25 +351,57 @@ def global_asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 # Bloom-prefiltered semi join
 # ---------------------------------------------------------------------------
 
+def _bloom_u64(col: pa.ChunkedArray, salt: int) -> np.ndarray:
+    """Vectorized salted 64-bit hash for the bloom-join family — the
+    splitmix64 finalizer over (key ⊕ salted odd constant) for ints,
+    pandas' fixed-key siphash ⊕-mixed per salt for strings. NOT the
+    md5 family of ops/sketch.bloom_bits (that one buys SQL parity at
+    ~1 µs/key; this one is ~1 ns/key, the right trade for a filter
+    probed on every big-side row)."""
+    if pa.types.is_integer(col.type):
+        x = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        x = pd.util.hash_array(
+            np.asarray(col.to_pylist(), dtype=object))
+    with np.errstate(over="ignore"):
+        x = x ^ (np.uint64(salt * 2 + 1) * np.uint64(0x9E3779B97F4A7C15))
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
 def bloom_semi_prefilter(big: ray.data.Dataset, key_col: str,
                          keys: ray.data.Dataset, keys_col: str, *,
-                         m_bits: int = 1 << 20, k: int = 4,
-                         salt: str = "bloomjoin") -> ray.data.Dataset:
+                         m_bits: int = 1 << 20,
+                         k: int = 4) -> ray.data.Dataset:
     """Shrink the BIG side of a semi/inner join BEFORE its exchange: build
-    a Bloom filter of the key side (ops/sketch.bloom_bits — per-block
-    distinct set bits, ≤ m_bits rows ever reduced, CONSTANT-size result
-    no matter how many keys), broadcast the packed m_bits/8-byte bitmap
-    once, and drop big-side rows whose key is definitely absent inside
-    map_batches. No false negatives by construction, so composing with
-    the exact bucketed join afterwards returns exactly the plain join's
-    rows — the Bloom only cuts exchange volume (survivors ≈ matches +
-    false-positive rate · non-matches; size m_bits ≈ 10–16 bits/key for
-    ~1% fp). This is the classic runtime-filter pushdown of distributed
-    SQL engines, here as a composable Dataset stage."""
-    from .sketch import bloom_bits
-    from .curate import _key_u64
+    a Bloom filter of the key side (per-block distinct set bits under the
+    vectorized ``_bloom_u64`` family, ≤ m_bits rows ever reduced,
+    CONSTANT-size result no matter how many keys), broadcast the packed
+    m_bits/8-byte bitmap once, and drop big-side rows whose key is
+    definitely absent inside map_batches. No false negatives by
+    construction, so composing with the exact bucketed join afterwards
+    returns exactly the plain join's rows — the Bloom only cuts exchange
+    volume (survivors ≈ matches + false-positive rate · non-matches;
+    size m_bits ≈ 10–16 bits/key for ~1% fp). This is the classic
+    runtime-filter pushdown of distributed SQL engines, here as a
+    composable Dataset stage."""
 
-    bits = bloom_bits(keys, keys_col, m_bits=m_bits, k=k, salt=salt) \
+    def build_bits(t: pa.Table) -> pa.Table:
+        col = t.column(keys_col)
+        if len(col) == 0:
+            return pa.table({"bit": pa.array([], pa.int64())})
+        bits = np.unique(np.concatenate([
+            (_bloom_u64(col, i) % np.uint64(m_bits)).astype(np.int64)
+            for i in range(k)]))
+        return pa.table({"bit": pa.array(bits, pa.int64())})
+
+    from ray.data.aggregate import Count
+    bits = keys.map_batches(build_bits, batch_format="pyarrow") \
+        .groupby("bit").aggregate(Count(alias_name="_n")) \
         .to_pandas()["bit"].to_numpy()
     bitmap = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
     np.bitwise_or.at(bitmap, bits >> 3,
@@ -378,10 +410,10 @@ def bloom_semi_prefilter(big: ray.data.Dataset, key_col: str,
 
     def prefilter(t: pa.Table) -> pa.Table:
         bm = ray.get(bref) if not isinstance(bref, np.ndarray) else bref
-        ks = t.column(key_col).to_pylist()
-        ok = np.ones(len(ks), dtype=bool)
+        col = t.column(key_col)
+        ok = np.ones(len(col), dtype=bool)
         for i in range(k):
-            idx = (_key_u64(ks, f"{salt}{i}") % np.uint64(m_bits)) \
+            idx = (_bloom_u64(col, i) % np.uint64(m_bits)) \
                 .astype(np.int64)
             ok &= ((bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1) \
                 .astype(bool)

@@ -414,27 +414,48 @@ def score_char_bigram_lm(ds: ray.data.Dataset, model: tuple[dict, dict,
     dict maps + one ``np.log`` finish it. Docs with < 2 chars emit
     nothing (no bigrams — mirrored by the oracle's length guard)."""
     cb, cu, V = model
-    ref = ray.put((cb, cu, V))
+    # array form for vectorized lookup: sorted bigram ids + counts,
+    # probed with searchsorted (a dict .map per doc costs ~1 ms/doc —
+    # measured 17 s for 5k docs; this batch-level form is ~20×)
+    bid_arr = np.fromiter(sorted(cb), dtype=np.int64, count=len(cb))
+    cb_arr = np.array([cb[b] for b in bid_arr], dtype=np.float64)
+    uid_arr = np.fromiter(sorted(cu), dtype=np.int64, count=len(cu))
+    cu_arr = np.array([cu[u] for u in uid_arr], dtype=np.float64)
+    ref = ray.put((bid_arr, cb_arr, uid_arr, cu_arr, float(V)))
+
+    def _lookup(keys: np.ndarray, sorted_ids: np.ndarray,
+                counts: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_ids, keys)
+        pos = np.minimum(pos, len(sorted_ids) - 1)
+        hit = sorted_ids[pos] == keys
+        return np.where(hit, counts[pos], 0.0)
 
     def score(t: pa.Table) -> pa.Table:
         m = ray.get(ref) if not isinstance(ref, tuple) else ref
-        cb_, cu_, v_ = m
-        ids_out, lp_out = [], []
+        bid_, cb_, uid_, cu_, v_ = m
+        ids_out, parts, lens = [], [], []
         for i, x in zip(t.column(id_col).to_pylist(),
                         t.column(text_col).to_pylist()):
             if not x or len(x) < 2:
                 continue
             bids = _bigram_ids(x)
-            b = pd.Series(bids).map(cb_).fillna(0.0).to_numpy()
-            u = pd.Series(bids // _BIGRAM_BASE).map(cu_) \
-                .fillna(0.0).to_numpy()
-            lp = float(np.log((b + 1.0) / (u + float(v_))).sum()
-                       / len(bids))
             ids_out.append(i)
-            lp_out.append(round(lp, 6))
+            parts.append(bids)
+            lens.append(len(bids))
+        if not parts:
+            return pa.table({id_col: pa.array(
+                [], t.schema.field(id_col).type),
+                "logprob": pa.array([], pa.float64())})
+        cat = np.concatenate(parts)
+        b = _lookup(cat, bid_, cb_)
+        u = _lookup(cat // _BIGRAM_BASE, uid_, cu_)
+        terms = np.log((b + 1.0) / (u + v_))
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(terms, offs)
+        lp = np.round(sums / np.asarray(lens, dtype=np.float64), 6)
         return pa.table({id_col: pa.array(ids_out,
                                           t.schema.field(id_col).type),
-                         "logprob": pa.array(lp_out, pa.float64())})
+                         "logprob": pa.array(lp, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
 

@@ -2073,6 +2073,27 @@ def pdf_roundtrip_docs(sf_dir: str) -> pd.DataFrame:
 PDF_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents ORDER BY doc_id"
 
 
+def jsonl_roundtrip_docs(sf_dir: str) -> pd.DataFrame:
+    """JSONL source+sink: the interchange format every scraping/labeling
+    stack emits. `Dataset.write_json` shards the corpus to JSON-lines
+    files (one per block — the resumable layout), `read_json` streams
+    them back; the oracle is the identity select, so the whole
+    sink→source composition is value-hash-checked (including None text
+    surviving as JSON null, and the lang/source payload columns)."""
+    import tempfile
+    ds = _read_pq(_t(sf_dir, "documents"),
+                  columns=["doc_id", "text", "lang", "source"])
+    out_dir = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    ds.write_json(out_dir)
+    back = rd.read_json(out_dir)
+    df = back.to_pandas()[["doc_id", "text", "lang", "source"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+JSONL_ROUNDTRIP_SQL = ("SELECT doc_id, text, lang, source FROM documents "
+                       "ORDER BY doc_id")
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthetic payloads → cached-state decode →
     features. SQL-checkable: the synthetic header fields derive from
@@ -4460,6 +4481,7 @@ REGISTRY: dict = {
     "lm_quality_docs": (lm_quality_docs, LM_QUALITY_SQL),
     "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
     "pq_codes_embeddings": (pq_codes_embeddings, PQ_CODES_SQL),
+    "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

@@ -2774,6 +2774,56 @@ ORDER BY doc_id
 """
 
 
+def range_export_pruned(sf_dir: str) -> pd.DataFrame:
+    """Time-range-clustered export + layout-level pruning (the lakehouse
+    zone-map story): lineitem exports hive-partitioned by SHIP YEAR
+    (one directory per year — the layout a 100 TB fact table actually
+    uses), then a 1996–1997 revenue query reads ONLY those two year
+    directories; files outside the probed range never open. Because the
+    predicate aligns with the partition key there is no residual filter
+    — the oracle's WHERE clause is implemented ENTIRELY by directory
+    selection, which is what gets value-checked."""
+    import shutil
+    import tempfile
+
+    def tag_year(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "y", pc.cast(pc.year(t["l_shipdate"]), pa.int64()))
+
+    ds = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_shipdate", "l_extendedprice", "l_discount"])
+    out_dir = tempfile.mkdtemp(prefix="wtes_range_export_")
+    ds.map_batches(tag_year, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["y"])
+
+    # Ray read_parquet treats LIST elements as files — expand each probed
+    # partition dir to its files (the ivf_search_index pattern)
+    probe = [os.path.join(out_dir, d, f)
+             for d in sorted(os.listdir(out_dir))
+             if d in ("y=1996", "y=1997")
+             for f in sorted(os.listdir(os.path.join(out_dir, d)))]
+    back = rd.read_parquet(probe)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        v = (t["l_extendedprice"].to_numpy()
+             * (1.0 - t["l_discount"].to_numpy()))
+        return pa.table({"revenue": pa.array([float(v.sum())],
+                                             pa.float64())})
+
+    tot = back.map_batches(rev_partial, batch_format="pyarrow") \
+        .aggregate(Sum("revenue", alias_name="revenue"))["revenue"]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame({"revenue": [round(tot, 2)]})
+
+
+RANGE_EXPORT_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+"""
+
+
 def quality_deciles_docs(sf_dir: str) -> pd.DataFrame:
     """Curriculum binning: every document's global length decile via the
     distributed ROW_NUMBER (range-bucketed prefix scan, no global sort);
@@ -3710,6 +3760,140 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q8_market_share(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """TPC-H Q8-shaped national market share: NATION_1 suppliers' slice of
+    PROMO-part volume sold to EUROPE customers, by order year. Scale
+    shape: the PROMO partkeys arrive as a pushdown-filtered broadcast
+    set; supplier and customer attaches reuse the q7 size-budget cutover
+    (broadcast dicts under ``broadcast_rows_budget``, bucketed joins
+    above); lineitem pre-reduces to (orderkey, supp_nation, volume)
+    partials before the one orderkey exchange where it meets the
+    window-filtered orders→year side. The numerator/denominator split
+    survives partial aggregation as two sums per (year) partial row."""
+    from .ops.joins import bucketed_hash_join
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(_t(sf_dir, "region"),
+                           columns=["r_regionkey", "r_name"])
+    eu_key = [r for r, n in zip(region["r_regionkey"].to_pylist(),
+                                region["r_name"].to_pylist())
+              if n == "EUROPE"][0]
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    eu_nations = {k for k, r in zip(nation["n_nationkey"].to_pylist(),
+                                    nation["n_regionkey"].to_pylist())
+                  if r == eu_key}
+
+    parts = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"],
+                          filters=[("p_type", "==", "PROMO")])
+    pset = ray.put(set(parts["p_partkey"].to_pylist()))
+
+    # supplier attach (cutover): suppkey -> nation NAME (all nations —
+    # the numerator flag needs every supplier's nation, not a filter)
+    assert _n_rows(sf_dir, "supplier") <= broadcast_rows_budget, \
+        "swap to the q7 bucketed-join supplier path above the budget"
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    s_nat = {s: n_name[n] for s, n in zip(sup["s_suppkey"].to_pylist(),
+                                          sup["s_nationkey"].to_pylist())}
+    sref = ray.put(s_nat)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(pset) if isinstance(pset, ray.ObjectRef) else pset
+        lut = ray.get(sref) if isinstance(sref, ray.ObjectRef) else sref
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_pandas(),
+            "l_partkey": t["l_partkey"].to_pandas(),
+            "l_suppkey": t["l_suppkey"].to_pandas(),
+            "volume": (t["l_extendedprice"].to_numpy()
+                       * (1.0 - t["l_discount"].to_numpy()))})
+        df = df[df["l_partkey"].isin(ks)]
+        df["supp_nation"] = df["l_suppkey"].map(lut)
+        return _arrow(df.groupby(["l_orderkey", "supp_nation"],
+                                 as_index=False)["volume"].sum())
+
+    li_n = _read_pq(_t(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    # customer attach (cutover): custkey -> in-EUROPE flag
+    assert _n_rows(sf_dir, "customer") <= broadcast_rows_budget, \
+        "swap to the q7 bucketed-join customer path above the budget"
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    eu_cust = {c for c, n in zip(cust["c_custkey"].to_pylist(),
+                                 cust["c_nationkey"].to_pylist())
+               if n in eu_nations}
+    cref = ray.put(eu_cust)
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        cs = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        t = t.filter(m)
+        df = pd.DataFrame({
+            "l_orderkey": t["o_orderkey"].to_pandas(),
+            "o_year": pc.year(t["o_orderdate"]).to_pandas()
+            .astype(np.int64),
+            "o_custkey": t["o_custkey"].to_pandas()})
+        return _arrow(df[df["o_custkey"].isin(cs)]
+                      [["l_orderkey", "o_year"]])
+
+    orders_n = _read_pq(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        li_n, orders_n, "l_orderkey", num_buckets=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("supp_nation", pa.string()),
+                               ("volume", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_year", pa.int64())]))
+
+    def share_partial(df: pd.DataFrame) -> pa.Table:
+        df["v1"] = df["volume"].where(df["supp_nation"] == "NATION_1", 0.0)
+        return _arrow(df.groupby("o_year", as_index=False)
+                      .agg(v1=("v1", "sum"), v=("volume", "sum")))
+
+    agg = _for_agg(joined.map_batches(share_partial,
+                                      batch_format="pandas")) \
+        .groupby("o_year").aggregate(
+            Sum("v1", alias_name="v1"), Sum("v", alias_name="v")) \
+        .to_pandas()
+    agg["mkt_share"] = (agg["v1"] / agg["v"]).round(6)
+    return agg[["o_year", "mkt_share"]].sort_values("o_year") \
+        .reset_index(drop=True)
+
+
+Q8_SQL = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                      ELSE 0 END) / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON r_regionkey = n2.n_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01')
+GROUP BY o_year ORDER BY o_year
+"""
+
+
 def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q13-shaped distribution: how many customers placed k orders,
     INCLUDING k=0 — the left-join histogram without a left join: orders
@@ -4482,6 +4666,7 @@ REGISTRY: dict = {
     "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
     "pq_codes_embeddings": (pq_codes_embeddings, PQ_CODES_SQL),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_SQL),
+    "range_export_pruned": (range_export_pruned, RANGE_EXPORT_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
@@ -4592,6 +4777,7 @@ REGISTRY: dict = {
     "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "bloom_semi_revenue": (bloom_semi_revenue, BLOOM_SEMI_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),

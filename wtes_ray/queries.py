@@ -3205,6 +3205,114 @@ def corpus_diff_docs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["doc_id", "change"]).reset_index(drop=True)
 
 
+def incremental_lang_stats(sf_dir: str) -> pd.DataFrame:
+    """Incremental materialized-view maintenance: per-lang
+    (n_docs, sum_chars) for corpus v2, computed as v1's aggregate PLUS
+    delta-sized adjustments — never a second full scan of v2. The delta
+    comes from ops/curate.corpus_diff; removed/changed-old rows join
+    back to v1 and added/changed-new rows to v2 (bucketed joins over
+    the DELTA ids only) to produce per-lang ±(1, len) adjustments; the
+    driver merges ≤|langs| rows. The oracle is the FULL recompute over
+    the derived v2, so the maintenance identity itself is what gets
+    value-checked."""
+    from .ops.curate import corpus_diff
+    cols = ["doc_id", "text", "lang"]
+    v1 = _read_pq(_t(sf_dir, "documents"), columns=cols)
+
+    def to_v2(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        t = t.filter(pa.array(ids % 7 != 0))
+        ids = t.column("doc_id").to_numpy()
+        texts = [x + " v2" if (i % 11 == 0 and x is not None) else x
+                 for i, x in zip(ids, t.column("text").to_pylist())]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string()),
+                         "lang": t.column("lang")})
+
+    head = _sorted_head(_t(sf_dir, "documents"), "doc_id", cols, 5)
+    v2 = v1.map_batches(to_v2, batch_format="pyarrow").union(
+        rd.from_arrow(pa.table({
+            "doc_id": pc.add(head["doc_id"], pa.scalar(10**12)),
+            "text": head["text"], "lang": head["lang"]})))
+
+    def vals(t: pa.Table) -> pa.Table:
+        lens = [len(x or "") for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "len": pa.array(lens, pa.int64())})
+
+    def lang_partial(sign: int):
+        def f(df: pd.DataFrame) -> pa.Table:
+            g = df.groupby("lang", as_index=False).agg(
+                dn=("doc_id", "size"), dchars=("len", "sum"))
+            g["dn"] *= sign
+            g["dchars"] *= sign
+            return _arrow(g)
+        return f
+
+    # (id, lang, len) value tables materialize ONCE — each is consumed
+    # twice (base/adjustment joins) and re-deriving v2 per consumer would
+    # re-run the whole map chain
+    v1_vals = v1.map_batches(vals, batch_format="pyarrow").materialize()
+    v2_vals = v2.map_batches(vals, batch_format="pyarrow").materialize()
+
+    # per-block partials are ≤ |langs| rows each — a driver finish over
+    # langs×blocks rows beats a sort exchange (Ray sort ≈ 2 s fixed)
+    base = v1_vals.map_batches(lang_partial(+1), batch_format="pandas") \
+        .to_pandas().groupby("lang", as_index=False) \
+        .agg(dn=("dn", "sum"), dchars=("dchars", "sum"))
+
+    # the delta is small relative to the corpus BY DEFINITION of an
+    # incremental update, so its id sets broadcast and the adjustment
+    # value pulls are delta-sized filter passes (zero exchange); a delta
+    # too big to broadcast would use the bucketed join instead (the
+    # repo's standard cutover — ops/joins.bucketed_hash_join)
+    ddf = corpus_diff(v1, v2).to_pandas()
+    rm_ref = ray.put(set(
+        ddf.loc[ddf["change"].isin(["removed", "changed"]), "doc_id"]))
+    ad_ref = ray.put(set(
+        ddf.loc[ddf["change"].isin(["added", "changed"]), "doc_id"]))
+
+    def pick(ref):
+        def f(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            return t.filter(pa.array(
+                np.isin(t["doc_id"].to_numpy(), list(ks))))
+        return f
+
+    minus = v1_vals.map_batches(pick(rm_ref), batch_format="pyarrow") \
+        .map_batches(lang_partial(-1), batch_format="pandas")
+    plus = v2_vals.map_batches(pick(ad_ref), batch_format="pyarrow") \
+        .map_batches(lang_partial(+1), batch_format="pandas")
+
+    adj_rows = minus.union(plus).to_pandas()  # ≤ 2·|delta| partial rows
+    adj = adj_rows.groupby("lang", as_index=False).agg(
+        dn=("dn", "sum"), dchars=("dchars", "sum"))
+
+    out = base.set_index("lang").add(adj.set_index("lang"), fill_value=0) \
+        .reset_index()
+    out = out[out["dn"] > 0]
+    out = out.rename(columns={"dn": "n_docs", "dchars": "sum_chars"})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+INCREMENTAL_LANG_SQL = """
+WITH newv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000000 AS doc_id, text, lang
+  FROM (SELECT doc_id, text, lang FROM documents ORDER BY doc_id LIMIT 5))
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_chars
+FROM newv GROUP BY lang ORDER BY lang
+"""
+
+
 CORPUS_DIFF_SQL = """
 WITH newv AS (
   SELECT doc_id,
@@ -4769,6 +4877,8 @@ REGISTRY: dict = {
                                  KMEANS_ASSIGN_SQL),
     "quality_filter_docs": (quality_filter_docs, QUALITY_FILTER_SQL),
     "corpus_diff_docs": (corpus_diff_docs, CORPUS_DIFF_SQL),
+    "incremental_lang_stats": (incremental_lang_stats,
+                               INCREMENTAL_LANG_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),

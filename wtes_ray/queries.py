@@ -3333,6 +3333,46 @@ ORDER BY doc_id, change
 """
 
 
+def events_daily_ma7(sf_dir: str) -> pd.DataFrame:
+    """Time-series smoothing: per-day event totals with a 7-ROW trailing
+    moving average (the ops-dashboard shape). The corpus reduces to
+    date-cardinality-bounded per-day partials inside map_batches; the
+    day series (bounded by the time SPAN, never data size) finishes on
+    the driver where the ordered window runs vectorized — a windowed
+    aggregate over an aggregate needs no distributed window machinery.
+    The window is over PRESENT days (ROWS BETWEEN 6 PRECEDING), matching
+    pandas rolling(7) on the sorted existing rows."""
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"day": t["ts"].to_pandas().dt.floor("D"),
+                           "value": t["value"].to_numpy()})
+        g = df.groupby("day", as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum"))
+        return _arrow(g)
+
+    d = ds.map_batches(day_partial, batch_format="pyarrow").to_pandas() \
+        .groupby("day", as_index=False) \
+        .agg(n=("n", "sum"), total_value=("total_value", "sum")) \
+        .sort_values("day")
+    d["ma7"] = d["total_value"].rolling(7, min_periods=1).mean().round(6)
+    d["n"] = d["n"].astype(np.int64)
+    d["day"] = d["day"].astype("datetime64[us]")
+    return d[["day", "n", "ma7"]].reset_index(drop=True)
+
+
+EVENTS_MA7_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(value) AS total_value
+  FROM events GROUP BY 1)
+SELECT day, n,
+       ROUND(AVG(total_value) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM d ORDER BY day
+"""
+
+
 def event_outliers(sf_dir: str) -> pd.DataFrame:
     """Per-type z-score outliers (|z| > 2): two streaming passes — moment
     partials (type, n, Σv, Σv²) reduced to a 5-row stats table, then a
@@ -4895,6 +4935,7 @@ REGISTRY: dict = {
     "price_percentiles_lineitem": (price_percentiles_lineitem,
                                    PRICE_PERCENTILES_SQL),
     "event_outliers": (event_outliers, EVENT_OUTLIERS_SQL),
+    "events_daily_ma7": (events_daily_ma7, EVENTS_MA7_SQL),
     "event_value_p95": (event_value_p95, EVENT_P95_SQL),
     "label_centroids_embeddings": (label_centroids_embeddings,
                                    LABEL_CENTROIDS_SQL),

@@ -16,9 +16,14 @@ exactly-k hash samples, corpus version diffs), graph computation
 (graph.py: distributed PageRank), clustering (full-corpus Lloyd's
 k-means, SemDeDup semantic dedup, per-label centroids), corpus-level
 text signals (Gopher repetition stats, C4 cross-doc n-gram coverage),
+exact global quantiles by two-pass range-bucket counting), LM-based
+quality filtering (text.py: charset-bounded char-bigram model — the
+CCNet shape), context-window chunking and PII redaction (text.py),
+embedding compression (similarity.py: product-quantization codebooks),
 a bucketed hash join (joins.py) for equi/semi/anti joins whose build
-side is too big to broadcast, and a global (non-keyed) as-of join
-over range buckets.
+side is too big to broadcast, a Bloom-prefiltered semi join (runtime-
+filter pushdown with a constant-size broadcast bitmap), and a global
+(non-keyed) as-of join over range buckets.
 
 All stages follow the engine's rules: vectorized map_batches bodies,
 actor pools for stateful stages, partial aggregation before any shuffle,

@@ -3512,6 +3512,125 @@ ORDER BY q.doc_id
 """
 
 
+def curation_pipeline_docs(sf_dir: str) -> pd.DataFrame:
+    """The composed end-to-end curation run a training-data team ships:
+    exact dedup (hash-only exchange, ops/dedup.exact_dedup_ids) →
+    fused 3-signal quality filter (_quality_signals_joined thresholds) →
+    benchmark decontamination (broadcast gram set, mode='drop') →
+    deterministic train/val/test split → per-split (n_docs, sum_chars).
+    Every stage is individually oracle-checked elsewhere; HERE the whole
+    chain is one value-checked result, so stage composition order and
+    the survivor handoffs (two bucketed SEMI joins on doc_id) are what
+    the oracle pins. Signals compute over the full corpus on both sides
+    (they are pure per-doc functions, so filtering first would not
+    change any surviving doc's value)."""
+    from .ops.curate import decontaminate, hash_sample, hash_split, \
+        _WORD_RE
+    from .ops.dedup import exact_dedup_ids
+    from .ops.joins import bucketed_hash_join
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    # arrow-normalize: the aggregate behind exact_dedup_ids emits pandas
+    # blocks, and union requires both sides in one block format
+    dd_ids = exact_dedup_ids(ds).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+    keep_q = _quality_signals_joined(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t.filter(pc.and_(
+            pc.and_(pc.greater_equal(t["quality"], 0.6),
+                    pc.greater_equal(t["stopword_ratio"], 0.04)),
+            pc.and_(pc.greater_equal(t["distinct_ratio"], 0.35),
+                    pc.less_equal(t["top_bigram_frac"], 0.1))))
+            ["doc_id"]}),
+        batch_format="pyarrow")
+
+    # intersect the two survivor-id sets FIRST (ids-only exchange:
+    # union + per-id count == 2), so the texts ride through exactly ONE
+    # semi-join exchange instead of two
+    from ray.data.aggregate import Count as _Count
+    keep_ids = dd_ids.union(keep_q).groupby("doc_id") \
+        .aggregate(_Count(alias_name="c")) \
+        .map_batches(lambda t: pa.table(
+            {"doc_id": t.filter(pc.equal(t["c"], 2))["doc_id"]}),
+            batch_format="pyarrow")
+
+    sch_dt = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    sch_id = pa.schema([("doc_id", pa.int64())])
+    survivors = bucketed_hash_join(
+        ds, keep_ids, "doc_id", how="semi",
+        left_schema=sch_dt, right_schema=sch_id)
+
+    # benchmark grams come from the FULL corpus (the benchmark exists
+    # independently of what the cascade keeps) — same recipe as
+    # decontaminate_docs
+    def first_gram(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = []
+        for t in batch["text"].fillna(""):
+            w = _WORD_RE.findall(t.lower())
+            if len(w) >= 8:
+                grams.append(" ".join(w[:8]))
+        return pd.DataFrame({"gram": pd.Series(grams, dtype="string")})
+
+    bench = hash_sample(ds, permille=27, salt="bench") \
+        .map_batches(first_gram, batch_format="pandas").to_pandas()
+    clean = decontaminate(survivors, list(bench["gram"]), n=8,
+                          mode="drop")
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        lens = [len(x or "") for x in t.column("text").to_pylist()]
+        df = pd.DataFrame({"split": t["split"].to_pandas(),
+                           "len": lens})
+        return _arrow(df.groupby("split", as_index=False).agg(
+            n_docs=("len", "size"), sum_chars=("len", "sum")))
+
+    out = hash_split(clean, salt="cur") \
+        .map_batches(split_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("split", as_index=False) \
+        .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out.sort_values("split").reset_index(drop=True)
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH q AS ({QUALITY_SCORES_SQL}),
+s AS ({STOPWORD_STATS_SQL}),
+r AS ({DOC_REPETITION_SQL}),
+keepq AS (
+  SELECT q.doc_id FROM q JOIN s USING (doc_id) JOIN r USING (doc_id)
+  WHERE q.quality >= 0.6 AND s.stopword_ratio >= 0.04
+    AND r.distinct_ratio >= 0.35 AND r.top_bigram_frac <= 0.1),
+d1 AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
+                   GROUP BY md5(coalesce(text, '')))
+    AND doc_id IN (SELECT doc_id FROM keepq)),
+b AS (
+  SELECT array_to_string(
+           regexp_extract_all(lower(text), '[a-z0-9_]+')[1:8], ' ') AS gram
+  FROM documents
+  WHERE md5_number_lower('bench:' || CAST(doc_id AS VARCHAR)) % 1000 < 27
+    AND len(regexp_extract_all(lower(text), '[a-z0-9_]+')) >= 8),
+clean AS (
+  SELECT doc_id, text FROM d1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM b WHERE contains(
+      ' ' || array_to_string(
+          regexp_extract_all(lower(coalesce(d1.text, '')),
+                             '[a-z0-9_]+'), ' ') || ' ',
+      ' ' || b.gram || ' ')))
+SELECT CASE WHEN md5_number_lower('cur:' || CAST(doc_id AS VARCHAR))
+                 % 1000 < 900 THEN 'train'
+            WHEN md5_number_lower('cur:' || CAST(doc_id AS VARCHAR))
+                 % 1000 < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_chars
+FROM clean GROUP BY 1 ORDER BY 1
+"""
+
+
 _KM_K = 4
 _KM_ITERS = 2
 
@@ -4916,6 +5035,8 @@ REGISTRY: dict = {
     "kmeans_assign_embeddings": (kmeans_assign_embeddings,
                                  KMEANS_ASSIGN_SQL),
     "quality_filter_docs": (quality_filter_docs, QUALITY_FILTER_SQL),
+    "curation_pipeline_docs": (curation_pipeline_docs,
+                               CURATION_PIPELINE_SQL),
     "corpus_diff_docs": (corpus_diff_docs, CORPUS_DIFF_SQL),
     "incremental_lang_stats": (incremental_lang_stats,
                                INCREMENTAL_LANG_SQL),

@@ -369,3 +369,35 @@ def test_exact_quantiles_constant_column(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"x": np.full(100, 3.5)}))
     got = exact_quantiles(ds, "x", [0.5, 1.0], num_buckets=16)
     assert got["value"].tolist() == [3.5, 3.5]
+
+
+def test_corpus_diff_identical_corpora_is_empty(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import corpus_diff
+
+    docs = pd.DataFrame({"doc_id": np.int64([1, 2, 3]),
+                         "text": ["a", None, "c"]})
+    out = corpus_diff(rd.from_pandas(docs), rd.from_pandas(docs))
+    assert out.count() == 0
+    # schema survives emptiness (the 0-row to_pandas column-drop gotcha)
+    assert set(out.schema().names) == {"doc_id", "change"}
+
+
+def test_exact_quantiles_skewed_into_one_bucket(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import exact_quantiles
+
+    # 99% of mass collapses into the lowest bucket; a lone outlier
+    # stretches the range — the skew case the docstring promises stays
+    # correct (pass-2 filtrate just gets bigger)
+    v = np.concatenate([np.linspace(0.0, 1.0, 999), [1e9]])
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(7)
+    got = exact_quantiles(ds, "x", [0.5, 0.999, 1.0], num_buckets=32)
+    s = np.sort(v)
+    want = [float(s[max(1, math.ceil(q * len(v))) - 1])
+            for q in [0.5, 0.999, 1.0]]
+    assert got["value"].tolist() == want

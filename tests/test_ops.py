@@ -752,3 +752,37 @@ def test_pq_codes_match_dense_per_subspace(ray_session):
     rec = pq_decode(want, books)
     assert rec.shape == (60, 8)
     np.testing.assert_allclose(rec[:, :4], books[0][want[:, 0]])
+
+
+def test_event_transitions_logic_hand_computed(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.dedup import _grouped_exchange
+
+    # same block function the event_transitions query uses, pinned on a
+    # hand-traced frame: per-user (ts, id)-ordered successor pairs only
+    ev = pd.DataFrame({
+        "user_id": np.int64([1, 1, 1, 2, 2, 3]),
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:05",
+                              "2024-01-01 00:01", "2024-01-01 09:00",
+                              "2024-01-01 08:00", "2024-01-01 10:00"]),
+        "event_id": np.int64([1, 2, 3, 4, 5, 6]),
+        "event_type": ["a", "b", "c", "x", "y", "z"]})
+
+    def block(g):
+        import pyarrow as _pa
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        nxt = g["event_type"].shift(-1)
+        same = g["user_id"].eq(g["user_id"].shift(-1))
+        p = pd.DataFrame({"event_type": g["event_type"],
+                          "next_type": nxt})[same]
+        return _pa.Table.from_pandas(
+            p.groupby(["event_type", "next_type"], as_index=False)
+            .size().rename(columns={"size": "n"}), preserve_index=False)
+
+    out = _grouped_exchange(rd.from_pandas(ev).repartition(3),
+                            "user_id", block).to_pandas()
+    got = {(r.event_type, r.next_type): r.n for r in out.itertuples()}
+    # user 1 ordered by ts: a(00:00) -> c(00:01) -> b(00:05);
+    # user 2: y(08:00) -> x(09:00); user 3: single event, no pair
+    assert got == {("a", "c"): 1, ("c", "b"): 1, ("y", "x"): 1}

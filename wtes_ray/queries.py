@@ -4569,6 +4569,119 @@ ORDER BY stage
 """
 
 
+def q19_discounted_revenue(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate join: revenue from three
+    OR'd (brand, size-range, quantity-range) clauses. part collapses to
+    a broadcast partkey→(brand, size) map under ``broadcast_rows_budget``
+    (above it: project part to those 3 columns and run the bucketed
+    join); the OR-of-ANDs evaluates vectorized per batch and only a
+    per-batch scalar sum leaves each block."""
+    assert _n_rows(sf_dir, "part") <= broadcast_rows_budget, \
+        "swap to a bucketed join on partkey above the budget"
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keys = part["p_partkey"].to_pylist()
+    bmap = dict(zip(keys, part["p_brand"].to_pylist()))
+    smap = dict(zip(keys, part["p_size"].to_pylist()))
+    pref = ray.put((bmap, smap))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bm, sm = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+        pk = pd.Series(t["l_partkey"].to_numpy())
+        brand = pk.map(bm).to_numpy()
+        size = pk.map(sm).to_numpy()
+        q = t["l_quantity"].to_numpy()
+        rev = (t["l_extendedprice"].to_numpy()
+               * (1.0 - t["l_discount"].to_numpy()))
+        hit = (((brand == "Brand#12") & (size >= 1) & (size <= 5)
+                & (q >= 1) & (q <= 11))
+               | ((brand == "Brand#23") & (size >= 1) & (size <= 10)
+                  & (q >= 10) & (q <= 20))
+               | ((brand == "Brand#34") & (size >= 1) & (size <= 15)
+                  & (q >= 20) & (q <= 30)))
+        return pa.table({"revenue": pa.array([float(rev[hit].sum())],
+                                             pa.float64())})
+
+    tot = _read_pq(_t(sf_dir, "lineitem"),
+                   columns=["l_partkey", "l_quantity",
+                            "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("revenue", alias_name="revenue"))["revenue"]
+    return pd.DataFrame({"revenue": [round(tot, 2)]})
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q16_supplier_cnt(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """TPC-H Q16-shaped grouped DISTINCT count (adapted: no partsupp
+    table, so the part↔supplier relation is lineitem's observed pairs):
+    distinct suppliers per (brand, size) excluding one brand. Per-batch
+    DISTINCT (brand, size, suppkey) triples pre-reduce the exchange
+    (≤ groups×suppliers per block, never raw lines); one groupby dedups
+    across blocks and counts."""
+    assert _n_rows(sf_dir, "part") <= broadcast_rows_budget, \
+        "swap to a bucketed join on partkey above the budget"
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pmap = {k: (b, s) for k, b, s in zip(part["p_partkey"].to_pylist(),
+                                         part["p_brand"].to_pylist(),
+                                         part["p_size"].to_pylist())
+            if b != "Brand#45"}
+    pref = ray.put(pmap)
+
+    def triples(t: pa.Table) -> pa.Table:
+        m = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+        df = pd.DataFrame({"pk": t["l_partkey"].to_pandas(),
+                           "s": t["l_suppkey"].to_pandas()})
+        bs = df["pk"].map(m)
+        df = df[bs.notna()]
+        df["p_brand"] = bs[bs.notna()].str[0]
+        df["p_size"] = bs[bs.notna()].str[1].astype(np.int32)
+        return _arrow(df[["p_brand", "p_size", "s"]].drop_duplicates())
+
+    uniq = _for_agg(_read_pq(_t(sf_dir, "lineitem"),
+                             columns=["l_partkey", "l_suppkey"])
+                    .map_batches(triples, batch_format="pyarrow")) \
+        .groupby(["p_brand", "p_size", "s"]) \
+        .aggregate(Count(alias_name="_n"))
+
+    def cnt_partial(df: pd.DataFrame) -> pa.Table:
+        return _arrow(df.groupby(["p_brand", "p_size"], as_index=False)
+                      .size().rename(columns={"size": "supplier_cnt"}))
+
+    out = uniq.map_batches(cnt_partial, batch_format="pandas") \
+        .to_pandas().groupby(["p_brand", "p_size"], as_index=False) \
+        .agg(supplier_cnt=("supplier_cnt", "sum"))
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    return out.sort_values(["supplier_cnt", "p_brand", "p_size"],
+                           ascending=[False, True, True]) \
+        .reset_index(drop=True)
+
+
+Q16_SQL = """
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
 def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q21-shaped grouped EXISTS/NOT-EXISTS (adapted: 'late' is
     l_shipdate > o_orderdate + 90 days — there is no commit/receipt
@@ -5042,6 +5155,8 @@ REGISTRY: dict = {
                                INCREMENTAL_LANG_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
+    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "pii_redact_docs": (pii_redact_docs, _pii_sql()),
     "quality_funnel_docs": (quality_funnel_docs, QUALITY_FUNNEL_SQL),

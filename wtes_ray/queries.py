@@ -4682,6 +4682,64 @@ ORDER BY supplier_cnt DESC, p_brand, p_size
 """
 
 
+def q20_dominant_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20-shaped self-relative threshold (adapted: no
+    partsupp.availqty, so 'dominant' means shipping more than 2× the
+    part's MEAN per-supplier quantity — the >50%-of-total form is
+    vacuous here because every part has ~15-30 suppliers): per-part
+    supplier shares against the part's own statistics. Parts co-partition once (ops.dedup._grouped_exchange after
+    per-batch (part, supp) pre-reduction); both aggregation levels and
+    the share filter run inside each bucket, and only (suppkey, count)
+    partials leave. Quantities are integer-valued doubles, so the sums
+    — hence the strict > 0.5·total cut — are float64-EXACT on both
+    sides."""
+    from .ops.dedup import _grouped_exchange
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        return _arrow(pd.DataFrame({
+            "l_partkey": t["l_partkey"].to_pandas(),
+            "l_suppkey": t["l_suppkey"].to_pandas(),
+            "q": t["l_quantity"].to_pandas()})
+            .groupby(["l_partkey", "l_suppkey"], as_index=False)
+            ["q"].sum())
+
+    li = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_partkey", "l_suppkey", "l_quantity"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        ps = g.groupby(["l_partkey", "l_suppkey"], as_index=False) \
+            ["q"].sum()
+        grp = ps.groupby("l_partkey")["q"]
+        tot = grp.transform("sum")
+        ns = grp.transform("size")
+        # 2.0*tq/ns left-assoc like the SQL; all inputs float64-exact
+        dom = ps[ps["q"] > 2.0 * tot / ns]
+        return _arrow(dom.groupby("l_suppkey", as_index=False).size()
+                      .rename(columns={"l_suppkey": "s_suppkey",
+                                       "size": "n_parts"}))
+
+    df = _for_agg(_grouped_exchange(li, "l_partkey", block,
+                                    num_buckets=32)) \
+        .groupby("s_suppkey") \
+        .aggregate(Sum("n_parts", alias_name="n_parts")).to_pandas()
+    df["n_parts"] = df["n_parts"].astype(np.int64)
+    return df.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT l_partkey, SUM(q) AS tq, COUNT(*) AS ns
+        FROM ps GROUP BY 1)
+SELECT l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM ps JOIN tot USING (l_partkey)
+WHERE q > 2.0 * tq / ns
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q21-shaped grouped EXISTS/NOT-EXISTS (adapted: 'late' is
     l_shipdate > o_orderdate + 90 days — there is no commit/receipt
@@ -5157,6 +5215,7 @@ REGISTRY: dict = {
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
+    "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "pii_redact_docs": (pii_redact_docs, _pii_sql()),
     "quality_funnel_docs": (quality_funnel_docs, QUALITY_FUNNEL_SQL),

@@ -158,3 +158,71 @@ def test_decontaminate_window_equals_sql_substring_form(tokens, gram):
                      for j in range(len(tokens) - n + 1))
     sql_hit = f" {' '.join(gram)} " in f" {' '.join(tokens)} "
     assert window_hit == sql_hit
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=40))
+def test_bigram_ids_ascii_fast_path_equals_ord_path(s):
+    """_bigram_ids' byte fast path must equal the unicode ord formula on
+    any string (ASCII strings take the byte path; the ids must not
+    depend on which arm ran)."""
+    import numpy as np
+
+    from wtes_ray.ops.text import _BIGRAM_BASE, _bigram_ids
+
+    got = _bigram_ids(s)
+    codes = [ord(c) for c in s]
+    want = np.array([a * _BIGRAM_BASE + b
+                     for a, b in zip(codes, codes[1:])], dtype=np.int64)
+    assert (got == want).all()
+
+
+_pii_bits = st.lists(st.sampled_from(
+    ["lorem", "ipsum 42", "a.b@c.org", "x_9@mail-host.co.uk",
+     "+1 555-123-4567", "12 345-678-9012", "10.0.0.1", "255.255.255.0",
+     "not@an", "1.2.3", "x@y.z", "@@", " . "]), max_size=8)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_pii_bits)
+def test_pii_patterns_python_equals_duckdb(bits):
+    """The PII scrub is pinned pattern-for-pattern to DuckDB RE2: the
+    sequential Python subn chain must equal nested regexp_replace on
+    texts mixing real PII, near-misses, and noise."""
+    import duckdb
+
+    from wtes_ray.ops.text import PII_PATTERNS
+    import re as _re
+
+    text = " ".join(bits)
+    py = text
+    for p, r in PII_PATTERNS:
+        py = _re.sub(_re.compile(p, _re.ASCII), r, py)
+    (em, em_r), (ph, ph_r), (ip, ip_r) = PII_PATTERNS
+    sql = duckdb.sql(
+        "SELECT regexp_replace(regexp_replace(regexp_replace($t, "
+        f"'{em}', '{em_r}', 'g'), '{ph}', '{ph_r}', 'g'), "
+        f"'{ip}', '{ip_r}', 'g')", params={"t": text}).fetchone()[0]
+    assert py == sql
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=1, max_size=60),
+       st.floats(min_value=0.01, max_value=1.0))
+def test_percentile_rank_rule_matches_duckdb(vals, q):
+    """exact_quantiles' rank rule — value at 1-based rank ceil(q·n) of
+    the sorted column — must be PERCENTILE_DISC's, pinned directly
+    against DuckDB on random inputs."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    s = np.sort(np.asarray(vals, dtype=np.float64))
+    mine = float(s[max(1, math.ceil(q * len(s))) - 1])
+    want = duckdb.sql(
+        "SELECT PERCENTILE_DISC($q) WITHIN GROUP (ORDER BY v) "
+        "FROM (SELECT unnest($v) AS v)",
+        params={"q": q, "v": list(map(float, vals))}).fetchone()[0]
+    assert mine == want

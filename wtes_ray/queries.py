@@ -4161,6 +4161,99 @@ GROUP BY o_year ORDER BY o_year
 """
 
 
+def q9_product_profit(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """TPC-H Q9-shaped product-type profit (adapted: no
+    partsupp.supplycost, so cost is 0.7·p_retailprice·quantity — the
+    same computed-measure shape): profit per supplier nation per order
+    year for PROMO parts. part's (keys, retailprice) and supplier's
+    nation ride as broadcast dicts under ``broadcast_rows_budget`` (the
+    q7/q8 cutover applies above it); lineitem pre-reduces to
+    (orderkey, nation, profit) partials before the single orderkey
+    exchange that attaches the order year."""
+    from .ops.joins import bucketed_hash_join
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    assert max(_n_rows(sf_dir, "part"),
+               _n_rows(sf_dir, "supplier")) <= broadcast_rows_budget, \
+        "swap to the q7 bucketed-join attaches above the budget"
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_retailprice"],
+                         filters=[("p_type", "==", "PROMO")])
+    price = dict(zip(part["p_partkey"].to_pylist(),
+                     part["p_retailprice"].to_pylist()))
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    s_nat = {s: n_name[n] for s, n in zip(sup["s_suppkey"].to_pylist(),
+                                          sup["s_nationkey"].to_pylist())}
+    ref = ray.put((price, s_nat))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        pm, sm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_pandas(),
+            "price": pd.Series(t["l_partkey"].to_numpy()).map(pm),
+            "nation": pd.Series(t["l_suppkey"].to_numpy()).map(sm),
+            "qty": t["l_quantity"].to_numpy(),
+            "rev": (t["l_extendedprice"].to_numpy()
+                    * (1.0 - t["l_discount"].to_numpy()))})
+        df = df[df["price"].notna()]
+        df["profit"] = df["rev"] - 0.7 * df["price"] * df["qty"]
+        return _arrow(df.groupby(["l_orderkey", "nation"],
+                                 as_index=False)["profit"].sum())
+
+    li = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_quantity", "l_extendedprice",
+                           "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    orders = _read_pq(_t(sf_dir, "orders"),
+                      columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda t: pa.table(
+            {"l_orderkey": t["o_orderkey"],
+             "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64())}),
+            batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        li, orders, "l_orderkey", num_buckets=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("nation", pa.string()),
+                               ("profit", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_year", pa.int64())]))
+
+    df = _for_agg(joined.map_batches(
+        lambda d: _arrow(d.groupby(["nation", "o_year"], as_index=False)
+                         ["profit"].sum()), batch_format="pandas")) \
+        .groupby(["nation", "o_year"]) \
+        .aggregate(Sum("profit", alias_name="profit")).to_pandas()
+    df["profit"] = df["profit"].round(2)
+    return df.sort_values(["nation", "o_year"],
+                          ascending=[True, False]).reset_index(drop=True)
+
+
+Q9_SQL = """
+SELECT nation, o_year, ROUND(SUM(profit), 2) AS profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.7 * p_retailprice * l_quantity AS profit
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_type = 'PROMO')
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
 def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q13-shaped distribution: how many customers placed k orders,
     INCLUDING k=0 — the left-join histogram without a left join: orders
@@ -5223,6 +5316,7 @@ REGISTRY: dict = {
     "bloom_semi_revenue": (bloom_semi_revenue, BLOOM_SEMI_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),

@@ -401,3 +401,22 @@ def test_exact_quantiles_skewed_into_one_bucket(ray_session):
     want = [float(s[max(1, math.ceil(q * len(v))) - 1])
             for q in [0.5, 0.999, 1.0]]
     assert got["value"].tolist() == want
+
+
+def test_validate_rows_flag_and_drop(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import validate_rows
+
+    df = pd.DataFrame({"x": np.int64([1, -2, 3, -4, 500]),
+                       "y": ["a", "b", "a", "b", "c"]})
+    rules = [("neg", lambda t: t["x"].to_numpy() < 0),
+             ("big", lambda t: t["x"].to_numpy() > 100)]
+    ds = rd.from_pandas(df).repartition(2)
+    flagged = validate_rows(ds, rules).to_pandas().sort_values("x")
+    assert flagged["bad_neg"].sum() == 2
+    assert flagged["bad_big"].sum() == 1
+    assert (flagged["n_bad"] == flagged["bad_neg"].astype(int)
+            + flagged["bad_big"].astype(int)).all()
+    clean = validate_rows(ds, rules, mode="drop").to_pandas()
+    assert sorted(clean["x"]) == [1, 3]

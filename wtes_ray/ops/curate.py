@@ -195,6 +195,38 @@ def corpus_diff(old: ray.data.Dataset, new: ray.data.Dataset, *,
     return removed.union(added).union(changed)
 
 
+def validate_rows(ds: ray.data.Dataset,
+                  rules: Sequence[tuple[str, "callable"]], *,
+                  mode: str = "flag") -> ray.data.Dataset:
+    """Data-contract gate: evaluate named row predicates vectorized per
+    batch and either append one bool column per rule plus an ``n_bad``
+    count (``mode='flag'``) or keep only fully-clean rows
+    (``mode='drop'``) — the validation/quarantine stage every production
+    ingest runs before anything downstream trusts the data.
+
+    ``rules`` are ``(name, fn)`` where ``fn(table: pa.Table) ->
+    np.ndarray[bool]`` returns True for VIOLATIONS. Pure map_batches —
+    no exchange; violation accounting composes with a partial-sum
+    aggregate downstream (see the ``events_contract_check`` query)."""
+    if mode not in ("flag", "drop"):
+        raise ValueError("mode must be 'flag' or 'drop'")
+
+    def f(t: pa.Table) -> pa.Table:
+        bad = np.zeros(t.num_rows, dtype=np.int64)
+        flags = {}
+        for name, fn in rules:
+            v = np.asarray(fn(t), dtype=bool)
+            flags[f"bad_{name}"] = v
+            bad += v
+        if mode == "drop":
+            return t.filter(pa.array(bad == 0))
+        for name, v in flags.items():
+            t = t.append_column(name, pa.array(v))
+        return t.append_column("n_bad", pa.array(bad, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def exact_quantiles(ds: ray.data.Dataset, col: str,
                     qs: Sequence[float], *,
                     num_buckets: int = 256) -> pd.DataFrame:

@@ -3333,6 +3333,119 @@ ORDER BY doc_id, change
 """
 
 
+def events_contract_check(sf_dir: str) -> pd.DataFrame:
+    """Data-contract validation (ops/curate.validate_rows): three named
+    row predicates over events (error-type rows, value > 400,
+    value < 0.05) evaluated vectorized per batch — no exchange — with
+    violation accounting reduced from per-batch partials plus a 'clean'
+    row (violates nothing). Predicates compare STORED values (no
+    arithmetic), so the counts are bit-exact against SQL."""
+    from .ops.curate import validate_rows
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_id", "event_type", "value"])
+    rules = [
+        ("err_type", lambda t: pc.equal(t["event_type"],
+                                        pa.scalar("error")).to_numpy(
+                                            zero_copy_only=False)),
+        ("high_value", lambda t: t["value"].to_numpy() > 400.0),
+        ("tiny_value", lambda t: t["value"].to_numpy() < 0.05),
+    ]
+    flagged = validate_rows(ds, rules)
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        names = [n for n, _ in rules] + ["clean"]
+        vals = [int(pc.sum(pc.cast(t[f"bad_{n}"], pa.int64())).as_py()
+                    or 0) for n, _ in rules]
+        vals.append(int(pc.sum(pc.cast(pc.equal(t["n_bad"], 0),
+                                       pa.int64())).as_py() or 0))
+        return pa.table({"rule": pa.array(names, pa.string()),
+                         "n": pa.array(vals, pa.int64())})
+
+    df = _for_agg(flagged.map_batches(cnt_partial,
+                                      batch_format="pyarrow")) \
+        .groupby("rule").aggregate(Sum("n", alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    return df.sort_values("rule").reset_index(drop=True)
+
+
+EVENTS_CONTRACT_SQL = """
+SELECT 'clean' AS rule,
+       CAST(SUM(CASE WHEN event_type <> 'error' AND value <= 400
+                      AND value >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM events
+UNION ALL
+SELECT 'err_type', CAST(SUM(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'high_value', CAST(SUM(CASE WHEN value > 400
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'tiny_value', CAST(SUM(CASE WHEN value < 0.05
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+ORDER BY rule
+"""
+
+
+def lineitem_profile(sf_dir: str) -> pd.DataFrame:
+    """Dataset profiling (the ingest-time stats report): per-column
+    row/null counts and min/max for lineitem's numeric measures, all in
+    ONE streaming pass of per-batch partials (4 columns × blocks rows
+    reach the combine). Min/max compare STORED values — no arithmetic —
+    so the profile is bit-exact against SQL."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {"col_name": [], "n": [], "n_null": [], "mn": [],
+                "mx": []}
+        for c in cols:
+            col = t[c]
+            rows["col_name"].append(c)
+            rows["n"].append(len(col))
+            rows["n_null"].append(col.null_count)
+            rows["mn"].append(pc.min(col).as_py())
+            rows["mx"].append(pc.max(col).as_py())
+        return pa.table({"col_name": pa.array(rows["col_name"],
+                                              pa.string()),
+                         "n": pa.array(rows["n"], pa.int64()),
+                         "n_null": pa.array(rows["n_null"], pa.int64()),
+                         "mn": pa.array(rows["mn"], pa.float64()),
+                         "mx": pa.array(rows["mx"], pa.float64())})
+
+    from ray.data.aggregate import Max as _Max, Min as _Min
+    df = _for_agg(ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("col_name").aggregate(
+            Sum("n", alias_name="n"), Sum("n_null", alias_name="n_null"),
+            _Min("mn", alias_name="mn"), _Max("mx", alias_name="mx")) \
+        .to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    df["n_null"] = df["n_null"].astype(np.int64)
+    return df.sort_values("col_name").reset_index(drop=True)
+
+
+LINEITEM_PROFILE_SQL = """
+SELECT 'l_discount' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(l_discount) AS BIGINT) AS n_null,
+       MIN(l_discount) AS mn, MAX(l_discount) AS mx FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+       MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+       MIN(l_quantity), MAX(l_quantity) FROM lineitem
+UNION ALL
+SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+       MIN(l_tax), MAX(l_tax) FROM lineitem
+ORDER BY col_name
+"""
+
+
 def events_daily_ma7(sf_dir: str) -> pd.DataFrame:
     """Time-series smoothing: per-day event totals with a 7-ROW trailing
     moving average (the ops-dashboard shape). The corpus reduces to
@@ -5325,6 +5438,8 @@ REGISTRY: dict = {
                                    PRICE_PERCENTILES_SQL),
     "event_outliers": (event_outliers, EVENT_OUTLIERS_SQL),
     "events_daily_ma7": (events_daily_ma7, EVENTS_MA7_SQL),
+    "events_contract_check": (events_contract_check, EVENTS_CONTRACT_SQL),
+    "lineitem_profile": (lineitem_profile, LINEITEM_PROFILE_SQL),
     "event_value_p95": (event_value_p95, EVENT_P95_SQL),
     "label_centroids_embeddings": (label_centroids_embeddings,
                                    LABEL_CENTROIDS_SQL),

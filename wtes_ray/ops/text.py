@@ -307,6 +307,35 @@ def chunk_documents(ds: ray.data.Dataset, *, window: int = 512,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+_WS_RUN_RE = re.compile(r"[ \t\n\r]+")
+
+
+def normalize_text(ds: ray.data.Dataset, *, text_col: str = "text",
+                   id_col: str = "doc_id") -> ray.data.Dataset:
+    """Canonical text normalization (the first cleaning pass of a corpus
+    build): Unicode NFC + collapse whitespace runs to single spaces +
+    strip. The whitespace class is the explicit ``[ \\t\\n\\r]`` —
+    shared verbatim with the SQL oracle so Python's Unicode-aware
+    ``\\s`` vs RE2's ASCII ``\\s`` can never diverge (the stopword_stats
+    lesson, applied preemptively). NULL text normalizes to ''.
+    Stateless vectorized map_batches; emits (id, norm_text,
+    changed flag)."""
+    import unicodedata
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        out = [_WS_RUN_RE.sub(" ", unicodedata.normalize("NFC", t))
+               .strip() for t in texts]
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "norm_text": out,
+            "changed": pd.Series(
+                [a != b for a, b in zip(out, texts)],
+                index=batch.index, dtype=bool)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 # PII patterns pinned to the RE2-compatible subset (no lookaround, no
 # backrefs) and re.ASCII so Python `re` and DuckDB regexp_replace agree
 # token-for-token; applied in list order, each on the PREVIOUS pattern's

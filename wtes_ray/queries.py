@@ -4678,6 +4678,44 @@ _PII_INJECT = (" Contact jane.doe@example.com or +1 555-123-4567"
                " from 10.0.0.1.")
 
 
+def normalize_docs(sf_dir: str) -> pd.DataFrame:
+    """Canonical text normalization (ops/text.normalize_text): NFC +
+    whitespace-run collapse + strip over every doc. Every 9th doc gets
+    deterministic messy whitespace planted first (mirrored in SQL) so
+    the normalizer has real work; the value-hash pins the exact
+    normalized strings."""
+    from .ops.text import normalize_text
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def messy(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        mask = (df["doc_id"] % 9 == 0)
+        df = df.copy()
+        df["text"] = t.where(~mask, "  " + t + " \t extra\n\nspace  ")
+        return df
+
+    out = normalize_text(ds.map_batches(messy, batch_format="pandas")) \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+NORMALIZE_DOCS_SQL = r"""
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN '  ' || coalesce(text, '') || ' ' || chr(9)
+                   || ' extra' || chr(10) || chr(10) || 'space  '
+              ELSE coalesce(text, '') END AS t
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(t), '[ \t\n\r]+', ' ', 'g'))
+         AS norm_text,
+       (trim(regexp_replace(nfc_normalize(t), '[ \t\n\r]+', ' ', 'g'))
+        <> t) AS changed
+FROM v ORDER BY doc_id
+"""
+
+
 def pii_redact_docs(sf_dir: str) -> pd.DataFrame:
     """PII scrub (ops/text.redact_pii): emails / phones / IPv4 literals →
     placeholder tokens with per-category replacement counts. The corpus
@@ -5424,6 +5462,7 @@ REGISTRY: dict = {
     "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "pii_redact_docs": (pii_redact_docs, _pii_sql()),
+    "normalize_docs": (normalize_docs, NORMALIZE_DOCS_SQL),
     "quality_funnel_docs": (quality_funnel_docs, QUALITY_FUNNEL_SQL),
     "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "bloom_semi_revenue": (bloom_semi_revenue, BLOOM_SEMI_SQL),

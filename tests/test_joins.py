@@ -238,3 +238,29 @@ def test_bloom_semi_prefilter_no_false_negatives(ray_session):
     assert set(big.loc[member, "v"]) <= set(out["v"])
     # and the filter actually filtered (fp rate far below 50%)
     assert len(out) < 0.5 * len(big)
+
+
+def test_join_output_blocks_contain_complete_key_groups(ray_session):
+    """The q21/per-group-finish contract: bucketed_hash_join's output
+    blocks are its hash buckets, so EVERY key's rows live in exactly one
+    block — a map_batches(batch_size=None) over the join output may
+    legally finish per-key logic without another exchange."""
+    import pyarrow as pa
+    import ray
+
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({"k": rng.randint(0, 300, size=3000),
+                         "v": np.arange(3000)})
+    right = pd.DataFrame({"k": np.arange(300), "w": np.arange(300) * 10})
+    out = bucketed_hash_join(
+        rd.from_pandas(left).repartition(7),
+        rd.from_pandas(right).repartition(3), "k", num_buckets=16)
+    blocks = [pa.Table.from_pandas(b) if not isinstance(b, pa.Table) else b
+              for b in ray.get(out.to_arrow_refs())]
+    seen = {}
+    for i, b in enumerate(blocks):
+        for k in set(b["k"].to_pylist()):
+            assert seen.setdefault(k, i) == i, \
+                f"key {k} split across blocks {seen[k]} and {i}"
+    # and nothing was lost
+    assert sum(b.num_rows for b in blocks) == len(left)

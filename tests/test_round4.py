@@ -1,0 +1,85 @@
+"""Round-4 pins: MinHash banding-exchange slimming (VERDICT r3 item 3)
+and the post-combine est_jaccard attach paths."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from wtes_ray.ops import dedup as D
+
+
+@pytest.fixture(scope="module")
+def mh_docs(ray_session):
+    import ray.data
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight")
+    rows = []
+    for i in range(30):
+        if i in (0, 5, 6):
+            text = base
+        elif i == 7:
+            text = base.replace("dark", "damp")
+        else:
+            text = f"document number {i} " + " ".join(
+                f"tok{i}_{j}" for j in range(30))
+        rows.append({"doc_id": i, "text": text})
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_minhash_exchange_slim():
+    """The banding exchange must carry (band, band_hash, id) ONLY — the
+    64-lane signature must NOT ride it (it used to replicate ×bands)."""
+    m = D.MinHasher(num_perm=64, shingle_k=5)
+    batch = pd.DataFrame({"doc_id": [1, 2, 3]})
+    batch = m(pd.DataFrame({"doc_id": [1, 2, 3],
+                            "text": ["alpha beta gamma " * 5,
+                                     "delta epsilon " * 7, "zeta " * 9]}))
+    t = D._band_rows(batch, bands=16, rows_per_band=4, id_col="doc_id")
+    assert t.column_names == ["band", "band_hash", "doc_id"]
+    assert "sig" not in t.column_names
+    # 3 fixed-width int64 columns: ~24 B/row on the exchange (the old row
+    # carried 8·64 B of signature + a 16-char hex hash ≈ 550 B/row)
+    assert t.nbytes / t.num_rows <= 40
+    # deterministic: equal band chunks ⇒ equal band_hash
+    t2 = D._band_rows(batch, bands=16, rows_per_band=4, id_col="doc_id")
+    assert t.equals(t2)
+
+
+def test_attach_est_driver_matches_join_path(ray_session, mh_docs):
+    """est_jaccard attach: broadcast/driver path == bucketed-join path."""
+    import ray.data as rd
+
+    sigs = mh_docs.map_batches(D.MinHasher(), batch_format="pandas") \
+                  .materialize()
+    pairs = rd.from_pandas(pd.DataFrame({
+        "a": [0, 0, 5, 0, 1],
+        "b": [5, 6, 6, 7, 2],
+        "truncated": [False] * 5}))
+    got_drv = D._attach_est_jaccard(pairs, sigs, id_col="doc_id",
+                                    threshold=0.6).to_pandas()
+    got_join = D._attach_est_jaccard(pairs, sigs, id_col="doc_id",
+                                     threshold=0.6,
+                                     driver_max_rows=0).to_pandas()
+    for df in (got_drv, got_join):
+        df.sort_values(["a", "b"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+        df["a"] = df["a"].astype("int64")
+        df["b"] = df["b"].astype("int64")
+    pd.testing.assert_frame_equal(got_drv, got_join, check_like=True)
+    # exact dups agree on every signature lane; unrelated (1,2) filtered out
+    exact = got_drv[(got_drv.a == 0) & (got_drv.b == 5)]
+    assert float(exact["est_jaccard"].iloc[0]) == 1.0
+    assert not ((got_drv.a == 1) & (got_drv.b == 2)).any()
+
+
+def test_minhash_pair_set_unchanged(mh_docs):
+    """End-to-end pair set identical to the pre-rework semantics: the
+    exact-dup triangle plus the near-dup, nothing else."""
+    pairs = D.minhash_lsh_pairs(mh_docs, threshold=0.6,
+                                concurrency=1).to_pandas()
+    got = {tuple(p) for p in pairs[["a", "b"]].itertuples(index=False)}
+    assert {(0, 5), (0, 6), (5, 6)} <= got
+    assert all({a, b} <= {0, 5, 6, 7} for a, b in got)
+    assert (pairs.columns == ["a", "b", "est_jaccard", "truncated"]).all()
+    tri = pairs[(pairs.a.isin([0, 5])) & (pairs.b.isin([5, 6]))]
+    assert (tri["est_jaccard"] == 1.0).all()

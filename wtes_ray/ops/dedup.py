@@ -113,16 +113,21 @@ def _grouped_exchange(ds: ray.data.Dataset, bucket_key: str, block_fn, *,
              .groupby("__bucket").map_groups(run, batch_format="pandas")
 
 
-def _combine_pairs_block(g: pd.DataFrame, val_col: str) -> pa.Table:
+def _combine_pairs_block(g: pd.DataFrame, val_col: str | None) -> pa.Table:
     """Per-bucket (a, b) pair dedup: ``val_col`` is identical across a
     pair's duplicate rows (computed from the full signatures/vectors, not
-    the band), ``truncated`` is per-source-bucket so any-True wins."""
+    the band), ``truncated`` is per-source-bucket so any-True wins.
+    ``val_col=None`` for pair sets that carry no score yet (MinHash — the
+    estimate attaches AFTER combining, see ``_attach_est_jaccard``)."""
+    aggs = ({} if val_col is None
+            else {val_col: (val_col, "first")})
+    aggs["truncated"] = ("truncated", "any")
     out = g.sort_values(["a", "b"]).groupby(["a", "b"], as_index=False) \
-           .agg(**{val_col: (val_col, "first"), "truncated": ("truncated", "any")})
+           .agg(**aggs)
     return _arrow(out)
 
 
-def _combine_pairs(pairs: ray.data.Dataset, val_col: str, *,
+def _combine_pairs(pairs: ray.data.Dataset, val_col: str | None, *,
                    driver_max_rows: int = 200_000) -> ray.data.Dataset:
     """Cross-bucket (a, b) pair dedup (a pair that collides in several
     bands/buckets emits once per collision; this keeps one row per pair).
@@ -316,6 +321,115 @@ class MinHasher:
         })
 
 
+def _band_rows(batch: pd.DataFrame, bands: int, rows_per_band: int,
+               id_col: str) -> pa.Table:
+    """(id, sig) batch → banding-exchange rows (band, band_hash, id) — the
+    ONLY columns that ride the LSH shuffle. The signature itself stays in
+    the materialized signature table (tested: test_minhash_exchange_slim)."""
+    if len(batch) == 0:
+        return pa.table({
+            "band": pa.array([], pa.int64()),
+            "band_hash": pa.array([], pa.int64()),
+            id_col: pa.array([], _id_type(batch[id_col]))})
+    ids = batch[id_col].tolist()
+    sig_mat = np.asarray(batch["sig"].tolist(), dtype=np.int64)
+    out = {"band": [], "band_hash": [], id_col: []}
+    for band in range(bands):
+        chunks = sig_mat[:, band * rows_per_band:(band + 1) * rows_per_band]
+        out["band"].extend([band] * len(ids))
+        # 8-byte blake2b of the band chunk as int64 (was a 16-char hex
+        # string — same collision behavior, a third of the bytes)
+        out["band_hash"].extend(
+            int.from_bytes(
+                hashlib.blake2b(c.tobytes(), digest_size=8).digest(),
+                "little", signed=True)
+            for c in chunks)
+        out[id_col].extend(ids)
+    df = pd.DataFrame(out)
+    df["band_hash"] = df["band_hash"].astype("int64")
+    return _arrow(df)
+
+
+def _attach_est_jaccard(pairs: ray.data.Dataset, sigs: ray.data.Dataset, *,
+                        id_col: str, threshold: float,
+                        driver_max_rows: int = 200_000) -> ray.data.Dataset:
+    """Attach ``est_jaccard`` (full-signature agreement fraction) to
+    combined candidate pairs and filter by ``threshold``.
+
+    This runs AFTER band-bucket pair formation so the banding exchange
+    carries (band, band_hash, id) only — the 64-lane signature never rides
+    it (it used to replicate ×bands, 16× the needed volume; VERDICT r3).
+    The estimate is a pure function of the two signatures, so computing it
+    here yields the exact pair set the in-bucket computation did.
+
+    Size dispatch mirrors ``_combine_pairs``: below ``driver_max_rows``
+    the candidate id set broadcasts (``ray.put``), the corpus-sized
+    ``sigs`` is filtered to candidate rows WITHOUT a shuffle, and the
+    candidate-sized signature map attaches on the driver. Above it, two
+    id-keyed bucketed hash joins attach the signatures — ``sigs`` then
+    shuffles exactly ONCE (vs ×bands before)."""
+    import ray as _ray
+    from .joins import _arrow_schema, bucketed_hash_join
+
+    pairs = pairs.materialize()     # candidate-sized by the LSH contract
+    n = pairs.count()
+    schema = _arrow_schema(pairs)
+    out_fields = [schema.field("a"), schema.field("b"),
+                  pa.field("est_jaccard", pa.float64()),
+                  schema.field("truncated")]
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_fields}))
+
+    def est_of(sig_a, sig_b) -> float:
+        return float((np.asarray(sig_a, dtype=np.int64)
+                      == np.asarray(sig_b, dtype=np.int64)).mean())
+
+    if n <= driver_max_rows:
+        pdf = pairs.to_pandas()
+        ids = set(pdf["a"]) | set(pdf["b"])
+        id_ref = _ray.put(ids)
+
+        def pick(t: pa.Table) -> pa.Table:
+            wanted = _ray.get(id_ref)
+            mask = pd.Index(
+                t.column(id_col).to_numpy(zero_copy_only=False)).isin(wanted)
+            return t.filter(pa.array(mask))
+
+        cand = sigs.map_batches(pick, batch_format="pyarrow").take_all()
+        sigmap = {r[id_col]: np.asarray(r["sig"], dtype=np.int64)
+                  for r in cand}
+        pdf["est_jaccard"] = [
+            float((sigmap[a] == sigmap[b]).mean())
+            for a, b in zip(pdf["a"], pdf["b"])]
+        pdf = pdf[pdf["est_jaccard"] >= threshold]
+        pdf = pdf[["a", "b", "est_jaccard", "truncated"]]
+        return ray.data.from_arrow(_arrow(pdf))
+
+    sig_t = pa.list_(pa.int64())
+    sig_a = sigs.map_batches(lambda t: t.rename_columns(["a", "__sa"]),
+                             batch_format="pyarrow")
+    sig_b = sigs.map_batches(lambda t: t.rename_columns(["b", "__sb"]),
+                             batch_format="pyarrow")
+    sa = pa.schema([("a", schema.field("a").type), ("__sa", sig_t)])
+    sb = pa.schema([("b", schema.field("b").type), ("__sb", sig_t)])
+    with_a = bucketed_hash_join(pairs, sig_a, "a",
+                                left_schema=schema, right_schema=sa)
+    mid = pa.schema([schema.field("a")]
+                    + [schema.field(x) for x in schema.names if x != "a"]
+                    + [pa.field("__sa", sig_t)])
+    with_b = bucketed_hash_join(with_a, sig_b, "b",
+                                left_schema=mid, right_schema=sb)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df["est_jaccard"] = [est_of(x, y)
+                             for x, y in zip(df["__sa"], df["__sb"])]
+        df = df[df["est_jaccard"] >= threshold]
+        return df[["a", "b", "est_jaccard", "truncated"]]
+
+    return with_b.map_batches(score, batch_format="pandas")
+
+
 def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5,
@@ -327,68 +441,53 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     Returns (a, b, est_jaccard, truncated) with a < b, deduplicated; the
     Jaccard estimate is the signature agreement fraction (texts never enter
     the shuffle). ``mode`` picks the shingle unit: ``"char"`` k-char
-    windows (default), ``"word"`` k-word n-grams (see :class:`MinHasher`)."""
+    windows (default), ``"word"`` k-word n-grams (see :class:`MinHasher`).
+
+    Exchange shape (VERDICT r3 fix): the banding exchange carries
+    (band:int64, band_hash:int64, id) ONLY — 24ish bytes/row instead of
+    the signature replicated into every band row (8·num_perm = 512 B ×
+    bands = 8 KB/doc of pure replication at the defaults). The signature
+    table (one row/doc, the op's real working set) is materialized once
+    and re-read twice: by the banding explode and by the post-combine
+    ``est_jaccard`` attach (:func:`_attach_est_jaccard`). Pair SURVIVAL
+    is unchanged — the estimate is a pure function of the two signatures,
+    so filtering after pair formation keeps exactly the pairs the old
+    in-bucket filter kept, and ``truncated`` still reflects the capped
+    source buckets (pairs only form among each bucket's ``max_bucket``
+    lowest ids, exactly as before)."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         stateless(MinHasher, text_col=text_col, id_col=id_col,
                   num_perm=num_perm, shingle_k=shingle_k, seed=seed,
                   mode=mode),
-        batch_format="pandas", **task_concurrency(concurrency))
+        batch_format="pandas", **task_concurrency(concurrency)) \
+        .materialize()
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pa.table({
-                "band": pa.array([], pa.int64()),
-                "band_hash": pa.array([], pa.string()),
-                id_col: pa.array([], _id_type(batch[id_col])),
-                "sig": pa.array([], pa.list_(pa.int64()))})
-        ids = batch[id_col].tolist()
-        sig_list = batch["sig"].tolist()
-        sig_mat = np.asarray(sig_list, dtype=np.int64)
-        out = {"band": [], "band_hash": [], id_col: [], "sig": []}
-        for band in range(bands):
-            chunks = sig_mat[:, band * rows_per_band:(band + 1) * rows_per_band]
-            out["band"].extend([band] * len(ids))
-            out["band_hash"].extend(
-                hashlib.blake2b(c.tobytes(), digest_size=8).hexdigest()
-                for c in chunks)
-            out[id_col].extend(ids)
-            out["sig"].extend(sig_list)
-        return _arrow(pd.DataFrame(out))
-
-    exploded = sigs.map_batches(explode, batch_format="pandas")
+    exploded = sigs.map_batches(
+        lambda b: _band_rows(b, bands, rows_per_band, id_col),
+        batch_format="pandas")
 
     def pairs_block(g: pd.DataFrame) -> pa.Table:
         # one hash BUCKET of (band, band_hash) groups; singleton groups —
         # the overwhelming majority — drop in one vectorized pass
         g = g[g.duplicated(["band", "band_hash"], keep=False)]
-        out = {"a": [], "b": [], "est_jaccard": [], "truncated": []}
+        out = {"a": [], "b": [], "truncated": []}
         for _, grp in g.groupby(["band", "band_hash"], sort=False):
             truncated = len(grp) > max_bucket
             # sort before truncating: Ray's exchange does not guarantee
             # stable within-group row order, so an order-based cut would
             # make the SURVIVING candidates (not just the flag) vary run
             # to run
-            grp = grp.sort_values(id_col).iloc[:max_bucket]
-            sigs = np.stack([np.asarray(s, dtype=np.int64)
-                             for s in grp["sig"]])
-            ids = grp[id_col].tolist()
+            ids = grp[id_col].sort_values().iloc[:max_bucket] \
+                             .drop_duplicates().tolist()
             for i in range(len(ids)):
-                est = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-                for j_off, e in enumerate(est):
-                    if e >= threshold:
-                        x, y = ids[i], ids[i + 1 + j_off]
-                        if x == y:
-                            continue
-                        a, b = (x, y) if x < y else (y, x)
-                        out["a"].append(a)
-                        out["b"].append(b)
-                        out["est_jaccard"].append(float(e))
-                        out["truncated"].append(truncated)
+                for j in range(i + 1, len(ids)):
+                    out["a"].append(ids[i])
+                    out["b"].append(ids[j])
+                    out["truncated"].append(truncated)
         if not out["a"]:
             return _arrow(pd.DataFrame(
                 {"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0],
-                 "est_jaccard": pd.Series([], dtype="float64"),
                  "truncated": pd.Series([], dtype="bool")}))
         return _arrow(pd.DataFrame(out))
 
@@ -397,7 +496,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     pairs = _grouped_exchange(_consolidate(exploded), "band_hash",
                               pairs_block)
 
-    return _combine_pairs(pairs, "est_jaccard")
+    return _attach_est_jaccard(_combine_pairs(pairs, None),
+                               sigs, id_col=id_col, threshold=threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -5343,8 +5343,208 @@ ORDER BY ROUND(SUM(s), 6) DESC, doc_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H q2 / q11 over a DERIVED deterministic partsupp (the testdata ships
+# no partsupp table — VERDICT r3 item 4). Each part gets 4 suppliers via the
+# rotation (p + p//S + i·(S//4)) % S (distinct for S ≥ 4, dbgen-flavored),
+# and availqty / supplycost draw from the md5 ≡ DuckDB md5_number_lower
+# convention the media headers use, so a SQL CTE reproduces the table
+# bit-exactly. supplycost is an INTEGER-VALUED double (100..100000) and
+# availqty an int, so every min/sum/threshold comparison is float64-EXACT
+# on both sides (products ≤ 1e9, sums ≪ 2^53).
+# ---------------------------------------------------------------------------
+
+def _ps_rows(partkeys: np.ndarray, s_cnt: int, *,
+             want_avail: bool = True) -> pd.DataFrame:
+    """Derived partsupp rows for a batch of part keys (4 per part)."""
+    from .ops.multimodal import _md5_u64
+
+    reps = np.repeat(np.asarray(partkeys, dtype=np.int64), 4)
+    i = np.tile(np.arange(4, dtype=np.int64), len(partkeys))
+    supp = (reps + reps // s_cnt + i * (s_cnt // 4)) % s_cnt
+    out = {"ps_partkey": reps, "ps_suppkey": supp,
+           "ps_supplycost": np.fromiter(
+               (100 + _md5_u64(f"pscost:{p}:{s}") % 99901
+                for p, s in zip(reps, supp)),
+               dtype=np.float64, count=len(reps))}
+    if want_avail:
+        out["ps_availqty"] = np.fromiter(
+            (1 + _md5_u64(f"psav:{p}:{s}") % 9999
+             for p, s in zip(reps, supp)),
+            dtype=np.int64, count=len(reps))
+    return pd.DataFrame(out)
+
+
+_PS_CTE = """
+s_cnt AS (SELECT COUNT(*) AS s FROM supplier),
+ps AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST(100 + md5_number_lower('pscost:' ||
+              CAST(ps_partkey AS VARCHAR) || ':' ||
+              CAST(ps_suppkey AS VARCHAR)) % 99901 AS DOUBLE)
+           AS ps_supplycost,
+         CAST(1 + md5_number_lower('psav:' ||
+              CAST(ps_partkey AS VARCHAR) || ':' ||
+              CAST(ps_suppkey AS VARCHAR)) % 9999 AS BIGINT)
+           AS ps_availqty
+  FROM (SELECT p_partkey AS ps_partkey,
+               (p_partkey + p_partkey // s + i * (s // 4)) % s AS ps_suppkey
+        FROM part, s_cnt,
+             (SELECT unnest(generate_series(0, 3)) AS i))
+)
+"""
+
+
+def q2_min_cost_supplier(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """TPC-H Q2-shaped min-cost supplier (adapted filters: p_size ≤ 15 AND
+    p_type = 'LARGE', region EUROPE): for each qualifying part, the EUROPE
+    suppliers achieving its minimum derived supplycost.
+
+    Scale shape: a part's 4 partsupp rows derive IN-BATCH from its key, so
+    the whole correlated-min runs inside one ``map_batches`` over the
+    filtered part table — no exchange at all. The EUROPE supplier map
+    (supplier ⋈ nation ⋈ region, dimensions) broadcasts under the footer
+    row-count budget; the final sort+limit finishes on the driver over the
+    candidate rows (≤ 4 × the selectively-filtered parts)."""
+    for dim in ("supplier", "nation", "region"):
+        assert _n_rows(sf_dir, dim) <= broadcast_rows_budget, \
+            "swap the dimension attach to a bucketed join above the budget"
+    s_cnt = _n_rows(sf_dir, "supplier")
+    sup = pq.read_table(_t(sf_dir, "supplier")).to_pandas()
+    nat = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    eu = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey") \
+            .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    eu = eu[eu["r_name"] == "EUROPE"]
+    emap = {k: (nm, ab, nn) for k, nm, ab, nn in zip(
+        eu["s_suppkey"], eu["s_name"], eu["s_acctbal"], eu["n_name"])}
+    eref = ray.put(emap)
+
+    def winners(t: pa.Table) -> pa.Table:
+        m = ray.get(eref)
+        df = t.to_pandas()
+        df = df[(df["p_size"] <= 15) & (df["p_type"] == "LARGE")]
+        if len(df) == 0:
+            return _arrow(pd.DataFrame({
+                "s_acctbal": pd.Series([], dtype="float64"),
+                "s_name": pd.Series([], dtype="object"),
+                "n_name": pd.Series([], dtype="object"),
+                "p_partkey": pd.Series([], dtype="int64"),
+                "p_brand": pd.Series([], dtype="object"),
+                "ps_supplycost": pd.Series([], dtype="float64")}))
+        ps = _ps_rows(df["p_partkey"].to_numpy(), s_cnt, want_avail=False)
+        ps = ps[ps["ps_suppkey"].isin(m)]
+        # per-part min cost among EUROPE suppliers; integer-valued doubles
+        # make the equality cut exact
+        mins = ps.groupby("ps_partkey")["ps_supplycost"].transform("min")
+        win = ps[ps["ps_supplycost"] == mins]
+        win = win.merge(df[["p_partkey", "p_brand"]],
+                        left_on="ps_partkey", right_on="p_partkey")
+        info = win["ps_suppkey"].map(m)
+        return _arrow(pd.DataFrame({
+            "s_acctbal": info.str[1].astype(np.float64),
+            "s_name": info.str[0],
+            "n_name": info.str[2],
+            "p_partkey": win["p_partkey"].astype(np.int64),
+            "p_brand": win["p_brand"],
+            "ps_supplycost": win["ps_supplycost"].astype(np.float64)}))
+
+    cand = _read_pq(_t(sf_dir, "part"),
+                    columns=["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .map_batches(winners, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                           ascending=[False, True, True, True]).head(100)
+    return out.reset_index(drop=True)
+
+
+Q2_SQL = f"""
+WITH {_PS_CTE},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cand AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+  FROM part
+  JOIN ps ON ps_partkey = p_partkey
+  JOIN eu ON s_suppkey = ps_suppkey
+  WHERE p_size <= 15 AND p_type = 'LARGE'),
+mins AS (
+  SELECT p_partkey, MIN(ps_supplycost) AS mc
+  FROM cand GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM cand JOIN mins USING (p_partkey)
+WHERE ps_supplycost = mc
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_stock(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """TPC-H Q11-shaped grouped value with self-relative HAVING (adapted:
+    nation NATION_3 (present at every sf); threshold = 2× the mean per-part value, the same
+    data-adaptive form as q20 — the 0.0001-of-total form is sf-bound):
+    per-part stock value SUM(supplycost·availqty) over NATION_3 suppliers.
+
+    Scale shape: partsupp rows derive in-batch from the part keys; the
+    NATION_3 supplier set broadcasts (dimension); per-batch partial sums
+    pre-reduce the exchange to (partkey, value) rows; one small groupby
+    finishes, and the threshold/sort run on the driver over the grouped
+    result (≤ #parts rows). All terms are integer-valued doubles, so the
+    sums and the strict > cut are float64-exact."""
+    for dim in ("supplier", "nation"):
+        assert _n_rows(sf_dir, dim) <= broadcast_rows_budget, \
+            "swap the dimension attach to a bucketed join above the budget"
+    s_cnt = _n_rows(sf_dir, "supplier")
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    n7 = set(sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+             .query("n_name == 'NATION_3'")["s_suppkey"])
+    n7ref = ray.put(n7)
+
+    def partial(t: pa.Table) -> pa.Table:
+        wanted = ray.get(n7ref)
+        ps = _ps_rows(t["p_partkey"].to_numpy(), s_cnt)
+        ps = ps[ps["ps_suppkey"].isin(wanted)]
+        ps["stock_value"] = ps["ps_supplycost"] * ps["ps_availqty"]
+        return _arrow(ps.groupby("ps_partkey", as_index=False)
+                      ["stock_value"].sum())
+
+    g = _for_agg(_read_pq(_t(sf_dir, "part"), columns=["p_partkey"])
+                 .map_batches(partial, batch_format="pyarrow")) \
+        .groupby("ps_partkey") \
+        .aggregate(Sum("stock_value", alias_name="stock_value")).to_pandas()
+    thr = 2.0 * g["stock_value"].sum() / len(g)
+    out = g[g["stock_value"] > thr]
+    return out.sort_values(["stock_value", "ps_partkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+Q11_SQL = f"""
+WITH {_PS_CTE},
+n7 AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+g AS (
+  SELECT ps_partkey, SUM(ps_supplycost * ps_availqty) AS stock_value
+  FROM ps JOIN n7 ON s_suppkey = ps_suppkey
+  GROUP BY 1)
+SELECT ps_partkey, stock_value FROM g
+WHERE stock_value > (SELECT 2.0 * SUM(stock_value) / COUNT(*) FROM g)
+ORDER BY stock_value DESC, ps_partkey
+"""
+
+
 REGISTRY: dict = {
     "lm_quality_docs": (lm_quality_docs, LM_QUALITY_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
     "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
     "pq_codes_embeddings": (pq_codes_embeddings, PQ_CODES_SQL),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_SQL),

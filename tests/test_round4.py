@@ -42,6 +42,58 @@ def test_ps_rows_matches_sql_cte():
     assert (got.groupby("ps_partkey")["ps_suppkey"].nunique() == 4).all()
 
 
+def test_duplicate_spans_hand_case(ray_session):
+    """Exact substring dedup (ops/substr.py): a 6-token passage planted in
+    3 of 10 docs at token position 5 → one merged span [5, 11) of 2
+    windows per planted doc; strip removes exactly those tokens."""
+    import ray.data as rd
+
+    from wtes_ray.ops.substr import duplicate_spans, strip_duplicate_spans
+
+    passage = "shared passage alpha beta gamma delta".split()
+    rows = []
+    for i in range(10):
+        body = [f"tok{i}_{j}" for j in range(8)]
+        if i in (2, 5, 7):
+            body = body[:4] + passage + body[4:]
+        rows.append({"doc_id": i, "text": " ".join(body)})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    sp = duplicate_spans(ds, min_len=5).to_pandas() \
+        .sort_values(["doc_id", "start_tok"]).reset_index(drop=True)
+    assert sp["doc_id"].tolist() == [2, 5, 7]
+    assert sp["start_tok"].tolist() == [5] * 3
+    assert sp["end_tok"].tolist() == [11] * 3
+    assert sp["n_windows"].tolist() == [2] * 3
+
+    clean = strip_duplicate_spans(ds, min_len=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(clean) == 10     # every doc emits, planted or not
+    for i in range(10):
+        assert clean.loc[i, "clean_text"] == " ".join(
+            f"tok{i}_{j}" for j in range(8))
+
+
+def test_duplicate_spans_within_doc_repeat(ray_session):
+    """Within-doc repeats count toward min_count (Lee et al.: 'appears
+    more than once'), and overlapping windows merge into one span."""
+    import ray.data as rd
+
+    from wtes_ray.ops.substr import duplicate_spans
+
+    rep = "aa bb cc dd".split()
+    toks = rep + ["x1", "x2", "x3"] + rep
+    ds = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": 0, "text": " ".join(toks)},
+         {"doc_id": 1, "text": "unrelated words only here"}]))
+    sp = duplicate_spans(ds, min_len=4).to_pandas() \
+        .sort_values(["doc_id", "start_tok"]).reset_index(drop=True)
+    # the 4-gram "aa bb cc dd" occurs at pos 1 and pos 8 of doc 0 only
+    assert sp["doc_id"].tolist() == [0, 0]
+    assert sp["start_tok"].tolist() == [1, 8]
+    assert sp["end_tok"].tolist() == [5, 12]
+
+
 def test_q2_q11_match_oracle_sql(ray_session):
     from wtes_ray import queries as Q
 

@@ -193,15 +193,18 @@ def exact_dedup_ids(ds: ray.data.Dataset, text_col: str = "text",
 _POLY_BASE = _U64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
 
 
-def _rolling_poly(vals: np.ndarray, k: int) -> np.ndarray:
+def _rolling_poly(vals: np.ndarray, k: int, *,
+                  base: np.uint64 = _POLY_BASE) -> np.ndarray:
     """64-bit hashes of every k-length window of ``vals`` (uint64) — a
     rolling polynomial with a splitmix64-style final avalanche, one numpy
-    pass per window position (k is small: k vector passes total)."""
+    pass per window position (k is small: k vector passes total).
+    ``base`` picks the polynomial lane (ops/substr.py runs a second,
+    independent lane for a ~128-bit effective gram key)."""
     n = len(vals) - k + 1
     with np.errstate(over="ignore"):
         h = np.zeros(n, dtype=_U64)
         for j in range(k):
-            h = h * _POLY_BASE + vals[j:j + n]
+            h = h * base + vals[j:j + n]
         h ^= h >> _U64(30)
         h *= _U64(0xBF58476D1CE4E5B9)
         h ^= h >> _U64(27)

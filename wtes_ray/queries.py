@@ -5541,10 +5541,108 @@ ORDER BY stock_value DESC, ps_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact substring dedup (ops/substr.py — Lee et al. 2021 ExactSubstr family,
+# VERDICT r3 item 1). Planted-passage full-value oracles: a fixed 22-word
+# passage is appended to every doc_id % 7 == 0 document identically on both
+# sides; with min_len=20 its windows are the only duplicated grams in the
+# word-soup corpus (and if a natural duplicate ever appeared, both sides
+# would flag it identically — the oracle encodes the DEFINITION, not the
+# plant).
+# ---------------------------------------------------------------------------
+
+_DUP_PASSAGE = ("exact substring deduplication removes long verbatim "
+                "passages repeated across training corpora improving "
+                "language model perplexity and reducing memorization of "
+                "duplicated content measurably")
+
+
+def _docs_with_planted_passage(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = df["doc_id"] % 7 == 0
+        df.loc[m, "text"] = df.loc[m, "text"] + " " + _DUP_PASSAGE
+        return _arrow(df)
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+def duplicate_spans_planted(sf_dir: str) -> pd.DataFrame:
+    from .ops.substr import duplicate_spans
+    sp = duplicate_spans(_docs_with_planted_passage(sf_dir), min_len=20)
+    df = sp.to_pandas().astype({"doc_id": "int64"})
+    return df.sort_values(["doc_id", "start_tok"]).reset_index(drop=True)
+
+
+def strip_dup_spans_planted(sf_dir: str) -> pd.DataFrame:
+    from .ops.substr import strip_duplicate_spans
+    out = strip_duplicate_spans(_docs_with_planted_passage(sf_dir),
+                                min_len=20)
+    df = out.to_pandas().astype({"doc_id": "int64"})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_SUBSTR_CTE = f"""
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' {_DUP_PASSAGE}'
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+         FROM base),
+g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 19)) AS pos, tk
+      FROM toks),
+grams AS (SELECT doc_id, pos,
+                 array_to_string(tk[pos : pos + 19], ' ') AS gram
+          FROM g),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+m AS (SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= 20
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits),
+isl AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM m)
+"""
+
+DUP_SPANS_SQL = f"""
+WITH {_SUBSTR_CTE}
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + 20 AS BIGINT) AS end_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, start_tok
+"""
+
+STRIP_DUP_SQL = f"""
+WITH {_SUBSTR_CTE},
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 20 AS e
+          FROM isl GROUP BY doc_id, island),
+alltok AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk
+           FROM toks),
+kept AS (SELECT a.doc_id, a.i, a.tk[a.i] AS tok
+         FROM alltok a
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = a.doc_id
+                             AND a.i >= s.s AND a.i < s.e))
+SELECT t.doc_id, COALESCE(k.ct, '') AS clean_text
+FROM toks t LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 REGISTRY: dict = {
     "lm_quality_docs": (lm_quality_docs, LM_QUALITY_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "duplicate_spans_planted": (duplicate_spans_planted, DUP_SPANS_SQL),
+    "strip_dup_spans_planted": (strip_dup_spans_planted, STRIP_DUP_SQL),
     "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
     "pq_codes_embeddings": (pq_codes_embeddings, PQ_CODES_SQL),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_SQL),

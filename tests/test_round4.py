@@ -94,6 +94,64 @@ def test_duplicate_spans_within_doc_repeat(ray_session):
     assert sp["end_tok"].tolist() == [5, 12]
 
 
+@pytest.fixture(scope="module")
+def ivfpq_index_dir(ray_session, tmp_path_factory):
+    import ray.data
+
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((120, 16))
+    vecs[7] = vecs[3] + 0.001 * rng.standard_normal(16)
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    d = tmp_path_factory.mktemp("ivfpq_idx")
+    from wtes_ray.ops.similarity import build_ivfpq_index
+    cent, books = build_ivfpq_index(
+        ray.data.from_pandas(df), str(d), vecs[:8], n_centroids=4, m=4,
+        train_size=120)
+    return str(d), cent, books, df
+
+
+def test_ivfpq_full_probe_full_rerank_equals_bruteforce(ivfpq_index_dir):
+    import ray.data
+
+    from wtes_ray.ops.similarity import ivfpq_search_index, topk_cosine
+
+    d, cent, books, df = ivfpq_index_dir
+    q = np.asarray(df["embedding"][3], dtype=np.float64)
+    got = ivfpq_search_index(d, q, k=5, nprobe=4,
+                             shortlist=len(df)).to_pandas()
+    ref = topk_cosine(ray.data.from_pandas(df), q, 5).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  ref.reset_index(drop=True))
+
+
+def test_ivfpq_layout_codes_and_pruned_probe(ivfpq_index_dir):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from wtes_ray.ops.similarity import ivfpq_search_index, pq_decode
+
+    d, cent, books, df = ivfpq_index_dir
+    assert books.shape == (4, 8, 4)          # m × k × dim/m
+    parts = [p for p in os.listdir(d) if p.startswith("centroid_id=")]
+    assert len(parts) >= 2
+    # codes ride as m int8s per vector; quantization error is bounded
+    f = os.path.join(d, parts[0],
+                     sorted(os.listdir(os.path.join(d, parts[0])))[0])
+    t = pq.read_table(f)
+    codes = np.stack(t["codes"].to_numpy(zero_copy_only=False))
+    assert codes.dtype == np.int8 and codes.shape[1] == 4
+    vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    err = np.linalg.norm(pq_decode(codes.astype(np.int64), books) - vecs,
+                         axis=1)
+    assert (err < np.linalg.norm(vecs, axis=1)).all()
+    # nprobe=1 + small shortlist still finds the planted near-dup of vec 3
+    q = np.asarray(df["embedding"][3], dtype=np.float64)
+    got = ivfpq_search_index(d, q, k=2, nprobe=1, shortlist=16).to_pandas()
+    assert set(got["vec_id"]) == {3, 7}
+
+
 def test_q2_q11_match_oracle_sql(ray_session):
     from wtes_ray import queries as Q
 

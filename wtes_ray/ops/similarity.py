@@ -338,22 +338,8 @@ def ivf_search_index(index_dir: str, query: np.ndarray, k: int = 10, *,
     qu = q / (qn if qn else 1.0)
     nprobe = min(nprobe, len(cent))
     probe_list = np.argsort(-(cent @ qu))[:nprobe].tolist()
-    dirs = [os.path.join(index_dir, f"centroid_id={c}") for c in probe_list]
-    # expand to files: Ray's read_parquet treats each element of a path
-    # LIST as a file. Listing only the probed directories is the pruning —
-    # non-probed lists are never even enumerated.
-    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
-             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    # explicit metadata-free schema: the index files carry pandas schema
-    # metadata (unhashable dict → 'Failed to hash the schemas' warnings in
-    # the read); a clean footer-derived schema silences it at the source
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    full = pq.read_schema(paths[0])
-    clean = pa.schema([full.field(c)
-                       for c in (id_col, vec_col)]).remove_metadata()
-    ds = ray.data.read_parquet(paths, columns=[id_col, vec_col],
-                               schema=clean)
+    ds = _clean_read(_probe_paths(index_dir, probe_list),
+                     [id_col, vec_col])
     return topk_cosine(ds, query, k, vec_col=vec_col, id_col=id_col)
 
 
@@ -513,6 +499,154 @@ def pq_codes(ds: ray.data.Dataset, init: np.ndarray, *, m: int = 4,
     for o in outs[1:]:
         codes = codes.union(o)
     return codes, np.stack(books)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed index (VERDICT r3 item 5): PQ codes stored inside the
+# IVF partition layout; search = pruned read of probed lists → asymmetric-
+# distance shortlist over CODES only → exact re-rank of the shortlist.
+# ---------------------------------------------------------------------------
+
+def _probe_paths(index_dir: str, probe_list: list[int]) -> list[str]:
+    """Parquet files of the probed ``centroid_id=K/`` directories only —
+    the read-level pruning (Ray's read_parquet treats LIST elements as
+    files, so partition dirs expand here; non-probed lists are never even
+    enumerated)."""
+    dirs = [os.path.join(index_dir, f"centroid_id={c}") for c in probe_list]
+    return [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+
+def _clean_read(paths: list[str], cols: list[str]) -> ray.data.Dataset:
+    """Column-pruned read with an explicit metadata-free schema (the index
+    files carry pandas schema metadata — unhashable dict → 'Failed to hash
+    the schemas' warnings; see queries._read_pq)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    full = pq.read_schema(paths[0])
+    clean = pa.schema([full.field(c) for c in cols]).remove_metadata()
+    return ray.data.read_parquet(paths, columns=cols, schema=clean)
+
+
+def build_ivfpq_index(ds: ray.data.Dataset, index_dir: str,
+                      pq_init: np.ndarray, *, n_centroids: int = 16,
+                      m: int = 4, iterations: int = 1,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      train_size: int = 4096, iters: int = 8,
+                      seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ index build (Jégou et al. TPAMI 2011 composed with the IVF
+    partition layout): train the coarse quantizer on a bounded sample,
+    train ``m`` per-subspace PQ codebooks distributed (:func:`pq_codes`'s
+    sliced :func:`kmeans_lloyd` runs), then ONE encode pass writes
+    (id, vector, codes) hive-partitioned by ``centroid_id``. Centroids
+    and codebooks persist next to the data (``centroids.npy`` /
+    ``pq_books.npy``) so searches don't retrain.
+
+    At the 100 TB design point the ``codes`` column (m bytes/vector as
+    int8) is what the shortlist stage reads — dim·8 bytes → m bytes per
+    vector scanned, the PQ memory story — and the partition layout keeps
+    the read pruned to probed lists. Returns (centroids, books)."""
+    cent = train_ivf_centroids(ds, n_centroids=n_centroids, vec_col=vec_col,
+                               train_size=train_size, iters=iters, seed=seed)
+    # distributed per-subspace codebook training; the returned (lazy)
+    # assignment dataset is discarded — only the books are needed here
+    _, books = pq_codes(ds, pq_init, m=m, iterations=iterations,
+                        vec_col=vec_col, id_col=id_col)
+    k, dim = np.asarray(pq_init).shape
+    dsub = dim // m
+    half_n2 = np.stack([(books[s] ** 2).sum(axis=1) * 0.5
+                        for s in range(m)])
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({id_col: batch[id_col], vec_col: [],
+                                 "codes": [], "centroid_id": pd.Series(
+                                     [], dtype="int64")})
+        mat = _as_matrix(batch[vec_col])
+        cid = (_unit_rows(mat) @ cent.T).argmax(axis=1)
+        codes = np.empty((len(mat), m), dtype=np.int8)
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            # argmin ||x-c||² = argmax (c·x − ||c||²/2), one matmul per sub
+            codes[:, s] = (sub @ books[s].T - half_n2[s]).argmax(axis=1)
+        return pd.DataFrame({
+            id_col: batch[id_col].values, vec_col: list(mat),
+            "codes": list(codes), "centroid_id": cid.astype("int64")})
+
+    ds.map_batches(encode, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["centroid_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    np.save(os.path.join(index_dir, "pq_books.npy"), books)
+    return cent, books
+
+
+def ivfpq_search_index(index_dir: str, query: np.ndarray, k: int = 10, *,
+                       nprobe: int = 4, shortlist: int | None = None,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> ray.data.Dataset:
+    """Search a :func:`build_ivfpq_index` index.
+
+    Three stages, each with the scale-correct read shape:
+      1. probe: the query's ``nprobe`` nearest centroid lists — only those
+         partition directories are read at all;
+      2. shortlist: asymmetric distance over the CODES column only
+         (per-subspace lookup tables, one gather per code lane — the
+         vectors never leave storage here), keeping the global
+         ``shortlist`` best candidates (default 10·k);
+      3. re-rank: the probed lists re-read pruned to (id, vector),
+         filtered to the shortlist ids (a ≤ shortlist-sized broadcast
+         set), exact cosine top-k.
+
+    At ``nprobe == n_centroids`` and ``shortlist ≥`` the corpus size the
+    result is exactly brute-force :func:`topk_cosine` (the SQL-checkable
+    full-probe/full-rerank identity); smaller settings trade recall."""
+    import ray as _ray
+
+    cent = load_ivf_centroids(index_dir)
+    books = np.load(os.path.join(index_dir, "pq_books.npy"))
+    m = books.shape[0]
+    shortlist = 10 * k if shortlist is None else shortlist
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qu = q / (qn if qn else 1.0)
+    nprobe = min(nprobe, len(cent))
+    probe_list = np.argsort(-(cent @ qu))[:nprobe].tolist()
+    paths = _probe_paths(index_dir, probe_list)
+
+    dsub = books.shape[2]
+    dot_t = np.stack([books[s] @ qu[s * dsub:(s + 1) * dsub]
+                      for s in range(m)])
+    n2_t = np.stack([(books[s] ** 2).sum(axis=1) for s in range(m)])
+
+    def adc(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({id_col: batch[id_col],
+                                 "adc": pd.Series([], dtype="float64")})
+        codes = np.stack(batch["codes"].values).astype(np.int64)
+        dot = np.zeros(len(codes))
+        n2 = np.zeros(len(codes))
+        for s in range(m):
+            dot += dot_t[s][codes[:, s]]
+            n2 += n2_t[s][codes[:, s]]
+        n = np.sqrt(n2)
+        n[n == 0] = 1.0
+        out = pd.DataFrame({id_col: batch[id_col].values, "adc": dot / n})
+        return out.sort_values(["adc", id_col],
+                               ascending=[False, True]).head(shortlist)
+
+    cand = _clean_read(paths, [id_col, "codes"]) \
+        .map_batches(adc, batch_format="pandas") \
+        .sort(["adc", id_col], descending=[True, False]).limit(shortlist)
+    ids = {r[id_col] for r in cand.select_columns([id_col]).take_all()}
+    ids_ref = _ray.put(ids)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        wanted = _ray.get(ids_ref)
+        return batch[batch[id_col].isin(wanted)]
+
+    exact = _clean_read(paths, [id_col, vec_col]) \
+        .map_batches(pick, batch_format="pandas")
+    return topk_cosine(exact, query, k, vec_col=vec_col, id_col=id_col)
 
 
 def pq_decode(codes: np.ndarray, books: np.ndarray) -> np.ndarray:

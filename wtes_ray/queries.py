@@ -1909,6 +1909,62 @@ def topk_cosine_ivf_full_probe(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _ivfpq_index(sf_dir: str) -> str:
+    """Build-once IVF-PQ index (ops/similarity.build_ivfpq_index): coarse
+    quantizer + 4×16-centroid PQ codebooks (seeded from vecs 0..15),
+    codes written alongside the vectors, hive-partitioned by
+    centroid_id. Cached under /tmp keyed on sf tag + row count."""
+    from .ops.similarity import build_ivfpq_index
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n_rows = pq.ParquetFile(_t(sf_dir, "embeddings")).metadata.num_rows
+    cache = f"/tmp/wtes_cache/ivfpq-{tag}-{n_rows}-c{_IVF_N_CENTROIDS}"
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil as _shutil
+        _shutil.rmtree(cache, ignore_errors=True)
+        init_t = pq.read_table(_t(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"],
+                               filters=[("vec_id", "<", 16)]) \
+            .sort_by("vec_id")
+        init = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in init_t["embedding"].to_pylist()])
+        ds = _read_pq(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+        build_ivfpq_index(ds, cache, init, n_centroids=_IVF_N_CENTROIDS,
+                          m=4)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    return cache
+
+
+def topk_cosine_ivfpq(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ ANN: pruned read of the probed lists, asymmetric-distance
+    shortlist over the m-byte CODES column only, exact re-rank of the
+    shortlist. Rows-only check (recall < 1 by design at nprobe=4 /
+    shortlist=100); the full-probe/full-rerank variant below is the
+    hash-checked exactness witness."""
+    from .ops.similarity import ivfpq_search_index
+    df = ivfpq_search_index(_ivfpq_index(sf_dir), _query_vec(sf_dir),
+                            k=10, nprobe=4, shortlist=100).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+def topk_cosine_ivfpq_full_probe(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ at ``nprobe == n_centroids`` and ``shortlist == corpus``:
+    every list is probed and every candidate re-ranks exactly, so the
+    composed index path (coarse train → PQ codebook train → encode →
+    partitioned write → pruned read → ADC shortlist → exact re-rank)
+    must equal brute force exactly — SQL-checkable (TOPK_COSINE_SQL)."""
+    from .ops.similarity import ivfpq_search_index
+    n_rows = pq.ParquetFile(_t(sf_dir, "embeddings")).metadata.num_rows
+    df = ivfpq_search_index(_ivfpq_index(sf_dir), _query_vec(sf_dir),
+                            k=10, nprobe=_IVF_N_CENTROIDS,
+                            shortlist=n_rows).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
 def embedding_label_count(sf_dir: str) -> pd.DataFrame:
     ds = _read_pq(_t(sf_dir, "embeddings"), columns=["label"])
     df = ds.groupby("label").aggregate(Count(alias_name="n")).to_pandas()
@@ -5707,6 +5763,9 @@ REGISTRY: dict = {
     "topk_cosine_ivf": (topk_cosine_ivf, None),
     "topk_cosine_ivf_full_probe": (topk_cosine_ivf_full_probe,
                                    TOPK_COSINE_SQL),
+    "topk_cosine_ivfpq": (topk_cosine_ivfpq, None),
+    "topk_cosine_ivfpq_full_probe": (topk_cosine_ivfpq_full_probe,
+                                     TOPK_COSINE_SQL),
     "embedding_label_count": (embedding_label_count, EMB_LABEL_SQL),
     "extract_spans_synthetic": (extract_spans_synthetic, None),
     "extract_relations_dedup": (extract_relations_dedup, None),

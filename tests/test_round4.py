@@ -152,6 +152,55 @@ def test_ivfpq_layout_codes_and_pruned_probe(ivfpq_index_dir):
     assert set(got["vec_id"]) == {3, 7}
 
 
+def test_neo4j_export_roundtrip(ray_session, tmp_path):
+    """Header/ids round-trip of the neo4j-admin export: endpoint closure,
+    fused-node-wins-over-stub, url-else-name identity, no-header shards."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wtes_ray.neo4j_io import export_neo4j_admin, read_export_csv
+
+    nodes = rd.from_arrow(pa.table({
+        "name": pa.array(["孔子", "老子"], pa.string()),
+        "url": pa.array(["http://a", ""], pa.string()),
+        "props": pa.array([[("朝代", "春秋")], []],
+                          pa.map_(pa.string(), pa.string())),
+        "n_sources": pa.array([2, 1], pa.int64())}))
+    edges = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["d1", "d2"], pa.string()),
+        "s_name": pa.array(["孔子", "孔子"], pa.string()),
+        "s_url": pa.array(["http://a", "http://a"], pa.string()),
+        "rel": pa.array(["弟子", "父亲"], pa.string()),
+        "o_name": pa.array(["颜回", "叔梁纥"], pa.string()),
+        "o_url": pa.array(["http://c", ""], pa.string())}))
+    d = str(tmp_path / "exp")
+    man = export_neo4j_admin(nodes, edges, d)
+    assert man["nodes"] == 4 and man["relationships"] == 2
+
+    ndf = read_export_csv(os.path.join(d, "nodes"),
+                          os.path.join(d, "nodes.header.csv"))
+    rdf = read_export_csv(os.path.join(d, "relationships"),
+                          os.path.join(d, "relationships.header.csv"))
+    ids = set(ndf["url:ID"])
+    # endpoint closure: missing endpoints synthesized as stubs
+    assert ids == {"http://a", "http://c", "name:老子", "name:叔梁纥"}
+    assert set(rdf[":START_ID"]) <= ids and set(rdf[":END_ID"]) <= ids
+    # the fused node (with props) wins over any stub for the same id
+    kong = ndf[ndf["url:ID"] == "http://a"].iloc[0]
+    assert json.loads(kong["props:string"]) == {"朝代": "春秋"}
+    assert kong["n_sources:long"] == "2" and kong[":LABEL"] == "Entity"
+    # data shards carry NO header row (the header lives in its own file)
+    shard = sorted(p for p in os.listdir(os.path.join(d, "nodes"))
+                   if p.endswith(".csv"))[0]
+    first = open(os.path.join(d, "nodes", shard), encoding="utf-8") \
+        .readline()
+    assert "url:ID" not in first
+    assert os.path.exists(os.path.join(d, "import.sh"))
+
+
 def test_q2_q11_match_oracle_sql(ray_session):
     from wtes_ray import queries as Q
 

@@ -2063,6 +2063,42 @@ def extract_nodes_fused(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["name", "url"]).reset_index(drop=True)
 
 
+def neo4j_export_counts(sf_dir: str) -> pd.DataFrame:
+    """Neo4j-admin bulk-import export (neo4j_io.py — the reference's live
+    Neo4j sink, peronGraph.py:33-139, re-expressed as the batch artifact
+    the real graph DB ingests): fused nodes + deduped triples from the
+    flagship output render to header files + distributed CSV shards with
+    endpoint closure. Pins the CSV shard row counts against the export
+    manifest AND the endpoint-closure invariant (every relationship
+    endpoint id exists in the node shards)."""
+    import tempfile
+
+    from .neo4j_io import export_neo4j_admin, read_export_csv
+    from .pipeline import (build_nodes, dedup_relations, entities_dataset,
+                           relations_dataset)
+
+    ext = _extract_synthetic(sf_dir)
+    nodes = build_nodes(entities_dataset(ext))
+    edges = dedup_relations(relations_dataset(ext))
+    out = tempfile.mkdtemp(prefix="neo4j_export_", dir="/tmp")
+    man = export_neo4j_admin(nodes, edges, out)
+    ndf = read_export_csv(os.path.join(out, "nodes"),
+                          os.path.join(out, "nodes.header.csv"))
+    rdf = read_export_csv(os.path.join(out, "relationships"),
+                          os.path.join(out, "relationships.header.csv"))
+    ids = set(ndf["url:ID"])
+    closed = set(rdf[":START_ID"]).issubset(ids) \
+        and set(rdf[":END_ID"]).issubset(ids)
+    # self-asserting: a rows-only gate run must FAIL on contract breaks
+    assert closed, "relationship endpoint missing from node shards"
+    assert len(ndf) == man["nodes"] and len(rdf) == man["relationships"]
+    return pd.DataFrame({
+        "kind": ["nodes", "relationships"],
+        "n_csv": [len(ndf), len(rdf)],
+        "n_manifest": [man["nodes"], man["relationships"]],
+        "endpoints_closed": [closed, closed]})
+
+
 def extract_flagship_documents(sf_dir: str) -> pd.DataFrame:
     """Adapter path: run the extractor over the driver's plain-text
     documents table (each text wrapped as a single html span — FIXTURES.md
@@ -5770,6 +5806,7 @@ REGISTRY: dict = {
     "extract_spans_synthetic": (extract_spans_synthetic, None),
     "extract_relations_dedup": (extract_relations_dedup, None),
     "extract_nodes_fused": (extract_nodes_fused, None),
+    "neo4j_export_counts": (neo4j_export_counts, None),
     "extract_flagship_documents": (extract_flagship_documents,
                                    EXTRACT_FLAGSHIP_SQL),
     "pdf_roundtrip_docs": (pdf_roundtrip_docs, PDF_ROUNDTRIP_SQL),

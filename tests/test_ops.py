@@ -88,6 +88,31 @@ def test_verify_pairs_jaccard(docs_ds):
     assert float(exact["jaccard"].iloc[0]) == 1.0
 
 
+def test_verify_paths_equal(docs_ds):
+    """The broadcast arm (budget cutover) and the two-join arm of
+    verify_pairs_jaccard return the same verified pair set, values and
+    columns — including the drop-unverifiable contract (one bogus id)."""
+    import ray.data
+
+    pairs = D.minhash_lsh_pairs(docs_ds, threshold=0.6, concurrency=1) \
+        .to_pandas()
+    pairs = pd.concat([pairs, pd.DataFrame(
+        {"a": [990], "b": [991], "est_jaccard": [1.0],
+         "truncated": [False]})], ignore_index=True)
+    src = ray.data.from_pandas(pairs)
+
+    def run(budget):
+        df = D.verify_pairs_jaccard(src, docs_ds, threshold=0.5,
+                                    broadcast_rows_budget=budget) \
+            .to_pandas()
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    bcast, joined = run(100_000), run(0)
+    assert list(bcast.columns) == list(joined.columns)
+    pd.testing.assert_frame_equal(bcast, joined)
+    assert len(bcast) > 0 and 990 not in set(bcast["a"])
+
+
 def test_word_jaccard_kernel():
     # bigrams of "the cat sat on the mat" vs "the cat sat on a mat":
     # shared {the cat, cat sat, sat on}, union size 7 → 3/7

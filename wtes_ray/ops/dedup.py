@@ -638,24 +638,33 @@ def _char_jaccard(ta: str, tb: str, ngram: int) -> float:
 def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
                          text_col: str = "text", id_col: str = "doc_id",
                          ngram: int = 5, threshold: float = 0.5,
-                         num_buckets: int = 32,
-                         mode: str = "char") -> ray.data.Dataset:
+                         num_buckets: int = 32, mode: str = "char",
+                         broadcast_rows_budget: int = 100_000,
+                         ) -> ray.data.Dataset:
     """Exact n-gram Jaccard for candidate pairs — character n-grams by
     default, WORD n-grams with ``mode="word"`` (ASCII word tokens, see
     :func:`_word_jaccard`).
 
-    Scale shape: candidate TEXTS never touch the driver. The candidate ID
-    set (ints — the only broadcast, inherently small: 2 ids per LSH
-    candidate pair) filters the corpus vectorized per batch; the surviving
-    (id, text) rows are then attached to the pairs through two bucketed
-    hash joins (``hash(id) % num_buckets`` co-partition, ops/joins.py) —
-    one for each pair member — and the exact Jaccard runs per joined row.
-    Only candidate texts enter the exchanges, each exactly once per side.
+    Scale shape: the candidate ID set (ints — inherently small: 2 ids per
+    LSH candidate pair) filters the corpus vectorized per batch. The
+    surviving candidate (id, text) rows then attach to the pairs by size
+    dispatch (the repo's ``BROADCAST_ROWS_BUDGET`` cutover pattern, cf.
+    :func:`_attach_est_jaccard`):
 
-    Contract: pairs whose member id is absent from ``docs`` are DROPPED by
-    the inner joins (they cannot be verified), not returned with
-    jaccard=0.0 — callers passing a threshold of 0.0 to "see everything"
-    still only see pairs whose both texts exist."""
+    - at or below ``broadcast_rows_budget`` candidate rows, the id→text
+      map broadcasts once (``ray.put``) and each pair block verifies with
+      ZERO exchanges — at gate scale this saves the two join sorts, which
+      dominate (fixed ~0.5-0.8 s each against KB of data);
+    - above it, two bucketed hash joins (``hash(id) % num_buckets``
+      co-partition, ops/joins.py), one per pair member — only candidate
+      texts enter the exchanges, each exactly once per side, and nothing
+      corpus-sized ever reaches the driver.
+
+    Contract: pairs whose member id is absent from ``docs`` are DROPPED
+    (they cannot be verified), not returned with jaccard=0.0 — callers
+    passing a threshold of 0.0 to "see everything" still only see pairs
+    whose both texts exist. Both dispatch arms enforce it (inner joins /
+    explicit membership mask) — pinned by test_verify_paths_equal."""
     import ray as _ray
     from .joins import _arrow_schema as _pairs_schema
     from .joins import bucketed_hash_join
@@ -688,6 +697,27 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
 
     cand = docs.select_columns([id_col, text_col]).map_batches(
         make_pick([id_col, text_col]), batch_format="pyarrow").materialize()
+
+    kernel = _char_jaccard if mode == "char" else _word_jaccard
+
+    if cand.count() <= broadcast_rows_budget:
+        # broadcast arm: one candidate-sized object, zero exchanges
+        textmap = {r[id_col]: r[text_col] for r in cand.take_all()}
+        map_ref = _ray.put(textmap)
+
+        def verify_bcast(batch: pd.DataFrame) -> pd.DataFrame:
+            tm = _ray.get(map_ref)
+            present = batch["a"].isin(tm) & batch["b"].isin(tm)
+            batch = batch[present].copy()
+            # explicit float64 so an empty block keeps a typed column
+            batch["jaccard"] = pd.Series(
+                [kernel(tm[a] or "", tm[b] or "", ngram)
+                 for a, b in zip(batch["a"], batch["b"])],
+                index=batch.index, dtype="float64")
+            return batch[batch["jaccard"] >= threshold]
+
+        return pairs.map_batches(verify_bcast, batch_format="pandas")
+
     text_t = dict(zip(cand.schema().names, cand.schema().types))[text_col]
     cand_a = cand.map_batches(lambda t: t.rename_columns(["a", "__ta"]),
                               batch_format="pyarrow")
@@ -707,14 +737,14 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
     with_b = bucketed_hash_join(with_a, cand_b, "b", num_buckets=num_buckets,
                                 left_schema=mid_schema, right_schema=sb)
 
-    kernel = _char_jaccard if mode == "char" else _word_jaccard
-
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         batch["jaccard"] = [
             kernel(ta or "", tb or "", ngram)
             for ta, tb in zip(batch["__ta"], batch["__tb"])]
         batch = batch[batch["jaccard"] >= threshold]
-        return batch.drop(columns=["__ta", "__tb"])
+        # canonical column order = input pair schema + jaccard (the second
+        # join fronts its key "b"; both dispatch arms must agree)
+        return batch[list(pair_schema.names) + ["jaccard"]]
 
     return with_b.map_batches(verify, batch_format="pandas")
 

@@ -257,6 +257,10 @@ def test_join_output_blocks_contain_complete_key_groups(ray_session):
         rd.from_pandas(right).repartition(3), "k", num_buckets=16)
     blocks = [pa.Table.from_pandas(b) if not isinstance(b, pa.Table) else b
               for b in ray.get(out.to_arrow_refs())]
+    # Ray's groupby.map_groups may emit EMPTY (even schemaless) blocks for
+    # sort partitions that received no groups — they carry no keys, so they
+    # cannot violate the co-partition contract; skip them
+    blocks = [b for b in blocks if b.num_rows > 0]
     seen = {}
     for i, b in enumerate(blocks):
         for k in set(b["k"].to_pylist()):

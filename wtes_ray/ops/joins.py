@@ -119,7 +119,7 @@ def bucketed_hash_join(
         right_prepare: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
         left_schema: pa.Schema | None = None,
         right_schema: pa.Schema | None = None,
-        bucket_impl: str = "pandas",
+        bucket_impl: str = "arrow",
 ) -> ray.data.Dataset:
     """Distributed equi-join of two Datasets on column ``on``.
 
@@ -131,14 +131,15 @@ def bucketed_hash_join(
     when a side may be EMPTY behind a transform (Ray reports ``schema() is
     None`` for those, since there is no block to infer from).
 
-    ``bucket_impl``: the per-bucket merge body. ``"pandas"`` (default —
-    the exhaustively-exercised path) or ``"arrow"``: a zero-pandas
-    Acero ``pa.Table.join`` per bucket, skipping both to_pandas
-    conversions — the right body for very wide payload columns (the
-    SCALING.md note). Row SETS are identical (tested across all four
-    modes); within-block order differs, which the Dataset contract
-    never promises. ``*_prepare`` callbacks are pandas-typed, so a
-    prepare forces the pandas body for that bucket.
+    ``bucket_impl``: the per-bucket merge body. ``"arrow"`` (default
+    since round 4, after a full gate+suite soak): a zero-pandas Acero
+    ``pa.Table.join`` per bucket, skipping both to_pandas conversions —
+    the right body for very wide payload columns (the SCALING.md note).
+    ``"pandas"`` remains as the fallback body. Row SETS are identical
+    (tested across all four modes); within-block order differs, which
+    the Dataset contract never promises. ``*_prepare`` callbacks are
+    pandas-typed, so a prepare forces the pandas body for that bucket
+    regardless of ``bucket_impl``.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
@@ -182,11 +183,17 @@ def bucketed_hash_join(
     _ACERO_HOW = {"inner": "inner", "left": "left outer",
                   "semi": "left semi", "anti": "left anti"}
 
+    # Acero's hash join rejects NESTED payload types ("Data type list<...>
+    # is not supported in join non-key field") — route those buckets
+    # through the pandas body regardless of bucket_impl
+    acero_ok = not any(pa.types.is_nested(f.type) for f in unified
+                       if f.name not in (_SIDE, _BUCKET))
+
     def join_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g.column(_SIDE), pa.scalar(0, pa.int8()))
         lt = g.filter(lmask).select(lcols)
         rt = g.filter(pc.invert(lmask)).select(rcols)
-        if (bucket_impl == "arrow" and left_prepare is None
+        if (bucket_impl == "arrow" and acero_ok and left_prepare is None
                 and right_prepare is None):
             # zero-pandas body: key casts pinned by the unified schema
             # already, join output re-ordered/cast to the same contract

@@ -293,3 +293,108 @@ def test_minhash_pair_set_unchanged(mh_docs):
     assert (pairs.columns == ["a", "b", "est_jaccard", "truncated"]).all()
     tri = pairs[(pairs.a.isin([0, 5])) & (pairs.b.isin([5, 6]))]
     assert (tri["est_jaccard"] == 1.0).all()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: interval join + linear classifier inference
+# ---------------------------------------------------------------------------
+
+def _iv_ds(rows, cols=("interval_id", "lo", "hi")):
+    import pyarrow as pa
+    import ray.data as rd
+    arrs = list(zip(*rows)) if rows else [[], [], []]
+    return rd.from_arrow(pa.table(
+        {c: pa.array(np.asarray(v, dtype=np.int64))
+         for c, v in zip(cols, arrs)}))
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    """Random points × random (possibly overlapping / empty / point-width)
+    intervals: the bucketed stab must equal the O(n·m) reference, closed
+    bounds on both ends."""
+    import ray.data as rd
+    from wtes_ray.ops.joins import interval_join
+
+    rng = np.random.RandomState(11)
+    pts = pd.DataFrame({"pid": np.arange(400),
+                        "x": rng.randint(0, 1000, size=400).astype(np.int64)})
+    ivs = []
+    for i in range(60):
+        a = int(rng.randint(0, 1000))
+        b = a + int(rng.randint(0, 120))       # incl. zero-width
+        ivs.append((i, a, b))
+    ivs.append((60, 500, 400))                  # lo > hi: matches nothing
+    out = interval_join(
+        rd.from_pandas(pts).repartition(5), _iv_ds(ivs),
+        point_on="x", lo_col="lo", hi_col="hi",
+        num_buckets=8).to_pandas()
+    got = set(zip(out["pid"], out["interval_id"]))
+    want = {(p, i) for p, x in zip(pts["pid"], pts["x"])
+            for i, a, b in ivs if a <= x <= b}
+    assert got == want
+    assert len(out) == len(got)                 # no duplicate pairs
+    # payload columns pass through from both sides
+    assert {"pid", "x", "interval_id", "lo", "hi"} == set(out.columns)
+
+
+def test_interval_join_empty_sides_and_collision(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from wtes_ray.ops.joins import interval_join
+
+    pts = rd.from_pandas(pd.DataFrame(
+        {"pid": np.arange(3), "x": np.array([1, 2, 3], dtype=np.int64)}))
+    empty_iv = _iv_ds([])
+    out = interval_join(pts, empty_iv, point_on="x",
+                        lo_col="lo", hi_col="hi")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"pid", "x", "interval_id",
+                                       "lo", "hi"}
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(pts, _iv_ds([(1, 0, 5)], cols=("x", "lo", "hi")),
+                      point_on="x", lo_col="lo", hi_col="hi")
+
+
+def test_interval_join_timestamp_points(ray_session):
+    """Timestamp point columns cast to epoch-µs int64 — bounds given in µs
+    match SQL epoch_us(ts) BETWEEN semantics."""
+    import pyarrow as pa
+    import ray.data as rd
+    from wtes_ray.ops.joins import interval_join
+
+    base = 1704067200 * 10**6
+    ts = pa.array(np.array([base, base + 10, base + 20], dtype=np.int64),
+                  pa.timestamp("us"))
+    pts = rd.from_arrow(pa.table({"pid": pa.array([0, 1, 2]), "ts": ts}))
+    out = interval_join(pts, _iv_ds([(7, base + 5, base + 20)]),
+                        point_on="ts", lo_col="lo", hi_col="hi").to_pandas()
+    assert sorted(out["pid"]) == [1, 2]
+
+
+def test_linear_classify_tie_breaks_to_lowest_class(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from wtes_ray.ops.infer import linear_classify
+
+    # two identical weight rows ⇒ every vector ties classes 0 and 1
+    W = np.vstack([np.ones(4), np.ones(4), -np.ones(4)])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0, 0.0, 0.0],
+                               [0.5, 0.5, 0.5, 0.5]],
+                              pa.list_(pa.float32()))}))
+    out = linear_classify(ds, W).to_pandas().sort_values("vec_id")
+    assert list(out["pred_class"]) == [0, 0]
+    assert list(out["score"]) == [1.0, 2.0]
+
+
+def test_demo_weights_matches_sql_formula():
+    import duckdb
+    from wtes_ray.ops.infer import demo_weights
+
+    W = demo_weights(3, 5)
+    got = duckdb.sql(
+        "SELECT c.c, j.j, ((1009*c.c + 9176*j.j + 31) % 1997)/1997.0 - 0.5"
+        " AS w FROM generate_series(0,2) c(c)"
+        " CROSS JOIN generate_series(0,4) j(j) ORDER BY c.c, j.j").df()
+    np.testing.assert_allclose(W.ravel(), got["w"].to_numpy(), rtol=0, atol=0)

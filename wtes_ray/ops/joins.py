@@ -355,6 +355,157 @@ def global_asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
 
 # ---------------------------------------------------------------------------
+# Interval (range-stab) join
+# ---------------------------------------------------------------------------
+
+def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset, *,
+                  point_on: str, lo_col: str, hi_col: str,
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Inner range join: every (point row, interval row) pair with
+    ``lo_col <= point_on <= hi_col`` (closed bounds — SQL ``BETWEEN``).
+    Neither side is keyed, so a hash exchange cannot express it: a point's
+    matching intervals can live anywhere.
+
+    Distributed shape (the global_asof_join range-bucket pattern):
+
+    1. equal-width range buckets over the combined [min, max] of the point
+       and interval domains (driver scalars from cheap aggregates);
+    2. points hash once to their value's bucket; each interval REPLICATES
+       to every bucket its [lo, hi] span overlaps — replication factor =
+       ceil(span/width), the op's one scale knob. Long intervals replicate
+       wide; keep interval spans ≪ the domain (true for the
+       window/promotion/session shapes this models) or lower num_buckets;
+    3. one co-partitioned exchange; each bucket stabs locally — sort the
+       bucket's point keys once, then ONE vectorized
+       searchsorted(lo)/searchsorted(hi) pair per interval block and a
+       ranges-concatenation gather (no per-pair Python).
+
+    A point matches an interval in exactly ONE bucket (the point's), so no
+    cross-bucket dedup is needed. Timestamps cast to epoch-us int64 (the
+    merge_asof us→ns trap never arises). Output columns = point columns +
+    interval columns (names must not collide); order within blocks is
+    unspecified (Dataset contract). Blocks are per-bucket, so a downstream
+    per-interval aggregate can pre-reduce per block before its (tiny,
+    interval-keyed) groupby — the shape queries.event_interval_join uses."""
+    pkey, ikey_lo, ikey_hi = "__iv_p", "__iv_lo", "__iv_hi"
+
+    def to_i64(col: str, out: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(out, t.column(col).cast(pa.int64()))
+        return f
+
+    # schemas from the INPUTS: an empty side loses its schema behind the
+    # key-append map_batches (Ray reports Unknown for empty mapped blocks)
+    p_schema = _arrow_schema(points)
+    i_schema = _arrow_schema(intervals)
+    p_cols = list(p_schema.names)
+    i_cols = list(i_schema.names)
+
+    pt = points.map_batches(to_i64(point_on, pkey),
+                            batch_format="pyarrow").materialize()
+    iv = intervals.map_batches(to_i64(lo_col, ikey_lo),
+                               batch_format="pyarrow") \
+                  .map_batches(to_i64(hi_col, ikey_hi),
+                               batch_format="pyarrow").materialize()
+    overlap = set(p_cols) & set(i_cols)
+    if overlap:
+        raise ValueError(f"column names collide across sides: {overlap}")
+    out_schema = pa.schema(
+        [p_schema.field(c) for c in p_cols]
+        + [i_schema.field(c) for c in i_cols])
+
+    def empty_out() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table(
+            {f.name: pa.array([], f.type) for f in out_schema}))
+
+    if pt.count() == 0 or iv.count() == 0:
+        return empty_out()
+
+    lo = min(pt.min(pkey), iv.min(ikey_lo))
+    hi = max(pt.max(pkey), iv.max(ikey_hi))
+    width = max(1, (hi - lo) // num_buckets + 1)
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        k = t.column(pkey).to_numpy()
+        b = np.clip((k - lo) // width, 0, num_buckets - 1)
+        t = t.append_column("__bucket", pa.array(b.astype(np.int64)))
+        return t.append_column("__side", pa.array(
+            np.zeros(t.num_rows, dtype=np.int8)))
+
+    def replicate_intervals(t: pa.Table) -> pa.Table:
+        los = t.column(ikey_lo).to_numpy()
+        his = t.column(ikey_hi).to_numpy()
+        b0 = np.clip((los - lo) // width, 0, num_buckets - 1)
+        b1 = np.clip((his - lo) // width, 0, num_buckets - 1)
+        cnt = np.maximum(b1 - b0 + 1, 0)           # lo > hi ⇒ still ≥ 1 row
+        cnt = np.maximum(cnt, 1)                    # (dropped locally below)
+        idx = np.repeat(np.arange(t.num_rows), cnt)
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        buckets = b0[idx] + (np.arange(cnt.sum()) - np.repeat(cum, cnt))
+        rep = t.take(pa.array(idx))
+        rep = rep.append_column("__bucket",
+                                pa.array(buckets.astype(np.int64)))
+        return rep.append_column("__side", pa.array(
+            np.ones(rep.num_rows, dtype=np.int8)))
+
+    # unified side-tagged layout for the single exchange (nulls fill the
+    # other side's columns; helper int64 keys ride as real columns)
+    uni_fields = ([p_schema.field(c) for c in p_cols]
+                  + [pa.field(pkey, pa.int64())]
+                  + [i_schema.field(c) for c in i_cols]
+                  + [pa.field(ikey_lo, pa.int64()),
+                     pa.field(ikey_hi, pa.int64())]
+                  + [pa.field("__bucket", pa.int64()),
+                     pa.field("__side", pa.int8())])
+    uni = pa.schema(uni_fields)
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in uni:
+            if f.name in t.schema.names:
+                cols[f.name] = t.column(f.name).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        return pa.table(cols, schema=uni)
+
+    def stab_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g.column("__side"), pa.scalar(0, pa.int8()))
+        pts = g.filter(lmask)
+        ivs = g.filter(pc.invert(lmask))
+        if pts.num_rows == 0 or ivs.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type)
+                             for f in out_schema})
+        pk = pts.column(pkey).to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk_sorted = pk[order]
+        los = ivs.column(ikey_lo).to_numpy()
+        his = ivs.column(ikey_hi).to_numpy()
+        ls = np.searchsorted(pk_sorted, los, side="left")
+        rs = np.searchsorted(pk_sorted, his, side="right")
+        cnt = np.maximum(rs - ls, 0)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table({f.name: pa.array([], f.type)
+                             for f in out_schema})
+        iv_idx = np.repeat(np.arange(ivs.num_rows), cnt)
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        pt_pos = np.repeat(ls, cnt) + (np.arange(tot) - np.repeat(cum, cnt))
+        pt_idx = order[pt_pos]
+        ptk = pts.select(p_cols).take(pa.array(pt_idx))
+        ivk = ivs.select(i_cols).take(pa.array(iv_idx))
+        return pa.table(
+            {c: ptk.column(c) for c in p_cols}
+            | {c: ivk.column(c) for c in i_cols}, schema=out_schema)
+
+    tagged = pt.map_batches(tag_points, batch_format="pyarrow") \
+        .map_batches(widen, batch_format="pyarrow") \
+        .union(iv.map_batches(replicate_intervals, batch_format="pyarrow")
+                 .map_batches(widen, batch_format="pyarrow"))
+    return tagged.groupby("__bucket").map_groups(
+        stab_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Bloom-prefiltered semi join
 # ---------------------------------------------------------------------------
 

@@ -3084,6 +3084,69 @@ ORDER BY p.event_id
 """
 
 
+def event_interval_join(sf_dir: str) -> pd.DataFrame:
+    """Range-stab join (ops/joins.interval_join): events fall into
+    deterministic analysis windows — family A: 180 windows of 90 min every
+    4 h; family B (OVERLAPPING family A and each other at the bucket
+    level): 60 windows of 3 h every 12 h offset by 2 h — then a per-window
+    count/sum. The join's output blocks are its range buckets, so the
+    aggregate pre-reduces per block before a window-keyed (tiny) groupby:
+    match rows never ride an exchange."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .ops.joins import interval_join
+
+    t0 = 1704067200 * 10**6                  # 2024-01-01T00:00:00Z in µs
+    ka = np.arange(180, dtype=np.int64)
+    kb = np.arange(60, dtype=np.int64)
+    iv = pa.table({
+        "interval_id": pa.array(np.concatenate([ka, 1000 + kb])),
+        "lo": pa.array(np.concatenate(
+            [t0 + ka * 14_400_000_000,
+             t0 + kb * 43_200_000_000 + 7_200_000_000])),
+        "hi": pa.array(np.concatenate(
+            [t0 + ka * 14_400_000_000 + 5_400_000_000,
+             t0 + kb * 43_200_000_000 + 7_200_000_000 + 10_800_000_000])),
+    })
+    ev = _read_pq(_t(sf_dir, "events"), columns=["ts", "value"])
+    joined = interval_join(ev, rd.from_arrow(iv), point_on="ts",
+                           lo_col="lo", hi_col="hi")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("interval_id")["value"].agg(["count", "sum"])
+        return _arrow(pd.DataFrame({
+            "interval_id": g.index.to_numpy(),
+            "__n": g["count"].to_numpy().astype(np.int64),
+            "__s": g["sum"].to_numpy()}))
+
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("interval_id") \
+        .aggregate(_Sum("__n", alias_name="n_events"),
+                   _Sum("__s", alias_name="sum_value")).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("interval_id").reset_index(drop=True)
+
+
+EVENT_INTERVAL_SQL = """
+WITH iv AS (
+  SELECT k.k AS interval_id,
+         1704067200000000 + k.k * 14400000000 AS lo,
+         1704067200000000 + k.k * 14400000000 + 5400000000 AS hi
+  FROM generate_series(0, 179) k(k)
+  UNION ALL
+  SELECT 1000 + k.k,
+         1704067200000000 + k.k * 43200000000 + 7200000000,
+         1704067200000000 + k.k * 43200000000 + 7200000000 + 10800000000
+  FROM generate_series(0, 59) k(k))
+SELECT iv.interval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 2) AS sum_value
+FROM events e JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi
+GROUP BY iv.interval_id ORDER BY iv.interval_id
+"""
+
+
 def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition filters (ops/text.repetition_stats):
     distinct-token ratio and most-frequent bigram/trigram fractions per
@@ -3224,6 +3287,41 @@ WITH e AS (
   FROM embeddings)
 SELECT label, CAST(dim AS BIGINT) AS dim, ROUND(AVG(v), 6) AS centroid
 FROM e GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+def classify_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Linear-classifier inference over the embedding column (ops/infer.
+    linear_classify): a deterministic 8-class weight matrix broadcasts
+    once, each block scores with ONE matmul, ties on the 6dp-rounded score
+    break to the lowest class id (round-before-argmax = the repo's
+    ULP-stable rank rule). The oracle regenerates the SAME matrix with
+    generate_series arithmetic and ranks identically."""
+    from .ops.infer import demo_weights, linear_classify
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = linear_classify(ds, demo_weights(8, 64)).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+CLASSIFY_SQL = """
+WITH w AS (
+  SELECT c.c AS c, j.j AS j,
+         ((1009 * c.c + 9176 * (j.j - 1) + 31) % 1997) / 1997.0 - 0.5 AS w
+  FROM generate_series(0, 7) c(c) CROSS JOIN generate_series(1, 64) j(j)),
+e AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS j
+  FROM embeddings),
+s AS (
+  SELECT e.vec_id, w.c, ROUND(SUM(e.v * w.w), 6) AS score
+  FROM e JOIN w ON e.j = w.j GROUP BY e.vec_id, w.c),
+r AS (
+  SELECT vec_id, c, score,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, c) AS rn
+  FROM s)
+SELECT vec_id, CAST(c AS BIGINT) AS pred_class, score
+FROM r WHERE rn = 1 ORDER BY vec_id
 """
 
 
@@ -5874,6 +5972,8 @@ REGISTRY: dict = {
     "events_contract_check": (events_contract_check, EVENTS_CONTRACT_SQL),
     "lineitem_profile": (lineitem_profile, LINEITEM_PROFILE_SQL),
     "event_value_p95": (event_value_p95, EVENT_P95_SQL),
+    "classify_embeddings": (classify_embeddings, CLASSIFY_SQL),
+    "event_interval_join": (event_interval_join, EVENT_INTERVAL_SQL),
     "label_centroids_embeddings": (label_centroids_embeddings,
                                    LABEL_CENTROIDS_SQL),
     "asof_purchase_click": (asof_purchase_click, ASOF_PURCHASE_CLICK_SQL),

@@ -128,17 +128,46 @@ def run_bench(headline_only: bool = False) -> dict:
         lambda b: (extract_chunks_batch, b)[1],
         batch_format="pyarrow").count()
 
-    # best-of-2: the host VM shows ±25% run-to-run noise; the faster run is
-    # the better estimate of steady-state pipeline throughput
-    headline = float("inf")
+    # probe-gated best-of-N (round 4): the host VM shows ±25% run-to-run
+    # noise with multi-minute contended windows — the r3 postmortem showed
+    # identical code reading 10.6 s or 17+ s purely by window. Each attempt
+    # is bracketed by the same fixed-work probes the scaling protocol uses;
+    # the headline is the fastest CALM-bracketed run (all four probe
+    # readings within PROBE_TOL of the session-min references), falling
+    # back to the fastest overall if no calm window occurs in the budget.
+    # Every attempt's probe quad is recorded so a contended-window number
+    # is evidence, not silence.
     summary = None
-    for _ in range(2):
+    probe_ref = min(_probe_sec() for _ in range(3))
+    pprobe_ref = float("inf")
+    pw = min(ncpu, 32)
+    hl_attempts: list[dict] = []
+    n_calm = 0
+    for attempt in range(5):
+        p0 = _probe_sec()
+        q0 = _parallel_probe_sec(pw)
         out_dir = f"/tmp/wtes_bench/out-{ncpu}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         summary = run_extract_pipeline(
             docs_path, out_dir, num_partitions=64, batch_size=16)
-        headline = min(headline, time.time() - t0)
+        dt = time.time() - t0
+        p1 = _probe_sec()
+        q1 = _parallel_probe_sec(pw)
+        probe_ref = min(probe_ref, p0, p1)
+        pprobe_ref = min(pprobe_ref, q0, q1)
+        calm = (max(p0, p1) <= PROBE_TOL * probe_ref
+                and max(q0, q1) <= PROBE_TOL * pprobe_ref)
+        hl_attempts.append({
+            "sec": round(dt, 3), "calm": calm,
+            "probe_before": round(p0, 3), "probe_after": round(p1, 3),
+            "pprobe_before": round(q0, 3), "pprobe_after": round(q1, 3)})
+        n_calm += calm
+        if n_calm >= 2 and attempt >= 1:
+            break
+    calm_secs = [a["sec"] for a in hl_attempts if a["calm"]]
+    headline = min(calm_secs) if calm_secs else min(
+        a["sec"] for a in hl_attempts)
 
     queries: dict[str, float] = {}
     if not headline_only:
@@ -172,6 +201,10 @@ def run_bench(headline_only: bool = False) -> dict:
         "docs_per_sec": round(summary["n_docs"] / headline, 1),
         "n_spans": summary["n_spans"],
         "n_errors": summary["n_errors"],
+        "headline_calm": bool(calm_secs),
+        "headline_attempts": hl_attempts,
+        "probe_ref_sec": round(probe_ref, 3),
+        "pprobe_ref_sec": round(pprobe_ref, 3),
     }
     ray.shutdown()
     return result

@@ -353,6 +353,14 @@ _TOKEN = re.compile(
     r"|[^<]+"                              # text
     r"|<",                                 # stray '<'
     re.S)
+# branch-specific patterns for the find-dispatch loop (same alternatives as
+# _TOKEN, tried in the same precedence order at a '<')
+_END_TAG = re.compile(r"</([a-zA-Z][-\w:]*)[^>]*>")
+_START_TAG = re.compile(
+    r"<([a-zA-Z][-\w:]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
+_COMMENT = re.compile(r"<!--.*?(?:-->|$)", re.S)
+_CDATA = re.compile(r"<!\[CDATA\[.*?(?:\]\]>|$)", re.S)
+_DOCTYPE = re.compile(r"<!DOCTYPE[^>]*>")
 _ATTR = re.compile(
     r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
 _RAW_END = {
@@ -379,58 +387,44 @@ def parse_html(html: str, drop_tags: frozenset[str] = frozenset()) -> Element:
     if _unescape is None:
         from html import unescape as _u
         _unescape = _u
+    # find-dispatch loop: text runs are located with C-speed str.find and
+    # the tag kind is dispatched on the character after '<' (same results
+    # as matching the _TOKEN alternation at every position — pinned by the
+    # stdlib-equivalence tests); node construction is inlined (parent set
+    # at construction, one list.append) — the loop is interpreter-bound,
+    # so every avoided method call is measurable
     root = Element("[document]")
     stack = [root]
+    cur = root
+    cur_children = root.children
     pos = 0
     n = len(html)
+    find = html.find
+    sm = _START_TAG.match
+    em = _END_TAG.match
+    unesc = _unescape
     while pos < n:
-        m = _TOKEN.match(html, pos)
-        if m is None:  # pragma: no cover — _TOKEN always matches something
-            break
-        pos = m.end()
-        end_name, start_name, attr_str = m.group(1, 2, 3)
-        if start_name is not None:
-            name = start_name.lower()
-            attrs = {}
-            last_end = 0
-            if attr_str:
-                for am in _ATTR.finditer(attr_str):
-                    key = am.group(1).lower()
-                    val = am.group(2) or am.group(3) or am.group(4) or ""
-                    if "&" in val:
-                        val = _unescape(val)
-                    attrs[key] = val
-                    last_end = am.end()
-            # self-closing ONLY when a standalone "/" remains after the
-            # attributes — a trailing "/" inside an unquoted value (e.g.
-            # href=/item/abc/) is part of the value, exactly as the stdlib
-            # parser treats it
-            self_closing = attr_str[last_end:].strip() == "/" \
-                and "/" in attr_str[last_end:]
-            el = Element(name, attrs)
-            stack[-1].append(el)
-            if name in _RAW_END:
-                # raw-text element: scan straight to its close tag
-                if not self_closing:
-                    em = _RAW_END[name].search(html, pos)
-                    if em:
-                        raw = html[pos:em.start()]
-                        if raw:
-                            el.append(TextNode(raw))
-                        pos = em.end()
-                    else:
-                        raw = html[pos:]
-                        if raw:
-                            el.append(TextNode(raw))
-                        pos = n
-                if name in drop_tags:
-                    stack[-1].children.pop()   # el is the last child
-            elif name not in VOID_ELEMENTS and not self_closing:
-                stack.append(el)
-            elif name in drop_tags:            # void/self-closing dropped tag
-                stack[-1].children.pop()
-        elif end_name is not None:
-            name = end_name.lower()
+        lt = find("<", pos)
+        if lt != pos:
+            if lt < 0:
+                tok = html[pos:]
+                pos = n
+            else:
+                tok = html[pos:lt]
+                pos = lt
+            if "&" in tok:
+                tok = unesc(tok)
+            cur_children.append(TextNode(tok, cur))
+            continue
+        c = html[pos + 1] if pos + 1 < n else ""
+        if c == "/":
+            m = em(html, pos)
+            if m is None:                       # lone '<' (e.g. "</3")
+                cur_children.append(TextNode("<", cur))
+                pos += 1
+                continue
+            pos = m.end()
+            name = m.group(1).lower()
             if name in VOID_ELEMENTS:
                 continue
             for i in range(len(stack) - 1, 0, -1):
@@ -443,15 +437,67 @@ def parse_html(html: str, drop_tags: frozenset[str] = frozenset()) -> Element:
                             if el.name in drop_tags and el.parent is not None:
                                 el.parent.children.remove(el)
                     del stack[i:]
+                    cur = stack[-1]
+                    cur_children = cur.children
                     break
-        else:
-            tok = m.group(0)
-            c0 = tok[0]
-            if c0 == "<" and len(tok) > 1 and tok[1] == "!":
-                continue  # comment / doctype / CDATA dropped
-            if "&" in tok:
-                tok = _unescape(tok)
-            stack[-1].append(TextNode(tok))
+            continue
+        if c == "!":
+            m = (_COMMENT.match(html, pos) or _CDATA.match(html, pos)
+                 or _DOCTYPE.match(html, pos))
+            if m is None:                       # lone '<' (e.g. "<!x")
+                cur_children.append(TextNode("<", cur))
+                pos += 1
+            else:
+                pos = m.end()                   # dropped
+            continue
+        m = sm(html, pos)
+        if m is None:                           # lone '<' (no tag follows)
+            cur_children.append(TextNode("<", cur))
+            pos += 1
+            continue
+        pos = m.end()
+        name = m.group(1).lower()
+        attr_str = m.group(2)
+        attrs = {}
+        last_end = 0
+        if attr_str:
+            for am in _ATTR.finditer(attr_str):
+                key = am.group(1).lower()
+                val = am.group(2) or am.group(3) or am.group(4) or ""
+                if "&" in val:
+                    val = unesc(val)
+                attrs[key] = val
+                last_end = am.end()
+        # self-closing ONLY when a standalone "/" remains after the
+        # attributes — a trailing "/" inside an unquoted value (e.g.
+        # href=/item/abc/) is part of the value, exactly as the stdlib
+        # parser treats it
+        self_closing = attr_str[last_end:].strip() == "/" \
+            and "/" in attr_str[last_end:]
+        el = Element(name, attrs, cur)
+        cur_children.append(el)
+        if name in _RAW_END:
+            # raw-text element: scan straight to its close tag
+            if not self_closing:
+                rm = _RAW_END[name].search(html, pos)
+                if rm:
+                    raw = html[pos:rm.start()]
+                    if raw:
+                        el.children.append(TextNode(raw, el))
+                    pos = rm.end()
+                else:
+                    raw = html[pos:]
+                    if raw:
+                        el.children.append(TextNode(raw, el))
+                    pos = n
+            if name in drop_tags:
+                cur_children.pop()              # el is the last child
+        elif name not in VOID_ELEMENTS and not self_closing:
+            stack.append(el)
+            cur = el
+            cur_children = el.children
+        elif name in drop_tags:                 # void/self-closing dropped
+            cur_children.pop()
     if drop_tags:
         # unclosed dropped elements (e.g. "<article><table>…" with no close
         # tag) are removed at EOF — the reference's post-parse extract()

@@ -398,3 +398,45 @@ def test_demo_weights_matches_sql_formula():
         " AS w FROM generate_series(0,2) c(c)"
         " CROSS JOIN generate_series(0,4) j(j) ORDER BY c.c, j.j").df()
     np.testing.assert_allclose(W.ravel(), got["w"].to_numpy(), rtol=0, atol=0)
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    """Random multigraph with self-loops and duplicate/reversed edges: the
+    rank-oriented wedge join must equal the brute-force count over the
+    canonical simple graph."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+    from wtes_ray.ops.graph import triangle_count
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 60, size=900)
+    b = rng.randint(0, 60, size=900)
+    ds = rd.from_arrow(pa.table({"src": pa.array(a), "dst": pa.array(b)}))
+    got = triangle_count(ds, num_buckets=8)
+
+    edges = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = sum(1 for u, v, w in itertools.combinations(sorted(adj), 3)
+               if v in adj[u] and w in adj[u] and w in adj[v])
+    assert got == want and got > 0
+
+
+def test_triangle_count_join_arm_matches_broadcast(ray_session):
+    """Forcing the above-budget path (degrees through two bucketed joins)
+    must give the same count as the broadcast arm."""
+    import pyarrow as pa
+    import ray.data as rd
+    from wtes_ray.ops.graph import triangle_count
+
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 40, size=400)
+    b = rng.randint(0, 40, size=400)
+    ds = rd.from_arrow(pa.table({"src": pa.array(a), "dst": pa.array(b)}))
+    got_b = triangle_count(ds, num_buckets=8)
+    got_j = triangle_count(ds, num_buckets=8, nodes_budget=1)
+    assert got_b == got_j > 0

@@ -291,6 +291,83 @@ def exact_quantiles(ds: ray.data.Dataset, col: str,
     return pd.DataFrame(sorted(out), columns=["q", "value"])
 
 
+def grouped_exact_quantiles(ds: ray.data.Dataset, group_col: str, col: str,
+                            qs: Sequence[float], *,
+                            num_buckets: int = 256) -> pd.DataFrame:
+    """EXACT per-group quantiles (PERCENTILE_DISC WITHIN each group) —
+    the per-language quality-threshold shape (CCNet's per-lang percentile
+    cuts). Same two-pass range-bucket scheme as :func:`exact_quantiles`,
+    with counts keyed by (group, bucket):
+
+    1. one streaming pass → per-(group, bucket) COUNTS over GLOBAL
+       equal-width buckets (global buckets keep pass 1 to one aggregate;
+       per-group ranks stay exact because ranks only need each group's
+       own cumulative counts);
+    2. per-group O(B) scans locate each target rank's bucket; pass 2
+       filters only probed (group, bucket) pairs — the only values that
+       leave their blocks.
+
+    Driver state is O(G·B) counts — ``group_col`` must be dimension-like
+    (languages, sources), NOT a high-cardinality key; the probed filtrate
+    is Σ_g len(targets_g)·n_g/B rows. Returns (group_col, q, value:float)
+    ordered by (group, q)."""
+    mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    span = max(hi - lo, 1e-300)
+    B = num_buckets
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.minimum(((v - lo) / span * B).astype(np.int64), B - 1)
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby([group_col,
+                        bucket_of(df[col].to_numpy())]).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            group_col: pa.array(idx[group_col]),
+            "b": pa.array(idx[1].to_numpy().astype(np.int64)),
+            "cnt": pa.array(g.to_numpy().astype(np.int64))})
+
+    cp = ds.map_batches(count_partial, batch_format="pandas") \
+        .groupby([group_col, "b"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+
+    want: dict[tuple, list[tuple[float, int]]] = {}
+    for grp, sub in cp.groupby(group_col):
+        sub = sub.sort_values("b")
+        bs = sub["b"].to_numpy()
+        cnts = sub["cnt"].to_numpy()
+        cum = np.cumsum(cnts)
+        n_g = int(cum[-1])
+        starts = cum - cnts                      # rows before this bucket
+        for q in qs:
+            r = max(1, int(math.ceil(q * n_g)))  # 1-based in-group rank
+            i = int(np.searchsorted(cum, r))
+            want.setdefault((grp, int(bs[i])), []).append(
+                (q, r - int(starts[i])))
+    probe = ray.put(frozenset(want))
+
+    def pass2(df: pd.DataFrame) -> pa.Table:
+        pb = ray.get(probe)
+        b = bucket_of(df[col].to_numpy())
+        keep = np.fromiter(
+            ((g, int(bb)) in pb for g, bb in zip(df[group_col], b)),
+            dtype=bool, count=len(df))
+        return pa.table({
+            group_col: pa.array(df[group_col].to_numpy()[keep]),
+            "b": pa.array(b[keep]),
+            col: pa.array(df[col].to_numpy()[keep])})
+
+    sub = ds.map_batches(pass2, batch_format="pandas").to_pandas()
+    out = []
+    for (grp, b), targets in want.items():
+        m = (sub[group_col] == grp) & (sub["b"] == b)
+        vals = np.sort(sub.loc[m, col].to_numpy())
+        for q, local_r in targets:
+            out.append((grp, q, float(vals[local_r - 1])))
+    return pd.DataFrame(sorted(out), columns=[group_col, "q", "value"])
+
+
 def hash_split(ds: ray.data.Dataset, *,
                splits: Sequence[tuple[str, int]] = (
                    ("train", 900), ("val", 50), ("test", 50)),

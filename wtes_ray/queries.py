@@ -4058,6 +4058,43 @@ def pagerank_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def triangle_count_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count of the order–part graph (node = key mod 5000)
+    via ops/graph.triangle_count: degree-oriented wedge join (Suri &
+    Vassilvitskii) — each triangle counted at its lowest-rank apex, wedge
+    volume bounded by m^1.5 regardless of hub skew, wedges and oriented
+    edges co-partitioned by a routing hash and matched on the real pair
+    columns."""
+    from .ops.graph import triangle_count
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "dst": pc.cast(t.column("l_partkey"), pa.int64())})
+
+    def mod(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("src").to_numpy() % 5000,
+            "dst": t.column("dst").to_numpy() % 5000})
+
+    n = triangle_count(
+        ds.map_batches(edges, batch_format="pyarrow")
+          .map_batches(mod, batch_format="pyarrow"))
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
+TRIANGLE_COUNT_SQL = """
+WITH e AS (SELECT DISTINCT least(l_orderkey % 5000, l_partkey % 5000) AS u,
+                  greatest(l_orderkey % 5000, l_partkey % 5000) AS v
+           FROM lineitem WHERE l_orderkey % 5000 <> l_partkey % 5000)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
 def _pagerank_sql(iters: int = _PR_ITERS, damping: str = _PR_DAMPING,
                   mod: int = _PR_MOD) -> str:
     """Unrolled-CTE PageRank oracle: r{k} references r{k-1}, so DuckDB
@@ -4839,6 +4876,35 @@ UNION ALL
 SELECT CAST(0.95 AS DOUBLE), ROUND(PERCENTILE_DISC(0.95) WITHIN GROUP
        (ORDER BY l_extendedprice), 2) FROM lineitem
 ORDER BY q
+"""
+
+
+def lang_length_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact PER-LANGUAGE length percentiles (PERCENTILE_DISC at
+    0.1/0.5/0.9 within each lang) via ops/curate.grouped_exact_quantiles —
+    the per-language quality-threshold shape (CCNet's per-lang cuts).
+    Pass 1 reduces to (lang, bucket) counts; pass 2 moves only the probed
+    (lang, bucket) pairs' values. No sort, no per-row ranks."""
+    from .ops.curate import grouped_exact_quantiles
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+    df = grouped_exact_quantiles(ds, "lang", "n_chars", [0.1, 0.5, 0.9])
+    return df.reset_index(drop=True)
+
+
+LANG_LENGTH_PERCENTILES_SQL = """
+SELECT lang, CAST(0.1 AS DOUBLE) AS q,
+       CAST(PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY n_chars)
+            AS DOUBLE) AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.5 AS DOUBLE),
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.9 AS DOUBLE),
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+FROM documents GROUP BY lang
+ORDER BY lang, q
 """
 
 
@@ -5935,6 +6001,8 @@ REGISTRY: dict = {
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_SQL),
     "pagerank_lineitem": (pagerank_lineitem, PAGERANK_SQL),
+    "triangle_count_lineitem": (triangle_count_lineitem,
+                                TRIANGLE_COUNT_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
     "cross_doc_ngram_docs": (cross_doc_ngram_docs, CROSS_DOC_NGRAM_SQL),
     "uniform_sample_docs": (uniform_sample_docs, UNIFORM_SAMPLE_SQL),
@@ -5965,6 +6033,8 @@ REGISTRY: dict = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
+    "lang_length_percentiles": (lang_length_percentiles,
+                                LANG_LENGTH_PERCENTILES_SQL),
     "price_percentiles_lineitem": (price_percentiles_lineitem,
                                    PRICE_PERCENTILES_SQL),
     "event_outliers": (event_outliers, EVENT_OUTLIERS_SQL),

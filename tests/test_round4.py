@@ -440,3 +440,36 @@ def test_triangle_count_join_arm_matches_broadcast(ray_session):
     got_b = triangle_count(ds, num_buckets=8)
     got_j = triangle_count(ds, num_buckets=8, nodes_budget=1)
     assert got_b == got_j > 0
+
+
+def test_token_pmi_matches_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+    from wtes_ray.ops.text import token_pmi
+
+    rng = np.random.RandomState(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    texts += ["new york new york new york"] * 5   # a real collocation
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts))),
+        "text": pa.array(texts)}))
+    got = token_pmi(ds, min_count=3, k=10)
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    N, M = sum(uni.values()), sum(bi.values())
+    rows = [(a, b, c, round(math.log(c * N * N / (M * uni[a] * uni[b])), 6))
+            for (a, b), c in bi.items() if c >= 3]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = pd.DataFrame(rows[:10], columns=["a", "b", "c_ab", "pmi"])
+    want["c_ab"] = want["c_ab"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert got.iloc[0][["a", "b"]].tolist() in (["york", "new"],
+                                                ["new", "york"])

@@ -522,3 +522,95 @@ def _rolling_hash(text: str) -> int:
     for w in words.tolist():
         h = (h * _BASE8 + w) % _MOD
     return h & ((1 << 63) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Corpus PMI (pointwise mutual information of adjacent token bigrams)
+# ---------------------------------------------------------------------------
+
+def token_pmi(ds: ray.data.Dataset, *, text_col: str = "text",
+              id_col: str = "doc_id", min_count: int = 5, k: int = 50,
+              vocab_budget: int = 5_000_000) -> pd.DataFrame:
+    """Top-``k`` adjacent-bigram collocations by corpus PMI —
+    ``ln(c_ab·N² / (M·c_a·c_b))`` with N = total tokens, M = total
+    bigrams — the collocation statistic a tokenizer/phrase-mining stage
+    computes corpus-wide (word2vec's phrase pass).
+
+    Shape: ONE streaming pass emits per-block partial unigram AND bigram
+    counts (a fused (kind, a, b, cnt) layout so the corpus is read once);
+    one gram-keyed groupby finishes both count tables. Unigram counts are
+    VOCAB-sized — under ``vocab_budget`` they broadcast once (ray.put
+    dict) and PMI scores per bigram block with zero further exchanges;
+    each block keeps only its local top-k (rounded-PMI rank, (a, b) tie
+    break — the repo's round-before-rank rule), so the driver finishes
+    over ≤ k·blocks rows. Above the budget the same attach runs as two
+    bucketed hash joins (not implemented here — raise, documented).
+
+    Returns a k-row DataFrame (a, b, c_ab, pmi:6dp)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch[text_col].fillna(""):
+            toks = tok_re.findall(t.lower())
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        a = [*uni.keys(), *(p[0] for p in bi)]
+        b = [""] * len(uni) + [p[1] for p in bi]
+        kind = np.concatenate([np.zeros(len(uni), dtype=np.int8),
+                               np.ones(len(bi), dtype=np.int8)])
+        cnt = np.fromiter((*uni.values(), *bi.values()),
+                          dtype=np.int64, count=len(uni) + len(bi))
+        return pd.DataFrame({"kind": kind, "a": a, "b": b, "cnt": cnt})
+
+    counts = ds.map_batches(partials, batch_format="pandas") \
+        .groupby(["kind", "a", "b"]) \
+        .aggregate(_Sum("cnt", alias_name="cnt")).materialize()
+
+    uni_ds = counts.filter(expr="kind == 0")
+    bi_ds = counts.filter(expr="kind == 1")
+    n_tokens = float(uni_ds.aggregate(_Sum("cnt", alias_name="s"))["s"])
+    m_bigrams = float(bi_ds.aggregate(_Sum("cnt", alias_name="s"))["s"])
+
+    n_vocab = uni_ds.count()
+    if n_vocab > vocab_budget:
+        raise NotImplementedError(
+            f"vocabulary ({n_vocab}) exceeds vocab_budget ({vocab_budget});"
+            " attach unigram counts via two bucketed hash joins"
+            " (ops/joins.bucketed_hash_join on a then b) for this corpus")
+    vocab = {r["a"]: float(r["cnt"]) for r in uni_ds.take_all()}
+    vref = _ray.put(vocab)
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        vc = _ray.get(vref)
+        df = df[df["cnt"] >= min_count]
+        if len(df) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object"),
+                                 "c_ab": pd.Series([], dtype="int64"),
+                                 "pmi": pd.Series([], dtype="float64")})
+        ca = df["a"].map(vc).to_numpy(dtype=np.float64)
+        cb = df["b"].map(vc).to_numpy(dtype=np.float64)
+        c_ab = df["cnt"].to_numpy(dtype=np.float64)
+        # keep the float expression syntactically parallel with the SQL
+        # oracle so IEEE rounding agrees: ((c_ab*N)*N) / (((M*ca))*cb)
+        pmi = np.round(np.log(c_ab * n_tokens * n_tokens
+                              / (m_bigrams * ca * cb)), 6)
+        out = pd.DataFrame({"a": df["a"].to_numpy(),
+                            "b": df["b"].to_numpy(),
+                            "c_ab": df["cnt"].to_numpy(np.int64),
+                            "pmi": pmi})
+        return out.sort_values(["pmi", "a", "b"],
+                               ascending=[False, True, True]).head(k)
+
+    heads = bi_ds.map_batches(score_block, batch_format="pandas") \
+        .to_pandas()                      # ≤ k rows per block
+    heads = heads.sort_values(["pmi", "a", "b"],
+                              ascending=[False, True, True]).head(k)
+    heads["c_ab"] = heads["c_ab"].astype("int64")
+    return heads.reset_index(drop=True)

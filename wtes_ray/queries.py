@@ -3325,6 +3325,47 @@ FROM r WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def token_pmi_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-50 adjacent-bigram collocations by corpus PMI (ops/text.
+    token_pmi): one fused streaming pass emits partial unigram+bigram
+    counts, one gram-keyed groupby finishes, vocab-sized unigram counts
+    broadcast, per-block local top-k bounds the driver finish. Rounded-PMI
+    rank with (a, b) tie break = the ULP-stable rule."""
+    from .ops.text import token_pmi
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return token_pmi(ds, min_count=5, k=50)
+
+
+TOKEN_PMI_SQL = """
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM arr),
+bi AS (
+  SELECT tok AS a, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks),
+bc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi WHERE b IS NOT NULL
+       GROUP BY a, b),
+uc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uc) AS n,
+               (SELECT CAST(SUM(c_ab) AS DOUBLE) FROM bc) AS m),
+scored AS (
+  SELECT bc.a, bc.b, CAST(bc.c_ab AS BIGINT) AS c_ab,
+         ROUND(LN(CAST(bc.c_ab AS DOUBLE) * tot.n * tot.n
+                  / (tot.m * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))),
+               6) AS pmi
+  FROM bc CROSS JOIN tot
+  JOIN uc ua ON ua.tok = bc.a
+  JOIN uc ub ON ub.tok = bc.b
+  WHERE bc.c_ab >= 5)
+SELECT a, b, c_ab, pmi FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rn FROM scored)
+WHERE rn <= 50 ORDER BY pmi DESC, a, b
+"""
+
+
 def cross_doc_ngram_docs(sf_dir: str) -> pd.DataFrame:
     """Cross-document duplicated 5-gram coverage per doc (ops/text.
     cross_doc_ngram_stats): the C4-style boilerplate signal — what
@@ -6005,6 +6046,7 @@ REGISTRY: dict = {
                                 TRIANGLE_COUNT_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
     "cross_doc_ngram_docs": (cross_doc_ngram_docs, CROSS_DOC_NGRAM_SQL),
+    "token_pmi_docs": (token_pmi_docs, TOKEN_PMI_SQL),
     "uniform_sample_docs": (uniform_sample_docs, UNIFORM_SAMPLE_SQL),
     "topk_retrieve_docs": (topk_retrieve_docs, TOPK_RETRIEVE_SQL),
     "kmeans_assign_embeddings": (kmeans_assign_embeddings,

@@ -473,3 +473,28 @@ def test_token_pmi_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got, want)
     assert got.iloc[0][["a", "b"]].tolist() in (["york", "new"],
                                                 ["new", "york"])
+
+
+def test_bpe_arms_equal_and_greedy_overlap(ray_session):
+    """Distributed BPE arm (vocab as Dataset, per-block pair partials,
+    local-top1 argmax) must produce the same merge table as the driver
+    arm; overlap runs ('aaaa' with lhs==rhs) must merge greedily."""
+    import pyarrow as pa
+    import ray.data as rd
+    from wtes_ray.ops.text import _greedy_merge, bpe_train
+
+    assert _greedy_merge(list("aaaa"), "a", "a", "aa") == ["aa", "aa"]
+    assert _greedy_merge(list("aaa"), "a", "a", "aa") == ["aa", "a"]
+    assert _greedy_merge(["x", "a", "b", "a", "b"], "a", "b", "ab") \
+        == ["x", "ab", "ab"]
+
+    texts = ["aaaa aab the the the quick quick brown",
+             "the quick brown fox aaaa",
+             "aab aab the quick"] * 3
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts))),
+        "text": pa.array(texts)}))
+    drv = bpe_train(ds, merges=6)
+    dist = bpe_train(ds, merges=6, force_distributed=True)
+    pd.testing.assert_frame_equal(drv, dist)
+    assert len(drv) == 6 and drv["pair_count"].min() > 0

@@ -614,3 +614,139 @@ def token_pmi(ds: ray.data.Dataset, *, text_col: str = "text",
                               ascending=[False, True, True]).head(k)
     heads["c_ab"] = heads["c_ab"].astype("int64")
     return heads.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (corpus → word vocab → iterative pair merges)
+# ---------------------------------------------------------------------------
+
+def _greedy_merge(syms: list, a: str, b: str, ab: str) -> list:
+    """One left-to-right greedy pass applying merge (a, b) → ab — the
+    standard BPE application step (a symbol created by this pass is NOT
+    re-matched within the pass). Equals the SQL oracle's run-parity
+    formulation (overlapping candidates only arise when a == b; greedy
+    takes the 1st, 3rd, ... of each maximal run)."""
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(ds: ray.data.Dataset, *, merges: int = 8,
+              text_col: str = "text",
+              vocab_budget: int = 5_000_000,
+              force_distributed: bool = False) -> pd.DataFrame:
+    """Train ``merges`` BPE merge rules over the corpus (the tokenizer-
+    training stage of an LLM data pipeline; Sennrich et al. 2016).
+
+    ONE corpus pass reduces to the word-frequency vocabulary (gram-keyed
+    groupby; per-block Counter partials) — training then runs on the
+    VOCAB, never the corpus, which is why BPE training scales: at 100 TB
+    the word-vocab table is still ~10^7 rows. Each iteration counts
+    freq-weighted adjacent symbol pairs, picks the max (ties → smallest
+    (a, b), deterministic), and applies the merge greedily left-to-right
+    with a word-end marker ``</w>``.
+
+    Size dispatch: at or below ``vocab_budget`` words the loop runs on
+    the driver (the realistic single-machine-trainer shape once the
+    corpus pass has reduced); above it (or ``force_distributed``) the
+    vocab stays a Dataset — per-block weighted pair-count partials, one
+    small groupby, per-block local top-1 + driver finish for the argmax,
+    a map_batches merge application per step. Both arms are pinned equal
+    in tests.
+
+    Returns (step, lhs, rhs, merged, pair_count) — ``merges`` rows,
+    value-checkable against a generated step-chain SQL oracle."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as _Sum
+
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    def wf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch[text_col].fillna(""):
+            c.update(tok_re.findall(t.lower()))
+        return pd.DataFrame({"w": list(c.keys()),
+                             "freq": np.fromiter(c.values(), dtype=np.int64,
+                                                 count=len(c))})
+
+    wf = ds.map_batches(wf_partial, batch_format="pandas") \
+        .groupby("w").aggregate(_Sum("freq", alias_name="freq")) \
+        .materialize()
+
+    rules: list[tuple] = []
+
+    if wf.count() <= vocab_budget and not force_distributed:
+        vpd = wf.to_pandas()
+        words = [(list(w) + ["</w>"], int(f))
+                 for w, f in zip(vpd["w"], vpd["freq"])]
+        for step in range(1, merges + 1):
+            cnt: Counter = Counter()
+            for syms, f in words:
+                for pair in zip(syms, syms[1:]):
+                    cnt[pair] += f
+            if not cnt:
+                break
+            c = max(cnt.values())
+            a, b = min(p for p, v in cnt.items() if v == c)
+            rules.append((step, a, b, a + b, int(c)))
+            words = [(_greedy_merge(s, a, b, a + b), f) for s, f in words]
+        return pd.DataFrame(rules, columns=["step", "lhs", "rhs",
+                                            "merged", "pair_count"])
+
+    def to_syms(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "w": df["w"], "freq": df["freq"],
+            "syms": [list(w) + ["</w>"] for w in df["w"]]})
+
+    vocab = wf.map_batches(to_syms, batch_format="pandas").materialize()
+
+    for step in range(1, merges + 1):
+        def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+            c: Counter = Counter()
+            for syms, f in zip(df["syms"], df["freq"]):
+                for pair in zip(list(syms), list(syms)[1:]):
+                    c[pair] += int(f)
+            ks = list(c.keys())
+            return pd.DataFrame({
+                "a": [p[0] for p in ks], "b": [p[1] for p in ks],
+                "c": np.fromiter(c.values(), dtype=np.int64,
+                                 count=len(ks))})
+
+        counts = vocab.map_batches(pair_partial, batch_format="pandas") \
+            .groupby(["a", "b"]).aggregate(_Sum("c", alias_name="c"))
+
+        def local_top1(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            return df.sort_values(["c", "a", "b"],
+                                  ascending=[False, True, True]).head(1)
+
+        heads = counts.map_batches(local_top1,
+                                   batch_format="pandas").to_pandas()
+        if len(heads) == 0:
+            break
+        top = heads.sort_values(["c", "a", "b"],
+                                ascending=[False, True, True]).iloc[0]
+        a, b, c = str(top["a"]), str(top["b"]), int(top["c"])
+        rules.append((step, a, b, a + b, c))
+
+        def apply(df: pd.DataFrame, a=a, b=b) -> pd.DataFrame:
+            df = df.copy()
+            df["syms"] = [_greedy_merge(list(s), a, b, a + b)
+                          for s in df["syms"]]
+            return df
+
+        vocab = vocab.map_batches(apply,
+                                  batch_format="pandas").materialize()
+
+    return pd.DataFrame(rules, columns=["step", "lhs", "rhs",
+                                        "merged", "pair_count"])

@@ -3366,6 +3366,78 @@ WHERE rn <= 50 ORDER BY pmi DESC, a, b
 """
 
 
+def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
+    """8 BPE merge rules trained over the documents corpus (ops/text.
+    bpe_train): one corpus pass reduces to the word-frequency vocab, the
+    training loop then runs vocab-sized (driver arm here — the
+    distributed arm is pinned equal in tests). Deterministic argmax: max
+    freq-weighted pair count, ties to the smallest (a, b)."""
+    from .ops.text import bpe_train
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bpe_train(ds, merges=8)
+
+
+def _bpe_sql(k: int = 8) -> str:
+    """Generated step-chain BPE oracle (the kmeans/pagerank pattern):
+    seq{i} applies pick{i}'s merge to seq{i-1} via the run-parity
+    formulation (greedy left-to-right: 1st, 3rd, ... of each maximal
+    overlap run — overlaps only arise when lhs == rhs). CTEs MUST be
+    MATERIALIZED: DuckDB's default inlining re-evaluates the chain
+    combinatorially (the kmeans lesson)."""
+    parts = ["""WITH toks AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+  FROM documents),
+wf AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY w),
+seq0 AS MATERIALIZED (
+  SELECT w, p, s FROM (
+    SELECT w, generate_subscripts(string_split(w, ''), 1) AS p,
+           unnest(string_split(w, '')) AS s FROM wf)
+  UNION ALL SELECT w, LENGTH(w) + 1, '</w>' FROM wf)"""]
+    for i in range(1, k + 1):
+        prev = f"seq{i - 1}"
+        parts.append(f""",
+cnt{i} AS MATERIALIZED (
+  SELECT a, b, SUM(freq) AS c FROM (
+    SELECT w, s AS a, LEAD(s) OVER (PARTITION BY w ORDER BY p) AS b
+    FROM {prev}) x
+  JOIN wf USING (w) WHERE b IS NOT NULL GROUP BY a, b),
+pick{i} AS MATERIALIZED (
+  SELECT a, b, CAST(c AS BIGINT) AS c FROM cnt{i}
+  ORDER BY c DESC, a, b LIMIT 1),
+seq{i} AS MATERIALIZED (
+  SELECT w, ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS p, s FROM (
+    SELECT w, p,
+           CASE WHEN hit THEN (SELECT a || b FROM pick{i}) ELSE s END AS s,
+           COALESCE(LAG(hit) OVER (PARTITION BY w ORDER BY p),
+                    FALSE) AS consumed
+    FROM (
+      SELECT w, p, s,
+             COALESCE(pairable
+                      AND ((p - MIN(p) OVER (PARTITION BY w, grp)) % 2 = 0),
+                      FALSE) AS hit
+      FROM (
+        SELECT w, p, s, pairable,
+               CASE WHEN pairable THEN p - ROW_NUMBER()
+                    OVER (PARTITION BY w, pairable ORDER BY p) END AS grp
+        FROM (
+          SELECT w, p, s,
+                 (s = (SELECT a FROM pick{i})
+                  AND LEAD(s) OVER (PARTITION BY w ORDER BY p)
+                      = (SELECT b FROM pick{i})) AS pairable
+          FROM {prev}) t1) t2) t3) t4
+  WHERE NOT consumed)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS lhs, b AS rhs,"
+        f" a || b AS merged, c AS pair_count FROM pick{i}"
+        for i in range(1, k + 1))
+    parts.append(f"\n{selects}\nORDER BY step")
+    return "".join(parts)
+
+
+BPE_MERGES_SQL = _bpe_sql(8)
+
+
 def cross_doc_ngram_docs(sf_dir: str) -> pd.DataFrame:
     """Cross-document duplicated 5-gram coverage per doc (ops/text.
     cross_doc_ngram_stats): the C4-style boilerplate signal — what
@@ -6047,6 +6119,7 @@ REGISTRY: dict = {
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
     "cross_doc_ngram_docs": (cross_doc_ngram_docs, CROSS_DOC_NGRAM_SQL),
     "token_pmi_docs": (token_pmi_docs, TOKEN_PMI_SQL),
+    "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "uniform_sample_docs": (uniform_sample_docs, UNIFORM_SAMPLE_SQL),
     "topk_retrieve_docs": (topk_retrieve_docs, TOPK_RETRIEVE_SQL),
     "kmeans_assign_embeddings": (kmeans_assign_embeddings,

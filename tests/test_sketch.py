@@ -70,6 +70,21 @@ def test_hll_duplicates_and_merge_property(ray_session):
     assert abs(SK.hll_estimate(ru) - 900) / 900 < 0.065
 
 
+def test_grouped_hll_matches_per_group_ungrouped(ray_session):
+    """Per-group registers/estimates == running the ungrouped sketch on
+    each group's slice — grouping must not change the arithmetic."""
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], size=6_000),
+                       "k": rng.randint(0, 2_000, size=6_000)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = SK.grouped_approx_distinct(ds, "g", "k")
+    for grp, sub in df.groupby("g"):
+        solo = SK.approx_distinct(ray.data.from_pandas(sub[["k"]]), "k")
+        assert got.loc[got["g"] == grp, "approx"].iloc[0] == solo
+
+
 def test_cms_counts_exact_for_heavy_and_one_sided(ray_session):
     import ray.data
 

@@ -270,3 +270,47 @@ def heavy_hitters(ds: ray.data.Dataset, key_col: str, *, threshold: int,
     out["n"] = out["n"].astype(np.int64)
     return out[out["n"] >= threshold].sort_values(key_col) \
         .reset_index(drop=True)
+
+
+def grouped_hll_registers(ds: ray.data.Dataset, group_col: str,
+                          key_col: str, *,
+                          salt: str = "hll") -> ray.data.Dataset:
+    """Per-group HLL register tables — (group, bucket, register) rows for
+    observed buckets, i.e. HLL as a MERGEABLE GROUPED AGGREGATE (the
+    approx-COUNT-DISTINCT-GROUP-BY shape). Same integer register
+    arithmetic as :func:`hll_registers`; partials reduce per
+    (group, bucket) inside each block, one groupby-max finishes.
+    ``group_col`` is dimension-like (the register table is G·m rows)."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        h = _key_u64(batch[key_col].tolist(), salt)
+        bucket = (h >> np.uint64(_REM_BITS)).astype(np.int64)
+        rem = h & np.uint64((1 << _REM_BITS) - 1)
+        rank = np.fromiter(
+            (53 - int(r).bit_length() if r else 53 for r in rem),
+            dtype=np.int64, count=len(rem))
+        df = pd.DataFrame({group_col: batch[group_col].values,
+                           "bucket": bucket, "register": rank})
+        out = df.groupby([group_col, "bucket"],
+                         as_index=False)["register"].max()
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby([group_col, "bucket"]) \
+        .aggregate(Max("register", alias_name="register"))
+
+
+def grouped_approx_distinct(ds: ray.data.Dataset, group_col: str,
+                            key_col: str, *,
+                            salt: str = "hll") -> pd.DataFrame:
+    """Per-group approximate COUNT DISTINCT from the grouped registers —
+    the standard estimate (alpha·m²/Σ2^-M_j, linear-counting correction)
+    applied group-wise on the driver (G·m integer rows). Returns
+    (group_col, approx) ordered by group."""
+    regs = grouped_hll_registers(ds, group_col, key_col,
+                                 salt=salt).to_pandas()
+    out = []
+    for grp, sub in regs.groupby(group_col):
+        out.append((grp, hll_estimate(sub[["bucket", "register"]])))
+    return pd.DataFrame(sorted(out), columns=[group_col, "approx"])

@@ -2186,6 +2186,34 @@ JSONL_ROUNDTRIP_SQL = ("SELECT doc_id, text, lang, source FROM documents "
                        "ORDER BY doc_id")
 
 
+def csv_roundtrip_events(sf_dir: str) -> pd.DataFrame:
+    """CSV source+sink (the reference's triple-CSV sink S9, generalized):
+    `write_csv` shards a typed subset to CSV files, `read_csv` streams
+    them back with type inference, and a per-type aggregate over the
+    ROUNDTRIPPED data is value-checked against the same aggregate on the
+    original table — so the sink→source composition (including float
+    text round-tripping) is what the oracle pins."""
+    import tempfile
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_id", "event_type", "value"])
+    out_dir = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
+    ds.write_csv(out_dir)
+    back = rd.read_csv(out_dir)
+    out = back.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value")).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+CSV_ROUNDTRIP_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthetic payloads → cached-state decode →
     features. SQL-checkable: the synthetic header fields derive from
@@ -2616,6 +2644,62 @@ est AS (
 SELECT ROUND((SELECT e FROM est), 4) AS approx_users,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
 FROM events
+"""
+
+
+def approx_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """HLL as a grouped aggregate: per event_type approximate distinct
+    users (ops/sketch.grouped_approx_distinct) next to the exact count —
+    the approx-COUNT-DISTINCT-GROUP-BY shape. Registers reduce per
+    (group, bucket) inside blocks, one groupby-max finishes; the oracle
+    recomputes the identical register AND estimate arithmetic per group
+    in SQL (same alpha, same linear-counting branch)."""
+    from ray.data.aggregate import Count as _Count
+
+    from .ops.sketch import grouped_approx_distinct
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    approx = grouped_approx_distinct(ds, "event_type", "user_id")
+    approx["approx"] = approx["approx"].round(4)
+    exact = ds.groupby(["event_type", "user_id"]).aggregate(_Count()) \
+        .groupby("event_type").aggregate(_Count(alias_name="exact_users")) \
+        .to_pandas()[["event_type", "exact_users"]]
+    out = approx.merge(exact, on="event_type")
+    out["exact_users"] = out["exact_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+APPROX_BY_TYPE_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         md5_number_lower('hll:' || CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+r AS (
+  SELECT event_type, CAST(h >> 52 AS BIGINT) AS bucket,
+         CASE WHEN (h & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+              ELSE 53 - length(bin(h & ((1::UBIGINT << 52) - 1)))
+         END AS rank
+  FROM h),
+regs AS (SELECT event_type, bucket, MAX(rank) AS register
+         FROM r GROUP BY event_type, bucket),
+s AS (
+  SELECT event_type,
+         SUM(POW(2.0, -register)) + (4096 - COUNT(*)) AS denom,
+         4096 - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type,
+         CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / denom
+                   <= 2.5 * 4096 AND zeros > 0
+              THEN 4096.0 * LN(4096.0 / zeros)
+              ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / denom
+         END AS e
+  FROM s),
+x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS exact_users
+      FROM events GROUP BY event_type)
+SELECT est.event_type, ROUND(est.e, 4) AS approx, x.exact_users
+FROM est JOIN x ON x.event_type = est.event_type
+ORDER BY est.event_type
 """
 
 
@@ -6015,6 +6099,7 @@ REGISTRY: dict = {
     "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
     "pq_codes_embeddings": (pq_codes_embeddings, PQ_CODES_SQL),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_SQL),
+    "csv_roundtrip_events": (csv_roundtrip_events, CSV_ROUNDTRIP_SQL),
     "range_export_pruned": (range_export_pruned, RANGE_EXPORT_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -6106,6 +6191,7 @@ REGISTRY: dict = {
     "streaming_dedup_count": (streaming_dedup_count,
                               STREAMING_DEDUP_COUNT_SQL),
     "hll_registers_users": (hll_registers_users, HLL_REGISTERS_SQL),
+    "approx_users_by_type": (approx_users_by_type, APPROX_BY_TYPE_SQL),
     "approx_distinct_users": (approx_distinct_users, APPROX_DISTINCT_SQL),
     "cms_counters_users": (cms_counters_users, CMS_COUNTERS_SQL),
     "bloom_bits_users": (bloom_bits_users, BLOOM_BITS_SQL),

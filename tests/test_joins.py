@@ -268,3 +268,41 @@ def test_join_output_blocks_contain_complete_key_groups(ray_session):
                 f"key {k} split across blocks {seen[k]} and {i}"
     # and nothing was lost
     assert sum(b.num_rows for b in blocks) == len(left)
+
+
+def test_join_survives_empty_pandas_blocks_and_pins_types(ray_session):
+    """Regression: a pandas map stage whose task output is EMPTY emits a
+    schemaless empty pandas block (Ray forwards empty blocks around
+    UDFs); the sort reduce then normalizes partitions to their most
+    prevalent block type, which can drag a partition through pandas —
+    padded int64 degrades to float64 and all-null string to null-type,
+    which the Acero body used to reject ('Data type null is not
+    supported in join non-key field'). The join must survive and return
+    the PINNED output types."""
+    import pyarrow as pa
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(1000, dtype=np.int64),
+         "x": np.arange(1000, dtype=np.int64)})).repartition(8)
+    rsrc = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(50, dtype=np.int64),
+         "g": np.arange(50, dtype=np.int64)})).repartition(8)
+    lut = {i: f"n{i}" for i in range(10)}
+
+    def side(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"k": df["k"], "name": df["g"].map(lut)})
+        return out[out["name"].notna()]   # most task outputs are EMPTY
+
+    right = rsrc.map_batches(side, batch_format="pandas")
+    for how, want_rows in (("inner", 10), ("left", 1000),
+                           ("semi", 10), ("anti", 990)):
+        out = bucketed_hash_join(
+            left, right, "k", how=how, num_buckets=8,
+            left_schema=pa.schema([("k", pa.int64()), ("x", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()),
+                                    ("name", pa.string())]))
+        df = out.to_pandas()
+        assert len(df) == want_rows, (how, len(df))
+        assert df["x"].dtype == np.int64, (how, df.dtypes)
+        if how == "inner":
+            assert sorted(df["name"]) == sorted(lut.values())

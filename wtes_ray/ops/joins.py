@@ -189,20 +189,40 @@ def bucketed_hash_join(
     acero_ok = not any(pa.types.is_nested(f.type) for f in unified
                        if f.name not in (_SIDE, _BUCKET))
 
+    out_names = (lcols if how in ("semi", "anti")
+                 else lcols + [c for c in rcols if c != on])
+    out_schema = pa.schema([(c, type_of[c]) for c in out_names])
+    l_pin = pa.schema([(c, type_of[c]) for c in lcols])
+    r_pin = pa.schema([(c, type_of[c]) for c in rcols])
+
     def join_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            # map_groups can hand fn an EMPTY block with the schema
+            # degraded to all-null types (the same Ray quirk the
+            # co-partition contract test skips over); Acero rejects
+            # null-typed non-key fields — short-circuit to a typed
+            # empty table so both bodies stay schema-stable
+            return out_schema.empty_table()
         lmask = pc.equal(g.column(_SIDE), pa.scalar(0, pa.int8()))
         lt = g.filter(lmask).select(lcols)
         rt = g.filter(pc.invert(lmask)).select(rcols)
         if (bucket_impl == "arrow" and acero_ok and left_prepare is None
                 and right_prepare is None):
-            # zero-pandas body: key casts pinned by the unified schema
-            # already, join output re-ordered/cast to the same contract
+            # re-pin side types first: a task whose whole output is empty
+            # emits a schemaless empty PANDAS block (Ray forwards empty
+            # blocks around UDFs), and the sort reduce normalizes each
+            # partition to its most prevalent block type — one such block
+            # can drag a partition through pandas, degrading padded int64
+            # to float64 and all-null string to null-type, which Acero
+            # rejects ("Data type null is not supported in join non-key
+            # field"). Cast is a no-op when types already match.
+            if lt.schema != l_pin:
+                lt = lt.cast(l_pin)
+            if rt.schema != r_pin:
+                rt = rt.cast(r_pin)
             out = lt.combine_chunks().join(rt.combine_chunks(), keys=on,
                                            join_type=_ACERO_HOW[how])
-            want = (lcols if how in ("semi", "anti")
-                    else lcols + [c for c in rcols if c != on])
-            return out.select(want).cast(
-                pa.schema([(c, type_of[c]) for c in want]))
+            return out.select(out_names).cast(out_schema)
         l = lt.to_pandas()
         r = rt.to_pandas()
         if left_prepare is not None:

@@ -4564,6 +4564,172 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q5_local_supplier_volume(
+        sf_dir: str, *,
+        broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation where the
+    CUSTOMER and the SUPPLIER share that nation, region-restricted
+    (completes the 22-query roster). Scale shape mirrors q7: region+nation
+    are driver dims (25 rows); supplier and customer maps take the
+    size-budget broadcast cutover (bucketed hash joins above it);
+    lineitem pre-reduces to (orderkey, supp_nation) partials and orders
+    prune on the date window BEFORE the orderkey exchange; the
+    nation-equality filter runs co-partitioned inside it."""
+    from .ops.joins import bucketed_hash_join
+    region = pq.read_table(_t(sf_dir, "region"),
+                           columns=["r_regionkey", "r_name"])
+    rkeys = {k for k, v in zip(region["r_regionkey"].to_pylist(),
+                               region["r_name"].to_pylist())
+             if v == "ASIA"}
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    n_name = {k: nm for k, nm, rk in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist(),
+        nation["n_regionkey"].to_pylist()) if rk in rkeys}
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    # --- lineitem → (l_orderkey, supp_nation, volume) partials ---------
+    def li_partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_pandas(),
+            "l_suppkey": t["l_suppkey"].to_pandas(),
+            "volume": (t["l_extendedprice"].to_numpy()
+                       * (1.0 - t["l_discount"].to_numpy()))})
+
+    li = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_orderkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"])
+    if _n_rows(sf_dir, "supplier") <= broadcast_rows_budget:
+        sup = pq.read_table(_t(sf_dir, "supplier"),
+                            columns=["s_suppkey", "s_nationkey"])
+        s_nat = {s: n_name[n] for s, n in
+                 zip(sup["s_suppkey"].to_pylist(),
+                     sup["s_nationkey"].to_pylist()) if n in n_name}
+        sref = ray.put(s_nat)
+
+        def li_supp(t: pa.Table) -> pa.Table:
+            lut = ray.get(sref)
+            df = li_partial(t)
+            df["supp_nation"] = df["l_suppkey"].map(lut)
+            df = df[df["supp_nation"].notna()]
+            return _arrow(df.groupby(["l_orderkey", "supp_nation"],
+                                     as_index=False)["volume"].sum())
+
+        li_n = li.map_batches(li_supp, batch_format="pyarrow")
+    else:
+        nref = ray.put(n_name)
+
+        def sup_side(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(nref)
+            out = pd.DataFrame({"l_suppkey": df["s_suppkey"],
+                                "supp_nation": df["s_nationkey"].map(lut)})
+            return out[out["supp_nation"].notna()]
+
+        sup_n = _read_pq(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"]) \
+            .map_batches(sup_side, batch_format="pandas")
+        li_n = bucketed_hash_join(
+            li.map_batches(lambda t: _arrow(li_partial(t)),
+                           batch_format="pyarrow"),
+            sup_n, "l_suppkey", num_buckets=32,
+            left_schema=pa.schema([("l_suppkey", pa.int64()),
+                                   ("l_orderkey", pa.int64()),
+                                   ("volume", pa.float64())]),
+            right_schema=pa.schema([("l_suppkey", pa.int64()),
+                                    ("supp_nation", pa.string())])) \
+            .map_batches(
+                lambda df: _arrow(df.groupby(
+                    ["l_orderkey", "supp_nation"],
+                    as_index=False)["volume"].sum()),
+                batch_format="pandas")
+
+    # --- orders (date-pruned) → (l_orderkey, cust_nation) --------------
+    def o_window(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = _read_pq(_t(sf_dir, "orders"),
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(o_window, batch_format="pyarrow")
+    if _n_rows(sf_dir, "customer") <= broadcast_rows_budget:
+        cust = pq.read_table(_t(sf_dir, "customer"),
+                             columns=["c_custkey", "c_nationkey"])
+        c_nat = {c: n_name[n] for c, n in
+                 zip(cust["c_custkey"].to_pylist(),
+                     cust["c_nationkey"].to_pylist()) if n in n_name}
+        cref = ray.put(c_nat)
+
+        def orders_side(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(cref)
+            out = pd.DataFrame({"l_orderkey": df["o_orderkey"],
+                                "cust_nation": df["o_custkey"].map(lut)})
+            return out[out["cust_nation"].notna()]
+
+        orders_n = orders.map_batches(orders_side, batch_format="pandas")
+    else:
+        nref2 = ray.put(n_name)
+
+        def cust_side(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(nref2)
+            out = pd.DataFrame({"o_custkey": df["c_custkey"],
+                                "cust_nation": df["c_nationkey"].map(lut)})
+            return out[out["cust_nation"].notna()]
+
+        cust_n = _read_pq(_t(sf_dir, "customer"),
+                          columns=["c_custkey", "c_nationkey"]) \
+            .map_batches(cust_side, batch_format="pandas")
+        orders_n = bucketed_hash_join(
+            orders, cust_n, "o_custkey", num_buckets=32,
+            left_schema=pa.schema([("o_custkey", pa.int64()),
+                                   ("o_orderkey", pa.int64())]),
+            right_schema=pa.schema([("o_custkey", pa.int64()),
+                                    ("cust_nation", pa.string())])) \
+            .map_batches(
+                lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                                    "cust_nation": t["cust_nation"]}),
+                batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        li_n, orders_n, "l_orderkey", num_buckets=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("supp_nation", pa.string()),
+                               ("volume", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("cust_nation", pa.string())]))
+
+    def local_partial(df: pd.DataFrame) -> pa.Table:
+        df = df[df["supp_nation"] == df["cust_nation"]]
+        return _arrow(df.groupby("supp_nation", as_index=False)
+                      ["volume"].sum()
+                      .rename(columns={"supp_nation": "n_name",
+                                       "volume": "revenue"}))
+
+    df = _for_agg(joined.map_batches(local_partial, batch_format="pandas")) \
+        .groupby("n_name") \
+        .aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values(["revenue", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def q8_market_share(
         sf_dir: str, *,
         broadcast_rows_budget: int = BROADCAST_ROWS_BUDGET) -> pd.DataFrame:
@@ -6227,6 +6393,7 @@ REGISTRY: dict = {
     "quality_funnel_docs": (quality_funnel_docs, QUALITY_FUNNEL_SQL),
     "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "bloom_semi_revenue": (bloom_semi_revenue, BLOOM_SEMI_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),

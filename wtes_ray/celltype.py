@@ -82,6 +82,31 @@ def classify_cell(content: str, has_img: bool) -> str:
     return T_OTHER
 
 
+# Cross-cell memo for the non-image lattice walk: cell contents are
+# Zipfian (measured 99k classify calls / 11k distinct strings over a
+# 400-doc bench sample — ~9× repetition), so caching by stripped content
+# removes ~90% of the regex matching from the extraction hot path. Per
+# worker process, insert-capped so a pathological all-distinct corpus
+# cannot grow it unbounded (the dict stops LEARNING at the cap but keeps
+# serving hits). Image cells bypass: T_IMG needs no regex.
+_CLS_CACHE: dict[str, str] = {}
+_CLS_CACHE_CAP = 1_000_000
+
+
+def classify_cell_cached(content: str, has_img: bool) -> str:
+    """Memoized :func:`classify_cell` (same result by purity — pinned by
+    tests/test_celltype.py's property test over both entry points)."""
+    if has_img:
+        return T_IMG
+    key = str(content).strip()
+    v = _CLS_CACHE.get(key)
+    if v is None:
+        v = classify_cell(key, False)
+        if len(_CLS_CACHE) < _CLS_CACHE_CAP:
+            _CLS_CACHE[key] = v
+    return v
+
+
 # Fixed taxonomy (table.py:1067-1089): child → parent.
 _PARENT: dict[str, str] = {
     "超链接": "类型",

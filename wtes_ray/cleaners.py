@@ -47,6 +47,21 @@ def clean_cell_text(s: str) -> str:
     return _CITE_REF.sub("", s).replace("\xa0", "")
 
 
+# Cross-cell memo (same rationale as celltype._CLS_CACHE: measured ~6×
+# content repetition on the bench corpus; pure function, insert-capped).
+_CLEAN_CACHE: dict[str, str] = {}
+_CLEAN_CACHE_CAP = 1_000_000
+
+
+def clean_cell_text_cached(s: str) -> str:
+    v = _CLEAN_CACHE.get(s)
+    if v is None:
+        v = clean_cell_text(s)
+        if len(_CLEAN_CACHE) < _CLEAN_CACHE_CAP:
+            _CLEAN_CACHE[s] = v
+    return v
+
+
 def clean_person_name(s: str) -> str:
     """Person-name cleanup: brackets (sans ``<...>`` — see
     ``_BRACKETS_NO_ANGLE``), ``/``-split, punctuation (table.py:449-461

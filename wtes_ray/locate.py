@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-from .cleaners import clean_cell_text
+from .cleaners import clean_cell_text_cached as clean_cell_text
 from .dom import Element, TextNode, parse_html
 from .lexicons import DEFAULT_SITE_RULE
 from .tablemodel import PERSON_INFO, UNNAMED, Cell, Table
@@ -114,15 +114,69 @@ def basic_info_tables_from_boxes(boxes: list[Element],
     return tables
 
 
+_TITLE_TD = "normal title-td"
+
+
+def _span_cell(span: Element) -> Cell | None:
+    """One fused subtree walk per ``<span>`` collecting its text, descendant
+    ``<a href>``s (raw href keyed by the anchor's subtree text — NO site
+    prefix, matches tableExtractor.py:367-371) and ``<img src>``s — replaces
+    the original text + find_all("a") + find_all("img") triple walk.
+    Returns None for the '▪' bullet spans the reference skips."""
+    parts: list[str] = []
+    href: dict[str, str] = {}
+    img_src: list[str] = []
+    stack = span.children[::-1]
+    while stack:
+        node = stack.pop()
+        if node.__class__ is TextNode:
+            parts.append(node.data)
+            continue
+        name = node.name
+        if name == "a":
+            url = node.attrs.get("href")
+            if url is not None:
+                href[node.text] = url
+        elif name == "img":
+            src = node.attrs.get("src")
+            if src is not None:
+                img_src.append(src)
+        cs = node.children
+        if cs:
+            stack.extend(cs[::-1])
+    text = "".join(parts)
+    if text == "▪":
+        return None
+    return Cell(text.strip(), href=href, img=img_src, tag_name="span")
+
+
 def extract_list_table(tag: Element) -> list[Table]:
     """M4 (tableExtractor.py:337-386): ``<table>`` whose body is
     ``class='normal title-td'`` titles + ``<ul>`` lists; each ``<li>``'s
     ``<span>``s become cells; '▪' bullet spans are skipped. Returns [] when
     the title/ul counts differ (the caller then falls through to the
-    heuristic path)."""
+    heuristic path).
+
+    Hot path: titles and uls are collected in ONE document-order subtree
+    walk (``class='normal title-td'`` contains a space, so bs4/`_class_
+    matches` semantics reduce to exact attribute equality), and each span
+    cell is built by :func:`_span_cell`'s single fused walk — same results
+    as the find_all form, pinned by the goldens and the DOM unit tests."""
     tables: list[Table] = []
-    titles = tag.find_all(class_="normal title-td")
-    uls = tag.find_all("ul")
+    titles: list[Element] = []
+    uls: list[Element] = []
+    stack = tag.children[::-1]
+    while stack:
+        node = stack.pop()
+        if node.__class__ is not Element:
+            continue
+        if node.name == "ul":
+            uls.append(node)
+        if node.attrs.get("class") == _TITLE_TD:
+            titles.append(node)
+        cs = node.children
+        if cs:
+            stack.extend(cs[::-1])
     if len(titles) != len(uls):
         return tables
     for title, ul in zip(titles, uls):
@@ -133,18 +187,9 @@ def extract_list_table(tag: Element) -> list[Table]:
                 continue
             row: list[Cell] = []
             for span in li.find_all("span"):
-                if span.text == "▪":
-                    continue
-                text = span.text.strip()
-                href = {}
-                for a in span.find_all("a"):
-                    if a.has_attr("href"):
-                        href[a.text] = a["href"]   # NOTE: raw href, no site
-                        # prefix — matches tableExtractor.py:367-371
-                img_src = [img["src"] for img in span.find_all("img")
-                           if img.has_attr("src")]
-                row.append(Cell(text, href=href, img=img_src,
-                                tag_name="span"))
+                cell = _span_cell(span)
+                if cell is not None:
+                    row.append(cell)
             rows.append(row)
         if rows:
             tables.append(Table(rows, name=str(caption)))
@@ -349,8 +394,26 @@ def change_tag_to_table(tag: Element, caption: str = UNNAMED,
     conversion; per cell collects hrefs (site-prefixed), image srcs,
     rowspan/colspan and the tag name."""
     rows: list[list[Cell]] = []
-    thead = tag.find("thead")
-    tbody = tag.find("tbody")
+    # first thead + first tbody in ONE document-order subtree walk (bs4
+    # find() semantics: first match anywhere in the subtree) — tables
+    # without sections paid two full walks
+    thead = tbody = None
+    stack = tag.children[::-1]
+    while stack:
+        node = stack.pop()
+        if node.__class__ is not Element:
+            continue
+        if node.name == "thead":
+            if thead is None:
+                thead = node
+        elif node.name == "tbody":
+            if tbody is None:
+                tbody = node
+        if thead is not None and tbody is not None:
+            break
+        cs = node.children
+        if cs:
+            stack.extend(cs[::-1])
     if thead and tbody:
         sections = (thead, tbody)
     else:

@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .celltype import CHARACTER_TYPES, T_PUNCT, classify_cell, type_list_distance
+from .celltype import (CHARACTER_TYPES, T_PUNCT, classify_cell,  # noqa: F401 (re-export for tests)
+                       classify_cell_cached, type_list_distance)
 from .cleaners import (append_entity_triple, append_relation, clean_person_name,
                        clear_name_or_rel)
 from .lexicons import DEFAULT_LEXICONS, Lexicons
@@ -56,7 +57,7 @@ class Cell:
 
     def get_type(self) -> str:
         if self.type_ is None:
-            self.type_ = classify_cell(self.content, len(self.img) > 0)
+            self.type_ = classify_cell_cached(self.content, len(self.img) > 0)
         return self.type_
 
     def copy(self) -> "Cell":
@@ -76,7 +77,11 @@ class Table:
                  unfold_direction: str | None = None):
         self.rows = rows
         self.row_number = len(rows)
-        self.col_number = max((sum(c.colspan for c in r) for r in rows), default=0)
+        # ONE pass over the rows yields both the width and the
+        # rectangularity check (the hot path builds thousands of tables;
+        # the separate _init_correct sum pass was measurable)
+        sums = [sum(c.colspan for c in r) for r in rows]
+        self.col_number = max(sums, default=0)
         self.name = name
         self.prefix: str | None = None
         self.unfold_direction = unfold_direction
@@ -86,7 +91,7 @@ class Table:
         self.table_type: str | None = None
         self.href_map: dict[str, str] = {}
         self._property_names: list[str] | None = None
-        self._correct = self._init_correct()
+        self._correct = len(set(sums)) == 1
         self._normal = self._init_normal()
         self.init_types()
 
@@ -134,6 +139,15 @@ class Table:
         """
         n_rows = len(self.rows)
         if n_rows == 0:
+            return self
+        if self._correct and all(c.rowspan == 1 and c.colspan == 1
+                                 for r in self.rows for c in r):
+            # already a dense rectangle: the grid expansion would rebuild
+            # the same matrix out of per-cell copies (observable state
+            # identical — copy() resets spans that are already 1 and
+            # carries type_), and __init__ already ran the structural
+            # checks and typing. Most tables take this path (the bench
+            # corpus plants rowspans in a minority of tables).
             return self
         width = max(sum(c.colspan for c in r) for r in self.rows)
         grid: list[list[Cell | None]] = [[None] * width for _ in range(n_rows)]

@@ -363,6 +363,10 @@ _CDATA = re.compile(r"<!\[CDATA\[.*?(?:\]\]>|$)", re.S)
 _DOCTYPE = re.compile(r"<!DOCTYPE[^>]*>")
 _ATTR = re.compile(
     r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
+# fast path for the dominant shape ` key="value"` (one double-quoted
+# attribute, nothing trailing — so never self-closing): one anchored match
+# replaces the finditer scan; anything else falls through to _ATTR
+_ONE_ATTR = re.compile(r"\s*([^\s=/>]+)=\"([^\"]*)\"\s*\Z")
 _RAW_END = {
     "script": re.compile(r"</script\s*>", re.I),
     "style": re.compile(r"</style\s*>", re.I),
@@ -459,21 +463,29 @@ def parse_html(html: str, drop_tags: frozenset[str] = frozenset()) -> Element:
         name = m.group(1).lower()
         attr_str = m.group(2)
         attrs = {}
-        last_end = 0
+        self_closing = False
         if attr_str:
-            for am in _ATTR.finditer(attr_str):
-                key = am.group(1).lower()
-                val = am.group(2) or am.group(3) or am.group(4) or ""
+            om = _ONE_ATTR.match(attr_str)
+            if om is not None:
+                val = om.group(2)
                 if "&" in val:
                     val = unesc(val)
-                attrs[key] = val
-                last_end = am.end()
-        # self-closing ONLY when a standalone "/" remains after the
-        # attributes — a trailing "/" inside an unquoted value (e.g.
-        # href=/item/abc/) is part of the value, exactly as the stdlib
-        # parser treats it
-        self_closing = attr_str[last_end:].strip() == "/" \
-            and "/" in attr_str[last_end:]
+                attrs[om.group(1).lower()] = val
+            else:
+                last_end = 0
+                for am in _ATTR.finditer(attr_str):
+                    key = am.group(1).lower()
+                    val = am.group(2) or am.group(3) or am.group(4) or ""
+                    if "&" in val:
+                        val = unesc(val)
+                    attrs[key] = val
+                    last_end = am.end()
+                # self-closing ONLY when a standalone "/" remains after the
+                # attributes — a trailing "/" inside an unquoted value (e.g.
+                # href=/item/abc/) is part of the value, exactly as the
+                # stdlib parser treats it
+                self_closing = attr_str[last_end:].strip() == "/" \
+                    and "/" in attr_str[last_end:]
         el = Element(name, attrs, cur)
         cur_children.append(el)
         if name in _RAW_END:

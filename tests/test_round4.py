@@ -498,3 +498,81 @@ def test_bpe_arms_equal_and_greedy_overlap(ray_session):
     dist = bpe_train(ds, merges=6, force_distributed=True)
     pd.testing.assert_frame_equal(drv, dist)
     assert len(drv) == 6 and drv["pair_count"].min() > 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 session 2: reshape / skipgram / binary dedup ops
+# ---------------------------------------------------------------------------
+
+def test_pivot_counts_and_unpivot_roundtrip(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.reshape import pivot_counts, unpivot
+
+    df = pd.DataFrame({"g": ["x", "x", "y", "y", "y"],
+                       "s": ["A", "B", "A", "A", "C"]})
+    wide = pivot_counts(rd.from_pandas(df), group_col="g", pivot_col="s",
+                        values=["A", "B", "C"]).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert wide["cnt_A"].tolist() == [1, 2]
+    assert wide["cnt_B"].tolist() == [1, 0]
+    assert wide["cnt_C"].tolist() == [0, 1]
+    long = unpivot(rd.from_pandas(wide), id_col="g",
+                   value_cols=["cnt_A", "cnt_B", "cnt_C"],
+                   var_name="s", value_name="cnt",
+                   strip_prefix="cnt_").to_pandas()
+    long = long[long["cnt"] > 0].sort_values(["g", "s"])
+    # round trip reproduces the original group-by counts exactly
+    want = df.groupby(["g", "s"]).size().reset_index(name="cnt")
+    pd.testing.assert_frame_equal(long.reset_index(drop=True),
+                                  want.astype({"cnt": long["cnt"].dtype}))
+
+
+def test_pivot_counts_ignores_unknown_values(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.reshape import pivot_counts
+
+    df = pd.DataFrame({"g": ["x", "x"], "s": ["A", "ZZZ"]})
+    wide = pivot_counts(rd.from_pandas(df), group_col="g", pivot_col="s",
+                        values=["A"]).to_pandas()
+    assert wide["cnt_A"].tolist() == [1]   # ZZZ dropped, not mis-binned
+
+
+def test_skipgram_window_matches_bruteforce(ray_session):
+    import re as _re
+
+    import ray.data as rd
+
+    from wtes_ray.ops.text import skipgram_cooccurrence
+
+    texts = ["the cat sat on the mat", "the cat ran", "on the mat the cat"]
+    window = 3
+    from collections import Counter
+    want: Counter = Counter()
+    for t in texts:
+        toks = _re.findall(r"[a-z0-9_]+", t.lower())
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + window + 1, len(toks))):
+                want[(toks[i], toks[j])] += 1
+    got = skipgram_cooccurrence(
+        rd.from_pandas(pd.DataFrame({"text": texts})),
+        window=window, min_count=1).to_pandas()
+    got_map = {(r.a, r.b): r.cnt for r in got.itertuples()}
+    assert got_map == dict(want)
+
+
+def test_binary_exact_dedup_groups(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.multimodal import binary_exact_dedup
+
+    df = pd.DataFrame({"doc_id": [5, 1, 2, 3],
+                       "payload": [b"\x00\xffA", b"\x00\xffA", b"B", None]})
+    out = binary_exact_dedup(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 3                      # A-group, B, empty(None)
+    grp = out.set_index("digest")
+    import hashlib as _h
+    a = _h.md5(b"\x00\xffA").hexdigest()
+    assert grp.loc[a, "keeper"] == 1 and grp.loc[a, "n_copies"] == 2
+    assert grp.loc[_h.md5(b"").hexdigest(), "n_copies"] == 1

@@ -442,6 +442,27 @@ class ByteHistogramFeatures:
             "features", pa.array(feats, pa.list_(pa.float64())))
 
 
+def binary_exact_dedup(ds: ray.data.Dataset, *, bytes_col: str = "payload",
+                       id_col: str = "doc_id") -> ray.data.Dataset:
+    """Exact dedup of opaque BINARY payloads (images/audio/video blobs) by
+    content digest — the multimodal sibling of ops/dedup.exact_dedup_ids:
+    each block hashes its payloads locally, so only (digest, id) pairs ride
+    the exchange and the blobs themselves never move. Returns one row per
+    distinct payload: (digest hex, keeper = min id, n_copies)."""
+    from ray.data.aggregate import Count, Min
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        dig = [hashlib.md5(p if p is not None else b"").hexdigest()
+               for p in t.column(bytes_col).to_pylist()]
+        return pa.table({id_col: t.column(id_col),
+                         "digest": pa.array(dig, pa.string())})
+
+    return ds.map_batches(hash_batch, batch_format="pyarrow") \
+        .groupby("digest") \
+        .aggregate(Min(id_col, alias_name="keeper"),
+                   Count(alias_name="n_copies"))
+
+
 def media_feature_pipeline(docs: ray.data.Dataset, *,
                            concurrency=2,
                            batch_size: int = 64) -> ray.data.Dataset:

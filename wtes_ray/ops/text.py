@@ -616,6 +616,51 @@ def token_pmi(ds: ray.data.Dataset, *, text_col: str = "text",
     return heads.reset_index(drop=True)
 
 
+def skipgram_cooccurrence(ds: ray.data.Dataset, *, text_col: str = "text",
+                          window: int = 4, min_count: int = 5
+                          ) -> ray.data.Dataset:
+    """Window-``window`` ORDERED token co-occurrence counts — the word2vec
+    skip-gram preprocessing pass: for token positions i < j with
+    j − i ≤ window within a document, count the pair (token[i], token[j]).
+
+    Shape: ONE streaming corpus pass emits per-block partial pair counts
+    (per-batch Counter over ``zip(toks, toks[d:])`` for each offset d —
+    the window expansion happens inside the block, so the exchange carries
+    (a, b, cnt) partials, never positions or text); one pair-keyed groupby
+    finishes the counts; pairs below ``min_count`` are dropped AFTER the
+    combine (a pre-filter would miscount pairs split across blocks).
+    Tokens are the ASCII class ``[a-z0-9_]+`` of the lowered text — pinned
+    to DuckDB's RE2 so the SQL oracle tokenizes identically.
+
+    Returns a Dataset of (a, b, cnt)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    tok_re = re.compile(r"[a-z0-9_]+", re.ASCII)
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        pairs: Counter = Counter()
+        for t in batch[text_col].fillna(""):
+            toks = tok_re.findall(t.lower())
+            for d in range(1, window + 1):
+                if d >= len(toks):
+                    break
+                pairs.update(zip(toks, toks[d:]))
+        if not pairs:
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        ks = list(pairs.keys())
+        return pd.DataFrame({
+            "a": [p[0] for p in ks], "b": [p[1] for p in ks],
+            "cnt": np.fromiter(pairs.values(), dtype=np.int64,
+                               count=len(pairs))})
+
+    counts = ds.map_batches(partials, batch_format="pandas") \
+        .groupby(["a", "b"]).aggregate(_Sum("cnt", alias_name="cnt"))
+    return counts.filter(expr=f"cnt >= {int(min_count)}")
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training (corpus → word vocab → iterative pair merges)
 # ---------------------------------------------------------------------------

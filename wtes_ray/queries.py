@@ -3409,6 +3409,202 @@ FROM r WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def skipgram_cooc_docs(sf_dir: str) -> pd.DataFrame:
+    """Skip-gram window-4 ordered co-occurrence counts ≥ 5 (ops/text.
+    skipgram_cooccurrence — word2vec preprocessing): per-block Counter
+    partials carry (a, b, cnt) into ONE pair-keyed groupby; the window
+    expansion never leaves the block. Full-value oracle: DuckDB positional
+    self-join on the same RE2 tokenization."""
+    from .ops.text import skipgram_cooccurrence
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+    out = skipgram_cooccurrence(ds, window=4, min_count=5).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SKIPGRAM_COOC_SQL = """
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM arr)
+SELECT x.tok AS a, y.tok AS b, COUNT(*) AS cnt
+FROM toks x JOIN toks y
+  ON x.doc_id = y.doc_id AND y.pos > x.pos AND y.pos <= x.pos + 4
+GROUP BY x.tok, y.tok
+HAVING COUNT(*) >= 5
+ORDER BY a, b
+"""
+
+
+def _orders_with_year(sf_dir: str) -> rd.Dataset:
+    ds = _read_pq(_t(sf_dir, "orders"),
+                  columns=["o_orderdate", "o_orderstatus"])
+
+    def add_year(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_year": df["o_orderdate"].dt.year.astype("int64"),
+            "o_orderstatus": df["o_orderstatus"]})
+
+    return ds.map_batches(add_year, batch_format="pandas")
+
+
+def orders_pivot_status(sf_dir: str) -> pd.DataFrame:
+    """Long→wide pivot (ops/reshape.pivot_counts): order counts per year ×
+    status as a wide conditional aggregation — per-block crosstab partials,
+    ONE year-keyed groupby-sum; no row-level data on the exchange."""
+    from .ops.reshape import pivot_counts
+    wide = pivot_counts(_orders_with_year(sf_dir), group_col="o_year",
+                        pivot_col="o_orderstatus", values=["F", "O", "P"])
+    df = wide.to_pandas()
+    for c in ("cnt_F", "cnt_O", "cnt_P"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("o_year").reset_index(drop=True)
+
+
+ORDERS_PIVOT_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS "cnt_F",
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS "cnt_O",
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+         AS "cnt_P"
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_pivot_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Pivot → unpivot round-trip: the wide table melts back per block
+    (ops/reshape.unpivot) and zero cells (year×status combinations absent
+    from the data) are dropped, so the result must equal the plain long
+    GROUP BY — both reshape directions checked by one full-value oracle."""
+    from .ops.reshape import pivot_counts, unpivot
+    wide = pivot_counts(_orders_with_year(sf_dir), group_col="o_year",
+                        pivot_col="o_orderstatus", values=["F", "O", "P"])
+    long = unpivot(wide, id_col="o_year",
+                   value_cols=["cnt_F", "cnt_O", "cnt_P"],
+                   var_name="o_orderstatus", value_name="cnt",
+                   strip_prefix="cnt_")
+    df = long.to_pandas()
+    df = df[df["cnt"] > 0].copy()
+    df["cnt"] = df["cnt"].astype("int64")
+    return df.sort_values(["o_year", "o_orderstatus"]).reset_index(drop=True)
+
+
+ORDERS_PIVOT_ROUNDTRIP_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def lineitem_correlations(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlation matrix of the four lineitem measures in
+    ONE streaming pass: each block emits a single partial-moment row (n,
+    Σx, Σx² per column, Σxy per pair — 15 doubles regardless of block
+    size); the driver sums block partials and finishes the ratio. The SQL
+    oracle computes the SAME uncentered-moment formula (not DuckDB's
+    corr()) so both sides round identically at 6dp."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = [t.column(c).to_numpy(zero_copy_only=False) for c in cols]
+        row: dict = {"n": [float(len(arrs[0]))]}
+        for i, c in enumerate(cols):
+            row[f"s_{i}"] = [float(arrs[i].sum())]
+            row[f"ss_{i}"] = [float((arrs[i] * arrs[i]).sum())]
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                row[f"sp_{i}_{j}"] = [float((arrs[i] * arrs[j]).sum())]
+        return pa.table(row)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = parts.sum()            # one row per block — driver state is tiny
+    n = m["n"]
+    out = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            b = cols[j]
+            num = n * m[f"sp_{i}_{j}"] - m[f"s_{i}"] * m[f"s_{j}"]
+            den = np.sqrt((n * m[f"ss_{i}"] - m[f"s_{i}"] ** 2)
+                          * (n * m[f"ss_{j}"] - m[f"s_{j}"] ** 2))
+            out.append((a, b, round(num / den, 6)))
+    return pd.DataFrame(out, columns=["x", "y", "corr"]) \
+        .sort_values(["x", "y"]).reset_index(drop=True)
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+LINEITEM_CORR_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS x, '{b}' AS y,
+  ROUND((COUNT(*) * SUM({a} * {b}) - SUM({a}) * SUM({b}))
+        / SQRT((COUNT(*) * SUM({a} * {a}) - SUM({a}) * SUM({a}))
+             * (COUNT(*) * SUM({b} * {b}) - SUM({b}) * SUM({b}))), 6)
+    AS corr FROM lineitem"""
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]) + "\nORDER BY x, y"
+
+
+def media_binary_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup of binary media payloads (ops/multimodal.
+    binary_exact_dedup): payloads are planted so doc_id % 50 share bytes;
+    each block digests locally and only (digest, id) pairs shuffle. The
+    planted payload is the UTF-8 bytes of a derivable string, so DuckDB's
+    md5() over the same varchar is a full-value oracle for the digest,
+    keeper and copy count."""
+    from .ops.multimodal import binary_exact_dedup
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [f"payload:{int(d) % 50}".encode() for d in ids]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    out = binary_exact_dedup(ds.map_batches(plant, batch_format="pyarrow"))
+    df = out.to_pandas()
+    df["keeper"] = df["keeper"].astype("int64")
+    df["n_copies"] = df["n_copies"].astype("int64")
+    return df.sort_values("digest").reset_index(drop=True)
+
+
+MEDIA_BINARY_DEDUP_SQL = """
+SELECT md5('payload:' || (doc_id % 50)) AS digest,
+       MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1 ORDER BY digest
+"""
+
+
+def events_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equi-width histogram of the event value column — the distributed
+    profiling primitive: per-block ``np.unique`` bin counts (width 10,
+    floor binning) ride the exchange as (bin, cnt) partials into ONE
+    bin-keyed groupby. floor(x/10) is IEEE-identical on both sides."""
+    from ray.data.aggregate import Sum as _Sum
+    ds = _read_pq(_t(sf_dir, "events"), columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        bins, cnt = np.unique(np.floor(v / 10.0).astype(np.int64),
+                              return_counts=True)
+        return pa.table({"bin": pa.array(bins, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(_Sum("cnt", alias_name="cnt")).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+EVENTS_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1 ORDER BY bin
+"""
+
+
 def token_pmi_docs(sf_dir: str) -> pd.DataFrame:
     """Top-50 adjacent-bigram collocations by corpus PMI (ops/text.
     token_pmi): one fused streaming pass emits partial unigram+bigram
@@ -6371,6 +6567,14 @@ REGISTRY: dict = {
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
     "cross_doc_ngram_docs": (cross_doc_ngram_docs, CROSS_DOC_NGRAM_SQL),
     "token_pmi_docs": (token_pmi_docs, TOKEN_PMI_SQL),
+    "skipgram_cooc_docs": (skipgram_cooc_docs, SKIPGRAM_COOC_SQL),
+    "orders_pivot_status": (orders_pivot_status, ORDERS_PIVOT_SQL),
+    "orders_pivot_roundtrip": (orders_pivot_roundtrip,
+                               ORDERS_PIVOT_ROUNDTRIP_SQL),
+    "lineitem_correlations": (lineitem_correlations, LINEITEM_CORR_SQL),
+    "media_binary_dedup": (media_binary_dedup, MEDIA_BINARY_DEDUP_SQL),
+    "events_value_histogram": (events_value_histogram,
+                               EVENTS_HISTOGRAM_SQL),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "uniform_sample_docs": (uniform_sample_docs, UNIFORM_SAMPLE_SQL),
     "topk_retrieve_docs": (topk_retrieve_docs, TOPK_RETRIEVE_SQL),

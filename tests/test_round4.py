@@ -576,3 +576,80 @@ def test_binary_exact_dedup_groups(ray_session):
     a = _h.md5(b"\x00\xffA").hexdigest()
     assert grp.loc[a, "keeper"] == 1 and grp.loc[a, "n_copies"] == 2
     assert grp.loc[_h.md5(b"").hexdigest(), "n_copies"] == 1
+
+
+def test_phrase_search_counts_occurrences(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import phrase_search
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c a b c",        # 2 occurrences of "a b c"
+                 "a b x c",            # broken phrase — no match
+                 "A B C",              # case-folded match
+                 "c b a"]})            # reversed — no match
+    out = phrase_search(rd.from_pandas(df), ["a", "b", "c"]).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_occ"]))
+    assert got == {1: 2, 3: 1}
+
+
+def test_phrase_search_repeated_term(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import phrase_search
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["the cat the dog", "the the cat"]})
+    out = phrase_search(rd.from_pandas(df), ["the", "cat", "the"]).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_occ"]))
+    assert got == {1: 1}           # "the cat the"; doc 2 has "the the cat"
+
+
+def test_word_containment_subset_scores_one():
+    from wtes_ray.ops.dedup import _word_containment
+
+    full = "alpha beta gamma delta epsilon zeta"
+    prefix = "alpha beta gamma"
+    c_ab, c_ba = _word_containment(full, prefix, 2)
+    assert c_ba == 1.0 and 0 < c_ab < 1.0
+    assert _word_containment("x", "y z", 2) == (0.0, 0.0)  # empty gram side
+
+
+def test_morton_roundtrip_and_sql_parity():
+    import duckdb
+
+    from wtes_ray.ops.layout import morton2, morton2_sql
+
+    xs = np.arange(8).repeat(8)
+    ys = np.tile(np.arange(8), 8)
+    z = morton2(xs, ys, 3)
+    assert len(set(z.tolist())) == 64          # bijective on the 8×8 grid
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {morton2_sql('x', 'y', 3)} AS z FROM "
+        "(SELECT unnest(range(0, 64)) // 8 AS x,"
+        " unnest(range(0, 64)) % 8 AS y) ORDER BY x, y").fetchdf()
+    want = morton2(np.arange(64) // 8, np.arange(64) % 8, 3)
+    assert got["z"].to_numpy().tolist() == want.tolist()
+
+
+def test_zorder_box_read_prunes_files(ray_session, tmp_path):
+    import ray.data as rd
+
+    from wtes_ray.ops.layout import zorder_box_read, zorder_write
+
+    n = 512
+    df = pd.DataFrame({"x": np.arange(n) % 32, "y": (np.arange(n) * 7) % 32,
+                       "v": np.arange(n, dtype="float64")})
+    out = str(tmp_path / "z")
+    zorder_write(rd.from_pandas(df), out, x_col="x", y_col="y",
+                 wx=4, wy=4, bits=3)
+    back = zorder_box_read(out, xb_range=(1, 3), yb_range=(2, 4),
+                           bits=3).to_pandas()
+    want = df[(df.x // 4 >= 1) & (df.x // 4 < 3)
+              & (df.y // 4 >= 2) & (df.y // 4 < 4)]
+    assert sorted(back["v"].tolist()) == sorted(want["v"].tolist())
+    # and it actually pruned: fewer cell dirs opened than written
+    import os
+    assert len([d for d in os.listdir(out) if d.startswith("zcell=")]) > 4

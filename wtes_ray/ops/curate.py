@@ -690,6 +690,53 @@ def posting_lists(ds: ray.data.Dataset, terms: Sequence[str], *,
                 .rename("docs").reset_index()
 
 
+def phrase_search(ds: ray.data.Dataset, phrase: Sequence[str], *,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> ray.data.Dataset:
+    """Positional phrase search — the posting-list-with-positions shape:
+    each block emits (doc, base, bit) postings ONLY for the phrase's terms
+    (term i matching at position p contributes bit ``1<<i`` at
+    ``base = p - i``), one (doc, base)-keyed groupby ORs the bits via Sum
+    (the i are distinct per base, so bits never collide), and bases whose
+    mask is complete are exact phrase occurrences. Exchange volume is
+    bounded by the phrase terms' corpus frequency — the text itself never
+    shuffles, and non-phrase tokens emit nothing.
+
+    Returns (id_col, n_occ) for documents with ≥ 1 occurrence."""
+    from ray.data.aggregate import Count
+
+    phrase = [w.lower() for w in phrase]
+    n = len(phrase)
+    if n == 0:
+        raise ValueError("empty phrase")
+    full = (1 << n) - 1
+    term_bits: dict[str, list[int]] = {}
+    for i, w in enumerate(phrase):
+        term_bits.setdefault(w, []).append(i)
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        docs: list = []
+        bases: list[int] = []
+        bits: list[int] = []
+        for d, t in zip(batch[id_col], batch[text_col].fillna("")):
+            toks = _WORD_RE.findall(t.lower())
+            for p, tok in enumerate(toks):
+                for i in term_bits.get(tok, ()):
+                    base = p - i
+                    if base >= 0:
+                        docs.append(d)
+                        bases.append(base)
+                        bits.append(1 << i)
+        return pd.DataFrame({id_col: pd.Series(docs, dtype="int64"),
+                             "base": pd.Series(bases, dtype="int64"),
+                             "bit": pd.Series(bits, dtype="int64")})
+
+    masks = ds.map_batches(postings, batch_format="pandas") \
+        .groupby([id_col, "base"]).aggregate(Sum("bit", alias_name="mask"))
+    hits = masks.filter(expr=f"mask == {full}")
+    return hits.groupby(id_col).aggregate(Count(alias_name="n_occ"))
+
+
 def bm25_topk(ds: ray.data.Dataset, query_terms: Sequence[str], k: int, *,
               text_col: str = "text", id_col: str = "doc_id",
               k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:

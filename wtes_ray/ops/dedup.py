@@ -749,6 +749,102 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
     return with_b.map_batches(verify, batch_format="pandas")
 
 
+def _word_containment(ta: str, tb: str, n: int) -> tuple[float, float]:
+    """Broder containment of the word-n-gram sets, both directions:
+    (|∩|/|Ga|, |∩|/|Gb|) — the quote/subset-detection score (a short doc
+    fully quoted inside a long one has c_ab = 1.0 while its Jaccard is
+    small). Empty gram set ⇒ 0.0 on its side (one IEEE division of the
+    same two integers as the SQL oracle otherwise)."""
+    wa, wb = _word_tokens(ta), _word_tokens(tb)
+    sa = {" ".join(wa[i:i + n]) for i in range(len(wa) - n + 1)}
+    sb = {" ".join(wb[i:i + n]) for i in range(len(wb) - n + 1)}
+    inter = len(sa & sb)
+    return (inter / len(sa) if sa else 0.0,
+            inter / len(sb) if sb else 0.0)
+
+
+def containment_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      ngram: int = 2, num_buckets: int = 32,
+                      broadcast_rows_budget: int = 100_000
+                      ) -> ray.data.Dataset:
+    """Exact word-n-gram CONTAINMENT for candidate (a, b) pairs — the
+    directional sibling of :func:`verify_pairs_jaccard`, same scale shape:
+    candidate texts attach by size dispatch (broadcast map under
+    ``broadcast_rows_budget``, two bucketed hash joins above), pairs with
+    a member absent from ``docs`` are dropped. Adds columns (c_ab, c_ba)."""
+    import ray as _ray
+    from .joins import _arrow_schema as _pairs_schema
+    from .joins import bucketed_hash_join
+
+    pairs = pairs.materialize()
+    id_rows = pairs.select_columns(["a", "b"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"cid": pd.concat([df["a"], df["b"]]).unique()}),
+        batch_format="pandas").take_all()
+    ids = {r["cid"] for r in id_rows}
+    if not ids:
+        def tag_empty(df: pd.DataFrame) -> pd.DataFrame:
+            df["c_ab"] = pd.Series([], dtype="float64")
+            df["c_ba"] = pd.Series([], dtype="float64")
+            return df
+        return pairs.map_batches(tag_empty, batch_format="pandas")
+    id_ref = _ray.put(ids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        wanted = _ray.get(id_ref)
+        mask = pd.Index(
+            t.column(id_col).to_numpy(zero_copy_only=False)).isin(wanted)
+        return t.filter(pa.array(mask))
+
+    cand = docs.select_columns([id_col, text_col]).map_batches(
+        pick, batch_format="pyarrow").materialize()
+
+    if cand.count() <= broadcast_rows_budget:
+        textmap = {r[id_col]: r[text_col] for r in cand.take_all()}
+        map_ref = _ray.put(textmap)
+
+        def score_bcast(batch: pd.DataFrame) -> pd.DataFrame:
+            tm = _ray.get(map_ref)
+            present = batch["a"].isin(tm) & batch["b"].isin(tm)
+            batch = batch[present].copy()
+            scores = [_word_containment(tm[a] or "", tm[b] or "", ngram)
+                      for a, b in zip(batch["a"], batch["b"])]
+            batch["c_ab"] = pd.Series([s[0] for s in scores],
+                                      index=batch.index, dtype="float64")
+            batch["c_ba"] = pd.Series([s[1] for s in scores],
+                                      index=batch.index, dtype="float64")
+            return batch
+
+        return pairs.map_batches(score_bcast, batch_format="pandas")
+
+    text_t = dict(zip(cand.schema().names, cand.schema().types))[text_col]
+    cand_a = cand.map_batches(lambda t: t.rename_columns(["a", "__ta"]),
+                              batch_format="pyarrow")
+    cand_b = cand.map_batches(lambda t: t.rename_columns(["b", "__tb"]),
+                              batch_format="pyarrow")
+    pair_schema = _pairs_schema(pairs)
+    sa = pa.schema([("a", pair_schema.field("a").type), ("__ta", text_t)])
+    sb = pa.schema([("b", pair_schema.field("b").type), ("__tb", text_t)])
+    with_a = bucketed_hash_join(pairs, cand_a, "a", num_buckets=num_buckets,
+                                left_schema=pair_schema, right_schema=sa)
+    mid_schema = pa.schema(
+        [pair_schema.field("a")]
+        + [pair_schema.field(n) for n in pair_schema.names if n != "a"]
+        + [pa.field("__ta", text_t)])
+    with_b = bucketed_hash_join(with_a, cand_b, "b", num_buckets=num_buckets,
+                                left_schema=mid_schema, right_schema=sb)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = [_word_containment(ta or "", tb or "", ngram)
+                for ta, tb in zip(batch["__ta"], batch["__tb"])]
+        batch["c_ab"] = [v[0] for v in vals]
+        batch["c_ba"] = [v[1] for v in vals]
+        return batch[list(pair_schema.names) + ["c_ab", "c_ba"]]
+
+    return with_b.map_batches(score, batch_format="pandas")
+
+
 def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         num_perm: int = 64, bands: int = 16,

@@ -3605,6 +3605,181 @@ FROM events GROUP BY 1 ORDER BY bin
 """
 
 
+def phrase_search_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact 3-token phrase occurrences per document via positional
+    postings (ops/curate.phrase_search): phrase-term-only (doc, base, bit)
+    postings + one bitmask groupby — no text on the exchange. Oracle:
+    positional self-joins over the same RE2 tokenization."""
+    from .ops.curate import phrase_search
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = phrase_search(ds, ["value", "table", "part"]).to_pandas()
+    out["n_occ"] = out["n_occ"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PHRASE_SEARCH_SQL = """
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM arr)
+SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM toks t0
+JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+            AND t1.tok = 'table'
+JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+            AND t2.tok = 'part'
+WHERE t0.tok = 'value'
+GROUP BY t0.doc_id ORDER BY t0.doc_id
+"""
+
+
+def ngram_containment_planted(sf_dir: str) -> pd.DataFrame:
+    """Directional word-bigram CONTAINMENT (|∩|/|Ga|, |∩|/|Gb| — the
+    quote/subset-detection score) over all pairs of 20 head docs plus a
+    10-word PREFIX of each (so true-subset pairs score exactly 1.0 on the
+    prefix side). Runs through ops/dedup.containment_pairs' size-dispatched
+    attach; values hash-match DuckDB bit-exactly — both sides make one
+    IEEE division of the same two gram-set integers."""
+    from .ops.dedup import _WORD_RE, containment_pairs
+    head = _sorted_head(_t(sf_dir, "documents"), "doc_id",
+                        ["doc_id", "text"], 20)
+    ids = head["doc_id"].to_pylist()
+    texts = head["text"].to_pylist()
+    prefixes = [" ".join(_WORD_RE.findall((t or "").lower())[:10])
+                for t in texts]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids + [i + 10**12 for i in ids], pa.int64()),
+        "text": pa.array(texts + prefixes, pa.string())}))
+    all_ids = sorted(ids) + [i + 10**12 for i in sorted(ids)]
+    pairs = [(a, b) for i, a in enumerate(all_ids) for b in all_ids[i + 1:]]
+    pairs_ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64())}))
+    out = containment_pairs(pairs_ds, docs, ngram=2)
+    df = out.to_pandas()[["a", "b", "c_ab", "c_ba"]]
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+NGRAM_CONTAINMENT_SQL = """
+WITH heads AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20),
+hw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+       FROM heads),
+planted AS (
+  SELECT doc_id, w FROM hw
+  UNION ALL
+  SELECT doc_id + 1000000000000 AS doc_id, w[1:10] AS w FROM hw),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS grams
+      FROM planted)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       COALESCE(CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                / NULLIF(len(x.grams), 0), 0.0) AS c_ab,
+       COALESCE(CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                / NULLIF(len(y.grams), 0), 0.0) AS c_ba
+FROM g x JOIN g y ON x.doc_id < y.doc_id
+ORDER BY a, b
+"""
+
+
+_Z_BITS = 3            # 8 buckets per dimension → ≤ 64 Morton cells
+_Z_CELLS = 1 << _Z_BITS
+
+
+def _zorder_widths(sf_dir: str) -> tuple[int, int]:
+    """Integer bucket widths for (l_partkey, l_suppkey) — max//8+1 via one
+    Max aggregate each, the same two integer divisions the SQL runs."""
+    from .ops.layout import dim_width
+    ds = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_partkey", "l_suppkey"])
+    return (dim_width(ds, "l_partkey", _Z_CELLS),
+            dim_width(ds, "l_suppkey", _Z_CELLS))
+
+
+_Z_WX_SQL = f"(SELECT MAX(l_partkey) // {_Z_CELLS} + 1 FROM lineitem)"
+_Z_WY_SQL = f"(SELECT MAX(l_suppkey) // {_Z_CELLS} + 1 FROM lineitem)"
+
+
+def zorder_cells_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Morton-cell population of lineitem under the (partkey, suppkey)
+    Z-order layout (ops/layout.morton2): per-block cell tags + one
+    cell-keyed count — the clustering-key computation is pure per-row
+    arithmetic, checked bit-exactly against the unrolled integer-SQL
+    interleave (ops/layout.morton2_sql)."""
+    from ray.data.aggregate import Count
+    from .ops.layout import morton2
+    wx, wy = _zorder_widths(sf_dir)
+    ds = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_partkey", "l_suppkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        x = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        y = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({"zcell": pa.array(morton2(x // wx, y // wy,
+                                                   _Z_BITS), pa.int64())})
+
+    out = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("zcell").aggregate(Count(alias_name="cnt")).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("zcell").reset_index(drop=True)
+
+
+def _zorder_cells_sql() -> str:
+    from .ops.layout import morton2_sql
+    z = morton2_sql(f"l_partkey // {_Z_WX_SQL}",
+                    f"l_suppkey // {_Z_WY_SQL}", _Z_BITS)
+    return (f"SELECT {z} AS zcell, CAST(COUNT(*) AS BIGINT) AS cnt\n"
+            f"FROM lineitem GROUP BY 1 ORDER BY zcell")
+
+
+def zorder_range_pruned(sf_dir: str) -> pd.DataFrame:
+    """Z-order layout write + 2-D box read (ops/layout.zorder_write /
+    zorder_box_read): lineitem lands hive-partitioned by Morton cell, then
+    a bucket-aligned (partkey, suppkey) box query reads ONLY the 9 covered
+    cell directories — the two-dimensional generalization of the year
+    zone-map in range_export_pruned. The predicate is implemented entirely
+    by directory selection; the oracle's WHERE runs it as a plain scan."""
+    import shutil
+    import tempfile
+
+    from .ops.layout import zorder_box_read, zorder_write
+    wx, wy = _zorder_widths(sf_dir)
+    ds = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"])
+    out_dir = tempfile.mkdtemp(prefix="wtes_zorder_")
+    try:
+        zorder_write(ds, out_dir, x_col="l_partkey", y_col="l_suppkey",
+                     wx=wx, wy=wy, bits=_Z_BITS)
+        back = zorder_box_read(out_dir, xb_range=(2, 5), yb_range=(3, 6),
+                               bits=_Z_BITS)
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = (t["l_extendedprice"].to_numpy()
+                 * (1.0 - t["l_discount"].to_numpy()))
+            return pa.table({"revenue": pa.array([float(v.sum())],
+                                                 pa.float64()),
+                             "n": pa.array([len(v)], pa.int64())})
+
+        parts = back.map_batches(partial, batch_format="pyarrow") \
+            .to_pandas().sum()
+        return pd.DataFrame({"revenue": [round(float(parts["revenue"]), 2)],
+                             "n": [int(parts["n"])]})
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+ZORDER_RANGE_SQL = f"""
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_partkey // {_Z_WX_SQL} BETWEEN 2 AND 4
+  AND l_suppkey // {_Z_WY_SQL} BETWEEN 3 AND 5
+"""
+
+
 def token_pmi_docs(sf_dir: str) -> pd.DataFrame:
     """Top-50 adjacent-bigram collocations by corpus PMI (ops/text.
     token_pmi): one fused streaming pass emits partial unigram+bigram
@@ -6575,6 +6750,11 @@ REGISTRY: dict = {
     "media_binary_dedup": (media_binary_dedup, MEDIA_BINARY_DEDUP_SQL),
     "events_value_histogram": (events_value_histogram,
                                EVENTS_HISTOGRAM_SQL),
+    "phrase_search_docs": (phrase_search_docs, PHRASE_SEARCH_SQL),
+    "ngram_containment_planted": (ngram_containment_planted,
+                                  NGRAM_CONTAINMENT_SQL),
+    "zorder_cells_lineitem": (zorder_cells_lineitem, _zorder_cells_sql()),
+    "zorder_range_pruned": (zorder_range_pruned, ZORDER_RANGE_SQL),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "uniform_sample_docs": (uniform_sample_docs, UNIFORM_SAMPLE_SQL),
     "topk_retrieve_docs": (topk_retrieve_docs, TOPK_RETRIEVE_SQL),

@@ -653,3 +653,17 @@ def test_zorder_box_read_prunes_files(ray_session, tmp_path):
     # and it actually pruned: fewer cell dirs opened than written
     import os
     assert len([d for d in os.listdir(out) if d.startswith("zcell=")]) > 4
+
+
+def test_equidepth_bucket_rule_matches_case_semantics():
+    # bucket = count(edges < v) must equal the SQL CASE chain, including
+    # values EQUAL to an edge (lower bucket) and duplicate edges
+    edges = np.array([1.0, 1.0, 3.0])
+    v = np.array([0.5, 1.0, 2.0, 3.0, 4.0])
+    got = np.searchsorted(edges, v, side="left")
+    def case(x):
+        if x <= 1.0: return 0
+        if x <= 1.0: return 1
+        if x <= 3.0: return 2
+        return 3
+    assert got.tolist() == [case(x) for x in v]

@@ -3780,6 +3780,49 @@ WHERE l_partkey // {_Z_WX_SQL} BETWEEN 2 AND 4
 """
 
 
+def events_equidepth_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equi-DEPTH histogram of event values: quartile edges from the
+    two-pass exact-quantile operator (ops/curate.exact_quantiles — only
+    probed buckets' values move), then ONE counting pass bins every row
+    against the 3 broadcast edges. Bucket rule: number of edges < v
+    (so v == edge stays in the lower bucket — the PERCENTILE_DISC-value
+    boundary the SQL CASE expresses with the same stored doubles)."""
+    from .ops.curate import exact_quantiles
+    from ray.data.aggregate import Sum as _Sum
+    ds = _read_pq(_t(sf_dir, "events"), columns=["value"])
+    edges = exact_quantiles(ds, "value", [0.25, 0.5, 0.75])["value"] \
+        .to_numpy(dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, v, side="left")    # == count(edges < v)
+        bins, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(bins, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(_Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+EVENTS_EQUIDEPTH_SQL = """
+WITH e AS (
+  SELECT PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY value) AS e1,
+         PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY value) AS e2,
+         PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY value) AS e3
+  FROM events)
+SELECT CASE WHEN value <= e.e1 THEN 0
+            WHEN value <= e.e2 THEN 1
+            WHEN value <= e.e3 THEN 2
+            ELSE 3 END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events CROSS JOIN e
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 def token_pmi_docs(sf_dir: str) -> pd.DataFrame:
     """Top-50 adjacent-bigram collocations by corpus PMI (ops/text.
     token_pmi): one fused streaming pass emits partial unigram+bigram
@@ -4531,7 +4574,8 @@ def kmeans_assign_embeddings(sf_dir: str) -> pd.DataFrame:
 def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, *,
                 vec_expr: str = "CAST(embedding AS DOUBLE[])",
                 select_extra: str = "",
-                prefix: str = "") -> str:
+                prefix: str = "",
+                final_select: str | None = None) -> str:
     """Unrolled k-means oracle: assign/update pairs expand to CTE chains
     (like the PageRank oracle). Scoring uses the SAME expanded euclidean
     form as the Ray side (‖c‖² − 2·x·c — ‖x‖² is rank-invariant), CASE
@@ -4585,6 +4629,13 @@ def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, *,
             new_cents.append(f"(SELECT ce FROM {p}m{it}_{ci})")
         cents = new_cents
     ctes.append(assign_p(f"{p}af", cents))
+    if final_select is not None:
+        # caller-supplied tail — may reference {p}af and the final centroid
+        # selects via {cents} placeholders the caller formats itself
+        return ("WITH " + ",\n".join(ctes) + "\n"
+                + final_select.format(af=f"{p}af",
+                                      **{f"c{i}": c
+                                         for i, c in enumerate(cents)}))
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT vec_id, {select_extra}"
             + f"CAST(cluster AS BIGINT) AS cluster FROM {p}af"
@@ -4592,6 +4643,89 @@ def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, *,
 
 
 KMEANS_ASSIGN_SQL = _kmeans_sql()
+
+
+def kmeans_quality_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Clustering-quality summary (simplified silhouette / Davies-Bouldin
+    ingredients): per cluster, the member count, the mean SQUARED distance
+    to the OWN centroid and to the NEAREST OTHER centroid — one extra
+    streaming pass after Lloyd's converges (distances per block from the
+    broadcast k×dim centroid matrix; (cluster, Σ_own, Σ_other, n) partials
+    → one k-row groupby). Oracle: the generated kmeans CTE chain with a
+    distance-CASE tail over the final assignment — the 4th fully-oracled
+    iterative-algorithm surface."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .ops.similarity import _as_matrix, kmeans_lloyd
+    init_t = pq.read_table(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", _KM_K)]) \
+        .sort_by("vec_id")
+    init = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in init_t["embedding"].to_pylist()])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    _assign, cents = kmeans_lloyd(ds, init, iterations=_KM_ITERS)
+    cc = (cents * cents).sum(axis=1)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                                 "s_own": pd.Series([], dtype="float64"),
+                                 "s_other": pd.Series([], dtype="float64"),
+                                 "n": pd.Series([], dtype="int64")})
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        xc = mat @ cents.T
+        lab = (-2.0 * xc + cc[None, :]).argmin(axis=1)   # the assign rule
+        ee = (mat * mat).sum(axis=1)
+        d_full = ee[:, None] - 2.0 * xc + cc[None, :]    # ≡ SQL's a-2b+c
+        idx = np.arange(len(lab))
+        d_own = d_full[idx, lab]
+        masked = d_full.copy()
+        masked[idx, lab] = np.inf
+        d_other = masked.min(axis=1)
+        rows = {"cluster": [], "s_own": [], "s_other": [], "n": []}
+        for ci in np.unique(lab):
+            m = lab == ci
+            rows["cluster"].append(int(ci))
+            rows["s_own"].append(float(d_own[m].sum()))
+            rows["s_other"].append(float(d_other[m].sum()))
+            rows["n"].append(int(m.sum()))
+        return pd.DataFrame(rows)
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("cluster") \
+        .aggregate(_Sum("s_own", alias_name="s_own"),
+                   _Sum("s_other", alias_name="s_other"),
+                   _Sum("n", alias_name="n")).to_pandas()
+    agg["mean_intra"] = (agg["s_own"] / agg["n"]).round(6)
+    agg["mean_other"] = (agg["s_other"] / agg["n"]).round(6)
+    agg["n"] = agg["n"].astype("int64")
+    return agg[["cluster", "n", "mean_intra", "mean_other"]] \
+        .sort_values("cluster").reset_index(drop=True)
+
+
+def _kmeans_quality_sql(k: int = _KM_K) -> str:
+    dcols = ",\n         ".join(
+        f"list_inner_product(e, e) - 2 * list_inner_product(e, {{c{i}}})"
+        f" + list_inner_product({{c{i}}}, {{c{i}}}) AS fd{i}"
+        for i in range(k))
+    own = " ".join(f"WHEN {i} THEN fd{i}" for i in range(k))
+    other = " ".join(
+        "WHEN {i} THEN LEAST({rest})".format(
+            i=i, rest=", ".join(f"fd{j}" for j in range(k) if j != i))
+        for i in range(k))
+    final = f"""
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(d_own) / COUNT(*), 6) AS mean_intra,
+       ROUND(SUM(d_other) / COUNT(*), 6) AS mean_other
+FROM (
+  SELECT cluster, CASE cluster {own} END AS d_own,
+         CASE cluster {other} END AS d_other
+  FROM (SELECT cluster, e,
+         {dcols}
+        FROM {{af}}))
+GROUP BY cluster ORDER BY cluster"""
+    return _kmeans_sql(k=k, final_select=final)
 
 
 # ---------------------------------------------------------------------------
@@ -6755,6 +6889,10 @@ REGISTRY: dict = {
                                   NGRAM_CONTAINMENT_SQL),
     "zorder_cells_lineitem": (zorder_cells_lineitem, _zorder_cells_sql()),
     "zorder_range_pruned": (zorder_range_pruned, ZORDER_RANGE_SQL),
+    "events_equidepth_histogram": (events_equidepth_histogram,
+                                   EVENTS_EQUIDEPTH_SQL),
+    "kmeans_quality_embeddings": (kmeans_quality_embeddings,
+                                  _kmeans_quality_sql()),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "uniform_sample_docs": (uniform_sample_docs, UNIFORM_SAMPLE_SQL),
     "topk_retrieve_docs": (topk_retrieve_docs, TOPK_RETRIEVE_SQL),

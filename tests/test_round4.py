@@ -667,3 +667,17 @@ def test_equidepth_bucket_rule_matches_case_semantics():
         if x <= 3.0: return 2
         return 3
     assert got.tolist() == [case(x) for x in v]
+
+
+def test_bpe_encode_counts_matches_manual(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.text import bpe_encode_counts
+
+    # corpus: "ab ab abc"; merge rules trained elsewhere: (a,b) then (ab,</w>)
+    docs = pd.DataFrame({"text": ["ab ab abc", "ab"]})
+    rules = [("a", "b"), ("ab", "</w>")]
+    out = bpe_encode_counts(rd.from_pandas(docs), rules).to_pandas()
+    got = dict(zip(out["token"], out["cnt"]))
+    # "ab"×3 → [a,b,</w>] → [ab,</w>] → [ab</w>]; "abc" → [ab, c, </w>]
+    assert got == {"ab</w>": 3, "ab": 1, "c": 1, "</w>": 1}

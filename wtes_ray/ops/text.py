@@ -795,3 +795,46 @@ def bpe_train(ds: ray.data.Dataset, *, merges: int = 8,
 
     return pd.DataFrame(rules, columns=["step", "lhs", "rhs",
                                         "merged", "pair_count"])
+
+
+def bpe_encode_counts(ds: ray.data.Dataset, rules: list[tuple[str, str]], *,
+                      text_col: str = "text") -> ray.data.Dataset:
+    """ENCODE the corpus with trained BPE merge rules and return the token
+    distribution — the apply side of :func:`bpe_train`: ONE corpus pass
+    reduces to the word-frequency vocabulary (encoding is a function of
+    the distinct word, so the merges run over the VOCAB, never the
+    corpus); each block applies the (tiny, broadcast-by-closure) rule list
+    greedily in training order and emits (token, Σ freq) partials; one
+    token-keyed groupby finishes. Returns (token, cnt)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as _Sum
+
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    def wf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch[text_col].fillna(""):
+            c.update(tok_re.findall(t.lower()))
+        return pd.DataFrame({"w": list(c.keys()),
+                             "freq": np.fromiter(c.values(), dtype=np.int64,
+                                                 count=len(c))})
+
+    wf = ds.map_batches(wf_partial, batch_format="pandas") \
+        .groupby("w").aggregate(_Sum("freq", alias_name="freq"))
+
+    def encode_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for w, f in zip(df["w"], df["freq"]):
+            syms = list(w) + ["</w>"]
+            for a, b in rules:
+                syms = _greedy_merge(syms, a, b, a + b)
+            f = int(f)
+            for s in syms:
+                c[s] += f
+        return pd.DataFrame({"token": list(c.keys()),
+                             "cnt": np.fromiter(c.values(), dtype=np.int64,
+                                                count=len(c))})
+
+    return wf.map_batches(encode_partial, batch_format="pandas") \
+        .groupby("token").aggregate(_Sum("cnt", alias_name="cnt"))

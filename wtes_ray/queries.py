@@ -3875,7 +3875,29 @@ def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     return bpe_train(ds, merges=8)
 
 
-def _bpe_sql(k: int = 8) -> str:
+def bpe_encode_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus token distribution AFTER applying the 8 trained BPE merges —
+    the ENCODE side of the tokenizer (ops/text.bpe_encode_counts): train
+    on the vocab, then one vocab-sized apply pass emits (token, Σ word
+    freq) partials into a token-keyed groupby. Oracle: the same generated
+    merge chain, read out at seq8 (the encoded vocab) joined to the word
+    frequencies — so training AND application are value-checked
+    together."""
+    from .ops.text import bpe_encode_counts, bpe_train
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    rules = [(r.lhs, r.rhs) for r in bpe_train(ds, merges=8).itertuples()]
+    out = bpe_encode_counts(ds, rules).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
+BPE_ENCODE_SQL_TAIL = """
+SELECT s AS token, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM {seqk} JOIN wf USING (w)
+GROUP BY s ORDER BY token"""
+
+
+def _bpe_sql(k: int = 8, final_select: str | None = None) -> str:
     """Generated step-chain BPE oracle (the kmeans/pagerank pattern):
     seq{i} applies pick{i}'s merge to seq{i-1} via the run-parity
     formulation (greedy left-to-right: 1st, 3rd, ... of each maximal
@@ -3925,6 +3947,11 @@ seq{i} AS MATERIALIZED (
                       = (SELECT b FROM pick{i})) AS pairable
           FROM {prev}) t1) t2) t3) t4
   WHERE NOT consumed)""")
+    if final_select is not None:
+        # caller-supplied tail over the chain (seq{k} = the fully-merged
+        # symbol sequences, i.e. the ENCODED vocab; wf = word frequencies)
+        parts.append("\n" + final_select.format(seqk=f"seq{k}"))
+        return "".join(parts)
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS step, a AS lhs, b AS rhs,"
         f" a || b AS merged, c AS pair_count FROM pick{i}"
@@ -6894,6 +6921,8 @@ REGISTRY: dict = {
     "kmeans_quality_embeddings": (kmeans_quality_embeddings,
                                   _kmeans_quality_sql()),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
+    "bpe_encode_docs": (bpe_encode_docs,
+                        _bpe_sql(8, final_select=BPE_ENCODE_SQL_TAIL)),
     "uniform_sample_docs": (uniform_sample_docs, UNIFORM_SAMPLE_SQL),
     "topk_retrieve_docs": (topk_retrieve_docs, TOPK_RETRIEVE_SQL),
     "kmeans_assign_embeddings": (kmeans_assign_embeddings,

@@ -47,3 +47,40 @@ def test_type_list_distance_common_prefix():
     assert type_list_distance(["中文", "中文"], ["中文"]) == 0
     assert type_list_distance([], ["中文"]) == 0
     assert type_list_distance(["中文", "大写"], ["中文", "中文"]) == 1.5
+
+
+def test_classify_cell_cached_equals_uncached():
+    """Property pin for the round-4 memo cache: the cached entry point must
+    agree with the pure function on every lattice branch and on whitespace
+    variants that collide on the stripped cache key."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wtes_ray.celltype import classify_cell, classify_cell_cached
+
+    samples = ["", " ", "abc", "ABC", "Abc", "42", "-1", "0.5", "1.5",
+               "中文", "a1", "!!", "http://x.y/z", "  42  ", "\t中文\n"]
+    for s in samples:
+        for img in (False, True):
+            assert classify_cell_cached(s, img) == classify_cell(s, img)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=12), st.booleans())
+    def prop(s, img):
+        assert classify_cell_cached(s, img) == classify_cell(s, img)
+
+    prop()
+
+
+def test_clean_cell_text_cached_equals_uncached():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wtes_ray.cleaners import clean_cell_text, clean_cell_text_cached
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=20))
+    def prop(s):
+        assert clean_cell_text_cached(s) == clean_cell_text(s)
+
+    prop()

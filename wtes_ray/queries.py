@@ -3780,6 +3780,59 @@ WHERE l_partkey // {_Z_WX_SQL} BETWEEN 2 AND 4
 """
 
 
+def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention (the classic two-level analytics shape): cohort =
+    a customer's FIRST order year; output = distinct customers per
+    (cohort, order year). Three bounded stages: (1) per-block (cust, year)
+    partials → one groupby-Min gives the customer-sized cohort table;
+    (2) distinct (cust, year) pairs via groupby (the pre-reduction — order
+    rows never reach the next stage); (3) cohorts broadcast (customer
+    table ≪ fact table — the documented dimension-broadcast contract;
+    above budget this becomes a bucketed join on cust) and a final
+    (cohort, year) count."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Min
+
+    ds = _read_pq(_t(sf_dir, "orders"),
+                  columns=["o_custkey", "o_orderdate"])
+
+    def cust_year(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cust": df["o_custkey"].astype("int64"),
+            "o_year": df["o_orderdate"].dt.year.astype("int64")})
+
+    cy = ds.map_batches(cust_year, batch_format="pandas").materialize()
+    fy = cy.groupby("cust").aggregate(Min("o_year", alias_name="cohort"))
+    cohort_map = {r["cust"]: r["cohort"] for r in fy.take_all()}
+    ref = _ray.put(cohort_map)
+
+    pairs = cy.groupby(["cust", "o_year"]).aggregate(Count())
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cm = _ray.get(ref)
+        return pd.DataFrame({
+            "cohort": df["cust"].map(cm).astype("int64"),
+            "o_year": df["o_year"].astype("int64")})
+
+    out = pairs.map_batches(attach, batch_format="pandas") \
+        .groupby(["cohort", "o_year"]) \
+        .aggregate(Count(alias_name="n_customers")).to_pandas()
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values(["cohort", "o_year"]).reset_index(drop=True)
+
+
+COHORT_RETENTION_SQL = """
+WITH fy AS (SELECT o_custkey,
+                   MIN(EXTRACT(year FROM o_orderdate)) AS cohort
+            FROM orders GROUP BY 1)
+SELECT CAST(fy.cohort AS BIGINT) AS cohort,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM orders o JOIN fy ON o.o_custkey = fy.o_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_equidepth_histogram(sf_dir: str) -> pd.DataFrame:
     """Equi-DEPTH histogram of event values: quartile edges from the
     two-pass exact-quantile operator (ops/curate.exact_quantiles — only
@@ -6920,6 +6973,8 @@ REGISTRY: dict = {
                                    EVENTS_EQUIDEPTH_SQL),
     "kmeans_quality_embeddings": (kmeans_quality_embeddings,
                                   _kmeans_quality_sql()),
+    "cohort_retention_orders": (cohort_retention_orders,
+                                COHORT_RETENTION_SQL),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "bpe_encode_docs": (bpe_encode_docs,
                         _bpe_sql(8, final_select=BPE_ENCODE_SQL_TAIL)),

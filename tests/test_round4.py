@@ -681,3 +681,71 @@ def test_bpe_encode_counts_matches_manual(ray_session):
     got = dict(zip(out["token"], out["cnt"]))
     # "ab"×3 → [a,b,</w>] → [ab,</w>] → [ab</w>]; "abc" → [ab, c, </w>]
     assert got == {"ab</w>": 3, "ab": 1, "c": 1, "</w>": 1}
+
+
+def test_levenshtein_matches_duckdb():
+    import duckdb
+
+    from wtes_ray.ops.linkage import levenshtein
+
+    words = ["", "a", "ab", "abc", "abcd", "axc", "xabc", "abcx", "bac",
+             "Supplier#000000001", "Supplier#000000011", "kitten", "sitting"]
+    con = duckdb.connect()
+    for a in words:
+        for b in words:
+            want = con.execute("SELECT levenshtein(?, ?)",
+                               [a, b]).fetchone()[0]
+            assert levenshtein(a, b) == want, (a, b)
+
+
+def test_four_pass_blocking_recall_exhaustive():
+    """The blocking argument: at edit distance ≤ 1, every pair shares at
+    least one of the four block keys (first-2, last-2, (first, last),
+    tiny-catch-all) — verified by enumerating ALL single edits of ALL
+    strings of length 1..5 over a 2-letter alphabet (plus an edit
+    alphabet letter). The naive 2-pass scheme FAILS here ('aaa' vs 'axa'
+    breaks both 2-char windows — the counter-example that forced the
+    endpoint key)."""
+    from itertools import product
+
+    from wtes_ray.ops.linkage import levenshtein
+
+    def keys(x):
+        ks = {"p" + x[:2], "s" + x[-2:], "m" + x[:1] + x[-1:]}
+        if len(x) <= 2:
+            ks.add("t")
+        return ks
+
+    alpha = "ab"
+    for n in (1, 2, 3, 4, 5):
+        for tup in product(alpha, repeat=n):
+            s = "".join(tup)
+            edits = set()
+            for i in range(len(s)):
+                for c in alpha + "x":
+                    edits.add(s[:i] + c + s[i + 1:])      # substitute
+                    edits.add(s[:i] + c + s[i:])          # insert
+                edits.add(s[:i] + s[i + 1:])              # delete
+            edits.add(s + "x")
+            for t in edits:
+                if not t:
+                    continue
+                assert levenshtein(s, t) <= 1
+                assert keys(s) & keys(t), (s, t)
+
+
+def test_fuzzy_self_join_finds_planted_pairs(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.linkage import fuzzy_self_join
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "name": ["walnut", "walnot",      # substitution mid-word
+                 "xwalnut",               # insertion at front
+                 "zebra", "zebra"]})      # exact dup (dist 0)
+    out = fuzzy_self_join(rd.from_pandas(df), name_col="name",
+                          id_col="id").to_pandas()
+    got = {(r.a, r.b): r.dist for r in out.itertuples()}
+    assert got == {(1, 2): 1, (1, 3): 1, (4, 5): 0}
+    assert not out["truncated"].any()

@@ -3780,6 +3780,48 @@ WHERE l_partkey // {_Z_WX_SQL} BETWEEN 2 AND 4
 """
 
 
+def fuzzy_match_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Record linkage (ops/linkage.fuzzy_self_join): edit-distance-≤1
+    matches over supplier names plus 10 planted single-char typos. The
+    blocking (prefix-2 ∪ suffix-2 key passes) has PROVEN recall 1 at this
+    radius, so the block-then-verify pipeline must equal the oracle's
+    exhaustive levenshtein cross join — which also picks up the natural
+    near-matches among the zero-padded names (any two keys one digit
+    apart), making the check far from vacuous."""
+    from .ops.linkage import fuzzy_self_join
+    ds = _read_pq(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    head = _sorted_head(_t(sf_dir, "supplier"), "s_suppkey",
+                        ["s_suppkey", "s_name"], 10)
+    typos = pa.table({
+        "s_suppkey": pc.add(head["s_suppkey"], pa.scalar(10**6)),
+        "s_name": pa.array([n[:-1] + "x"
+                            for n in head["s_name"].to_pylist()],
+                           pa.string())})
+    pairs = fuzzy_self_join(ds.union(rd.from_arrow(typos)),
+                            name_col="s_name", id_col="s_suppkey")
+    df = pairs.to_pandas()[["a", "b", "name_a", "name_b", "dist"]]
+    df["dist"] = df["dist"].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+FUZZY_MATCH_SQL = """
+WITH heads AS (SELECT s_suppkey, s_name FROM supplier
+               ORDER BY s_suppkey LIMIT 10),
+planted AS (
+  SELECT s_suppkey, s_name FROM supplier
+  UNION ALL
+  SELECT s_suppkey + 1000000 AS s_suppkey,
+         substr(s_name, 1, length(s_name) - 1) || 'x' AS s_name
+  FROM heads)
+SELECT x.s_suppkey AS a, y.s_suppkey AS b,
+       x.s_name AS name_a, y.s_name AS name_b,
+       CAST(levenshtein(x.s_name, y.s_name) AS BIGINT) AS dist
+FROM planted x JOIN planted y ON x.s_suppkey < y.s_suppkey
+WHERE levenshtein(x.s_name, y.s_name) <= 1
+ORDER BY a, b
+"""
+
+
 def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
     """Cohort retention (the classic two-level analytics shape): cohort =
     a customer's FIRST order year; output = distinct customers per
@@ -6975,6 +7017,7 @@ REGISTRY: dict = {
                                   _kmeans_quality_sql()),
     "cohort_retention_orders": (cohort_retention_orders,
                                 COHORT_RETENTION_SQL),
+    "fuzzy_match_suppliers": (fuzzy_match_suppliers, FUZZY_MATCH_SQL),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "bpe_encode_docs": (bpe_encode_docs,
                         _bpe_sql(8, final_select=BPE_ENCODE_SQL_TAIL)),

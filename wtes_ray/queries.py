@@ -3822,6 +3822,233 @@ ORDER BY a, b
 """
 
 
+def event_value_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type least-squares trend of value over time (grouped
+    linear regression — the drift-detection primitive): ONE streaming pass
+    emits a 6-double moment row per (type, block) — n, Σx, Σy, Σx², Σxy —
+    x being the timestamp in days centered at day 20000 (a fixed shared
+    constant — raw epoch-days cancel catastrophically in the variance
+    term); one type-keyed groupby
+    finishes; the slope/intercept close on the driver over |types| rows.
+    The SQL oracle computes the SAME uncentered formula (not regr_slope,
+    whose internal centering rounds differently)."""
+    from ray.data.aggregate import Sum as _Sum
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "ts",
+                                                 "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        x = (df["ts"].astype("datetime64[ns]").astype("int64")
+             / 86_400_000_000_000).to_numpy() - 20000.0
+        # explicit ns (the parquet column is µs — pandas would otherwise
+        # keep that unit), CENTERED at a fixed day-20000 reference: raw
+        # epoch-days (~19k) make n·Σx²−(Σx)² catastrophically cancel and
+        # the intercept unstable past 6dp; the SQL subtracts the same
+        # constant
+        y = df["value"].to_numpy()
+        g = pd.DataFrame({"event_type": df["event_type"], "x": x, "y": y,
+                          "xx": x * x, "xy": x * y, "n": 1.0})
+        return g.groupby("event_type", as_index=False).sum()
+
+    m = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(*[_Sum(c, alias_name=c)
+                     for c in ("x", "y", "xx", "xy", "n")]).to_pandas()
+    n, sx, sy, sxx, sxy = (m["n"], m["x"], m["y"], m["xx"], m["xy"])
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    out = pd.DataFrame({"event_type": m["event_type"],
+                        "slope": slope.round(6),
+                        "intercept": intercept.round(6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENT_TREND_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(epoch_ns(ts) / 86400000000000.0 - 20000.0) AS sx,
+         SUM(value) AS sy,
+         SUM((epoch_ns(ts) / 86400000000000.0 - 20000.0)
+             * (epoch_ns(ts) / 86400000000000.0 - 20000.0)) AS sxx,
+         SUM((epoch_ns(ts) / 86400000000000.0 - 20000.0) * value) AS sxy
+  FROM events GROUP BY event_type),
+s AS (SELECT event_type,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             n, sx, sy FROM m)
+SELECT event_type, ROUND(slope, 6) AS slope,
+       ROUND((sy - slope * sx) / n, 6) AS intercept
+FROM s ORDER BY event_type
+"""
+
+
+def degree_assortativity_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the order–part graph (node = key mod 1000):
+    Pearson correlation of endpoint degrees over the DIRECTED edge
+    multiset (each undirected edge contributes both orientations — the
+    standard Newman definition). Shape: distinct-undirected-edge groupby →
+    degree groupby (node-sized) → degrees broadcast (node table ≤ 1000 —
+    above a node budget this becomes two bucketed joins) → one streaming
+    moment pass (5 doubles per block) → driver close. SQL computes the
+    SAME uncentered formula over the mirrored edge list."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey",
+                                                   "l_partkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        a = t.column("l_orderkey").to_numpy() % _PR_MOD
+        b = t.column("l_partkey").to_numpy() % _PR_MOD
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                         "b": pa.array(hi[keep], pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count()) \
+        .select_columns(["a", "b"]).materialize()
+
+    def deg_partial(t: pa.Table) -> pd.DataFrame:
+        nodes = np.concatenate([t.column("a").to_numpy(),
+                                t.column("b").to_numpy()])
+        ns, cnt = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": ns, "deg": cnt.astype("int64")})
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(_Sum("deg", alias_name="deg"))
+    dmap = {r["node"]: float(r["deg"]) for r in deg.take_all()}
+    ref = _ray.put(dmap)
+
+    def moments(t: pa.Table) -> pa.Table:
+        dm = _ray.get(ref)
+        da = np.array([dm[v] for v in t.column("a").to_pylist()])
+        db = np.array([dm[v] for v in t.column("b").to_pylist()])
+        # both orientations: x = concat(da, db), y = concat(db, da)
+        x = np.concatenate([da, db])
+        y = np.concatenate([db, da])
+        return pa.table({"n": pa.array([float(len(x))]),
+                         "sx": pa.array([float(x.sum())]),
+                         "sxx": pa.array([float((x * x).sum())]),
+                         "sxy": pa.array([float((x * y).sum())])})
+
+    m = edges.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    num = m["n"] * m["sxy"] - m["sx"] * m["sx"]   # sy == sx by symmetry
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    return pd.DataFrame({"assortativity": [round(num / den, 6)]})
+
+
+# node = key mod 1000 — keep in sync with _PR_MOD (defined later in the
+# module; this literal is resolved at import time, the function resolves
+# the name at call time)
+DEGREE_ASSORT_SQL = """
+WITH e0 AS (
+  SELECT LEAST(l_orderkey % {{mod}}, l_partkey % {{mod}}) AS a,
+         GREATEST(l_orderkey % {{mod}}, l_partkey % {{mod}}) AS b
+  FROM lineitem
+  WHERE l_orderkey % {{mod}} <> l_partkey % {{mod}}),
+e AS (SELECT DISTINCT a, b FROM e0),
+d AS (SELECT node, CAST(COUNT(*) AS DOUBLE) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      GROUP BY node),
+pairs AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b
+  UNION ALL
+  SELECT db.deg AS x, da.deg AS y
+  FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM pairs)
+SELECT ROUND((n * sxy - sx * sx) / (n * sxx - sx * sx), 6)
+         AS assortativity
+FROM m
+""".replace("{{mod}}", "1000")
+
+
+_CC_ROUNDS = 4
+
+
+def cc_labels_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Min-label propagation over the order–part graph (node = key mod
+    1000), exactly ``_CC_ROUNDS`` synchronized rounds — the bounded-round
+    form of connected components (the converged form backs
+    ops/dedup.neardup_clusters_ds; fixing the round count makes the
+    ITERATION ITSELF value-checkable against an unrolled CTE chain, the
+    5th oracled iterative algorithm beside PageRank / k-means / PQ /
+    BPE). One streaming pass per round: per-block min-label partials per
+    destination + one node-keyed groupby; the node-sized label vector
+    broadcasts (mod-1000 graph; the >budget path is the bucketed-join
+    arm of neardup_clusters_ds). Integer math — bit-exact by
+    construction."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+    from ray.data.aggregate import Min as _Min
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey",
+                                                   "l_partkey"])
+
+    def mk_sym(t: pa.Table) -> pa.Table:
+        a = t.column("l_orderkey").to_numpy() % _PR_MOD
+        b = t.column("l_partkey").to_numpy() % _PR_MOD
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b]), pa.int64()),
+            "v": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    sym = ds.map_batches(mk_sym, batch_format="pyarrow") \
+        .groupby(["u", "v"]).aggregate(Count()) \
+        .select_columns(["u", "v"]).materialize()
+
+    nodes = sorted({r["u"] for r in
+                    sym.groupby("u").aggregate(Count()).take_all()})
+    labels = {n: n for n in nodes}
+    for _ in range(_CC_ROUNDS):
+        ref = _ray.put(labels)
+
+        def contrib(t: pa.Table) -> pd.DataFrame:
+            lm = _ray.get(ref)
+            df = pd.DataFrame({
+                "node": t.column("u").to_numpy(zero_copy_only=False),
+                "lab": [lm[v] for v in t.column("v").to_pylist()]})
+            return df.groupby("node", as_index=False)["lab"].min()
+
+        mins = sym.map_batches(contrib, batch_format="pyarrow") \
+            .groupby("node").aggregate(_Min("lab", alias_name="lab"))
+        new = dict(labels)
+        for r in mins.take_all():
+            if r["lab"] < new[r["node"]]:
+                new[r["node"]] = r["lab"]
+        labels = new
+
+    return pd.DataFrame({"node": list(labels.keys()),
+                         "label": list(labels.values())}) \
+        .astype("int64").sort_values("node").reset_index(drop=True)
+
+
+def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
+    ctes = ["""e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % 1000, l_partkey % 1000) AS a,
+         GREATEST(l_orderkey % 1000, l_partkey % 1000) AS b
+  FROM lineitem
+  WHERE l_orderkey % 1000 <> l_partkey % 1000)""",
+            """sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0)""",
+            """l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS lab FROM sym)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""l{r} AAS (
+  SELECT n.node,
+         LEAST(n.lab, COALESCE(m.minlab, n.lab)) AS lab
+  FROM l{r - 1} n LEFT JOIN (
+    SELECT s.u AS node, MIN(p.lab) AS minlab
+    FROM sym s JOIN l{r - 1} p ON p.node = s.v GROUP BY s.u) m
+  USING (node))""".replace("AAS (", "AS MATERIALIZED ("))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, lab AS label FROM l{rounds} ORDER BY node")
+
+
 def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
     """Cohort retention (the classic two-level analytics shape): cohort =
     a customer's FIRST order year; output = distinct customers per
@@ -7018,6 +7245,10 @@ REGISTRY: dict = {
     "cohort_retention_orders": (cohort_retention_orders,
                                 COHORT_RETENTION_SQL),
     "fuzzy_match_suppliers": (fuzzy_match_suppliers, FUZZY_MATCH_SQL),
+    "event_value_trend": (event_value_trend, EVENT_TREND_SQL),
+    "degree_assortativity_lineitem": (degree_assortativity_lineitem,
+                                      DEGREE_ASSORT_SQL),
+    "cc_labels_lineitem": (cc_labels_lineitem, _cc_sql()),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "bpe_encode_docs": (bpe_encode_docs,
                         _bpe_sql(8, final_select=BPE_ENCODE_SQL_TAIL)),

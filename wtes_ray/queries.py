@@ -4049,6 +4049,94 @@ def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
             + f"\nSELECT node, lab AS label FROM l{rounds} ORDER BY node")
 
 
+_KCORE_K = 5
+_KCORE_ROUNDS = 3
+_KCORE_MOD = 8192
+
+
+def kcore_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Bounded-round k-core peeling (k=5, 3 synchronized rounds) over the
+    mod-8192 order–part graph (this modulus thins the graph so the peel
+    genuinely removes nodes at every test scale — mod-1000 is too dense
+    to bite): each round drops nodes whose CURRENT degree — over
+    edges with both endpoints still alive — is below k. The bounded-round
+    form makes the peeling itself oracle-checkable (unrolled CTE chain,
+    like cc_labels_lineitem). One streaming degree pass per round against
+    the broadcast alive set (node-sized; the >budget arm is a bucketed
+    semi join). Output: surviving nodes with their within-core degree."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey",
+                                                   "l_partkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        a = t.column("l_orderkey").to_numpy() % _KCORE_MOD
+        b = t.column("l_partkey").to_numpy() % _KCORE_MOD
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                         "b": pa.array(hi[keep], pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count()) \
+        .select_columns(["a", "b"]).materialize()
+
+    alive: set | None = None          # None = all alive (round 0)
+    deg_df = None
+    for _ in range(_KCORE_ROUNDS):
+        ref = _ray.put(alive)
+
+        def deg_partial(t: pa.Table) -> pd.DataFrame:
+            al = _ray.get(ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            if al is not None:
+                m = (np.fromiter((x in al for x in a), bool, len(a))
+                     & np.fromiter((x in al for x in b), bool, len(b)))
+                a, b = a[m], b[m]
+            ns, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+            return pd.DataFrame({"node": ns, "deg": cnt.astype("int64")})
+
+        deg_df = edges.map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(_Sum("deg", alias_name="deg")) \
+            .to_pandas()
+        alive = set(deg_df[deg_df["deg"] >= _KCORE_K]["node"])
+
+    out = deg_df[deg_df["node"].isin(alive)].copy()
+    out["deg"] = out["deg"].astype("int64")
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    ctes = [f"""e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % {_KCORE_MOD},
+                        l_partkey % {_KCORE_MOD}) AS a,
+         GREATEST(l_orderkey % {_KCORE_MOD},
+                  l_partkey % {_KCORE_MOD}) AS b
+  FROM lineitem
+  WHERE l_orderkey % {_KCORE_MOD} <> l_partkey % {_KCORE_MOD})""",
+            """a0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node FROM e UNION SELECT DISTINCT b FROM e)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT e.a AS node FROM e
+    JOIN a{p} x ON x.node = e.a JOIN a{p} y ON y.node = e.b
+    UNION ALL
+    SELECT e.b AS node FROM e
+    JOIN a{p} x ON x.node = e.a JOIN a{p} y ON y.node = e.b)
+  GROUP BY node)""")
+        ctes.append(f"""a{r} AS MATERIALIZED (
+  SELECT node FROM d{r} WHERE deg >= {k})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT d.node, d.deg FROM d{rounds} d"
+            + f" JOIN a{rounds} USING (node) ORDER BY node")
+
+
 def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
     """Cohort retention (the classic two-level analytics shape): cohort =
     a customer's FIRST order year; output = distinct customers per
@@ -7249,6 +7337,7 @@ REGISTRY: dict = {
     "degree_assortativity_lineitem": (degree_assortativity_lineitem,
                                       DEGREE_ASSORT_SQL),
     "cc_labels_lineitem": (cc_labels_lineitem, _cc_sql()),
+    "kcore_lineitem": (kcore_lineitem, _kcore_sql()),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "bpe_encode_docs": (bpe_encode_docs,
                         _bpe_sql(8, final_select=BPE_ENCODE_SQL_TAIL)),

@@ -1517,6 +1517,31 @@ FROM h ORDER BY doc_id
 LANG_ID_SQL = _lang_id_sql()
 
 
+def lang_confusion_docs(sf_dir: str) -> pd.DataFrame:
+    """Classifier-evaluation confusion matrix: stored ``lang`` label vs
+    the heuristic ``lang_id`` prediction, counts per (label, prediction)
+    pair — one scoring pass (cached-state TextScorer tasks) + one
+    pair-keyed count; the evaluation harness every model-quality stage
+    needs. The oracle reuses the full encoded lang-id SQL as a CTE."""
+    from ray.data.aggregate import Count
+    from .ops.runtime import stateless
+    from .ops.text import TextScorer
+    ds = _read_pq(_t(sf_dir, "documents"),
+                  columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(stateless(TextScorer), batch_format="pandas") \
+        .groupby(["lang", "lang_id"]).aggregate(Count(alias_name="cnt")) \
+        .to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values(["lang", "lang_id"]).reset_index(drop=True)
+
+
+def _lang_confusion_sql() -> str:
+    return (f"WITH lid AS ({_lang_id_sql()})\n"
+            "SELECT d.lang, lid.lang_id, CAST(COUNT(*) AS BIGINT) AS cnt\n"
+            "FROM lid JOIN documents d USING (doc_id)\n"
+            "GROUP BY 1, 2 ORDER BY lang, lang_id")
+
+
 # ---------------------------------------------------------------------------
 # Dedup family over `documents`
 # ---------------------------------------------------------------------------
@@ -4135,6 +4160,68 @@ def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT d.node, d.deg FROM d{rounds} d"
             + f" JOIN a{rounds} USING (node) ORDER BY node")
+
+
+_PCA_ITERS = 3
+_PCA_DIM = 64
+
+
+def pca_top_component_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Top principal direction of the embedding Gram matrix XᵀX by POWER
+    ITERATION (the 6th oracled iterative algorithm): start from the
+    constant unit vector, each iteration is ONE streaming pass emitting a
+    d-vector partial Xᵀ(Xv) per block (matmul twice per block — vectors
+    never leave their blocks, driver state is d doubles), normalize on
+    the driver, repeat ×3. Output: (dim, component) rounded 6dp. Oracle:
+    unrolled CTE chain computing the same s→normalize recurrence with
+    list_inner_product/unnest; power iteration is a contraction toward
+    the dominant eigvec, so the two sides' ~1e-15 summation-order
+    differences do not amplify across the 3 rounds."""
+    import ray as _ray
+    from .ops.similarity import _as_matrix
+
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["embedding"])
+    v = np.full(_PCA_DIM, 1.0 / np.sqrt(_PCA_DIM))
+    for _ in range(_PCA_ITERS):
+        ref = _ray.put(v)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            vv = _ray.get(ref)
+            mat = _as_matrix(batch["embedding"]).astype(np.float64)
+            s = mat.T @ (mat @ vv)
+            return pd.DataFrame({"dim": np.arange(1, _PCA_DIM + 1,
+                                                  dtype=np.int64),
+                                 "s": s})
+
+        agg = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+            .groupby("dim", sort=True)["s"].sum()
+        s = agg.to_numpy()
+        v = s / np.sqrt((s * s).sum())
+
+    return pd.DataFrame({"dim": np.arange(1, _PCA_DIM + 1,
+                                          dtype=np.int64),
+                         "component": np.round(v, 6)})
+
+
+def _pca_sql(iters: int = _PCA_ITERS, d: int = _PCA_DIM) -> str:
+    ctes = [f"""e AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings)""",
+            f"""v0 AS MATERIALIZED (
+  SELECT UNNEST(range(1, {d + 1})) AS dim, 1.0 / SQRT({d}) AS val)"""]
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes.append(f"""s{r} AS MATERIALIZED (
+  SELECT dim, SUM(xi * ip) AS s FROM (
+    SELECT UNNEST(x) AS xi, generate_subscripts(x, 1) AS dim,
+           list_inner_product(
+             x, (SELECT list(val ORDER BY dim) FROM v{p})) AS ip
+    FROM e)
+  GROUP BY dim)""")
+        ctes.append(f"""v{r} AS MATERIALIZED (
+  SELECT dim, s / (SELECT SQRT(SUM(s * s)) FROM s{r}) AS val FROM s{r})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(dim AS BIGINT) AS dim,"
+            + f" ROUND(val, 6) AS component FROM v{iters} ORDER BY dim")
 
 
 def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
@@ -7338,6 +7425,9 @@ REGISTRY: dict = {
                                       DEGREE_ASSORT_SQL),
     "cc_labels_lineitem": (cc_labels_lineitem, _cc_sql()),
     "kcore_lineitem": (kcore_lineitem, _kcore_sql()),
+    "lang_confusion_docs": (lang_confusion_docs, _lang_confusion_sql()),
+    "pca_top_component_embeddings": (pca_top_component_embeddings,
+                                     _pca_sql()),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "bpe_encode_docs": (bpe_encode_docs,
                         _bpe_sql(8, final_select=BPE_ENCODE_SQL_TAIL)),

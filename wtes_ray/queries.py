@@ -4224,6 +4224,76 @@ def _pca_sql(iters: int = _PCA_ITERS, d: int = _PCA_DIM) -> str:
             + f" ROUND(val, 6) AS component FROM v{iters} ORDER BY dim")
 
 
+_LR_STEPS = 3
+_LR_RATE = "0.1"     # literal text shared with the SQL (same float bits)
+
+
+def logreg_gd_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed full-batch logistic-regression training (3 gradient
+    steps, lr 0.1, features = embedding dims 1–2 + bias, label = parity
+    of the stored class): each step is ONE streaming pass emitting a
+    3-double gradient partial per block — Σ x·(σ(w·x) − y) — with the
+    3-double weight vector as driver state; the 7th oracled iterative
+    algorithm. The oracle unrolls the steps as scalar-aggregate CTEs with
+    the same σ/EXP expression (numpy exp vs libm exp agree well past the
+    6dp output rounding over 3 contraction-free but tiny-depth steps)."""
+    import ray as _ray
+
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["embedding", "label"])
+    w = np.zeros(3)
+    for _ in range(_LR_STEPS):
+        ref = _ray.put(w)
+
+        def grad_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            ww = _ray.get(ref)
+            from .ops.similarity import _as_matrix
+            mat = _as_matrix(batch["embedding"]).astype(np.float64)
+            x = np.column_stack([mat[:, 0], mat[:, 1],
+                                 np.ones(len(mat))])
+            y = (batch["label"].to_numpy() % 2).astype(np.float64)
+            z = x @ ww
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = x.T @ (p - y)
+            return pd.DataFrame({"g0": [g[0]], "g1": [g[1]],
+                                 "g2": [g[2]], "n": [float(len(x))]})
+
+        parts = ds.map_batches(grad_partial,
+                               batch_format="pandas").to_pandas().sum()
+        n = parts["n"]
+        w = w - float(_LR_RATE) * np.array(
+            [parts["g0"] / n, parts["g1"] / n, parts["g2"] / n])
+
+    return pd.DataFrame({"weight": ["w0", "w1", "bias"],
+                         "value": np.round(w, 6)})
+
+
+def _logreg_sql(steps: int = _LR_STEPS) -> str:
+    ctes = ["""d AS MATERIALIZED (
+  SELECT CAST(embedding[1] AS DOUBLE) AS x0,
+         CAST(embedding[2] AS DOUBLE) AS x1,
+         CAST(label % 2 AS DOUBLE) AS y
+  FROM embeddings)""",
+            "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)"]
+    for r in range(1, steps + 1):
+        p = r - 1
+        ctes.append(f"""g{r} AS MATERIALIZED (
+  SELECT SUM(x0 * (p - y)) AS g0, SUM(x1 * (p - y)) AS g1,
+         SUM(1.0 * (p - y)) AS g2, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT x0, x1, y,
+               1.0 / (1.0 + EXP(-(x0 * w.a + x1 * w.b + 1.0 * w.c))) AS p
+        FROM d CROSS JOIN w{p} w))""")
+        ctes.append(f"""w{r} AS (
+  SELECT w.a - {_LR_RATE} * (g.g0 / g.n) AS a,
+         w.b - {_LR_RATE} * (g.g1 / g.n) AS b,
+         w.c - {_LR_RATE} * (g.g2 / g.n) AS c
+  FROM w{p} w CROSS JOIN g{r} g)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT 'w0' AS weight, ROUND(a, 6) AS value FROM w{steps}
+UNION ALL SELECT 'w1', ROUND(b, 6) FROM w{steps}
+UNION ALL SELECT 'bias', ROUND(c, 6) FROM w{steps}
+ORDER BY weight""")
+
+
 def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
     """Cohort retention (the classic two-level analytics shape): cohort =
     a customer's FIRST order year; output = distinct customers per
@@ -7428,6 +7498,7 @@ REGISTRY: dict = {
     "lang_confusion_docs": (lang_confusion_docs, _lang_confusion_sql()),
     "pca_top_component_embeddings": (pca_top_component_embeddings,
                                      _pca_sql()),
+    "logreg_gd_embeddings": (logreg_gd_embeddings, _logreg_sql()),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "bpe_encode_docs": (bpe_encode_docs,
                         _bpe_sql(8, final_select=BPE_ENCODE_SQL_TAIL)),

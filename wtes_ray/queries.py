@@ -4294,6 +4294,140 @@ UNION ALL SELECT 'bias', ROUND(c, 6) FROM w{steps}
 ORDER BY weight""")
 
 
+def ab_test_events(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Welch z-test between event-type value distributions
+    (the experimentation primitive): per-type moment partials (n, Σ, Σ²)
+    in ONE pass — the same mergeable-moments shape as event_outliers —
+    then the driver closes mean/variance/z over |type-pairs| rows for the
+    fixed comparison set. Sample variance uses the n−1 denominator
+    (VAR_SAMP) on both sides."""
+    from ray.data.aggregate import Sum as _Sum
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        v = df["value"].to_numpy()
+        g = pd.DataFrame({"event_type": df["event_type"], "n": 1.0,
+                          "s": v, "ss": v * v})
+        return g.groupby("event_type", as_index=False).sum()
+
+    m = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(*[_Sum(c, alias_name=c) for c in ("n", "s", "ss")]) \
+        .to_pandas().set_index("event_type")
+    rows = []
+    for a, b in (("click", "purchase"), ("view", "click"),
+                 ("signup", "error")):
+        na, nb = m.loc[a, "n"], m.loc[b, "n"]
+        ma, mb = m.loc[a, "s"] / na, m.loc[b, "s"] / nb
+        va = (m.loc[a, "ss"] - m.loc[a, "s"] * m.loc[a, "s"] / na) \
+            / (na - 1)
+        vb = (m.loc[b, "ss"] - m.loc[b, "s"] * m.loc[b, "s"] / nb) \
+            / (nb - 1)
+        z = (ma - mb) / np.sqrt(va / na + vb / nb)
+        rows.append((a, b, round(ma - mb, 6), round(z, 6)))
+    return pd.DataFrame(rows, columns=["grp_a", "grp_b", "mean_diff", "z"])
+
+
+AB_TEST_SQL = """
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, SUM(value) AS s,
+         SUM(value * value) AS ss
+  FROM events GROUP BY event_type),
+pairs(grp_a, grp_b) AS (VALUES ('click', 'purchase'), ('view', 'click'),
+                               ('signup', 'error'))
+SELECT p.grp_a, p.grp_b,
+       ROUND(a.s / a.n - b.s / b.n, 6) AS mean_diff,
+       ROUND((a.s / a.n - b.s / b.n)
+             / SQRT(((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n
+                    + ((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n), 6)
+         AS z
+FROM pairs p JOIN m a ON a.event_type = p.grp_a
+             JOIN m b ON b.event_type = p.grp_b
+ORDER BY grp_a, grp_b
+"""
+
+
+def char_entropy_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    Gopher-family compressibility/quality signal: vectorized np.unique
+    histogram per doc, H = ln(n) − (Σ c·ln c)/n (this factorization makes
+    the float expression shared with SQL term-for-term). Embarrassingly
+    parallel; no exchange."""
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ents = []
+        for t in batch["text"].fillna(""):
+            if not t:
+                ents.append(0.0)
+                continue
+            _, cnt = np.unique(list(t), return_counts=True)
+            c = cnt.astype(np.float64)
+            n = float(len(t))
+            ents.append(round(np.log(n) - float((c * np.log(c)).sum()) / n,
+                              6))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "entropy": pd.Series(ents, dtype="float64",
+                                                  index=batch.index)})
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents),
+hist AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM chars GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, SUM(c) AS n FROM hist GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(ROUND(LN(t.n) - (SELECT SUM(c * LN(c)) FROM hist h
+                                 WHERE h.doc_id = d.doc_id) / t.n, 6),
+                0.0) AS entropy
+FROM documents d LEFT JOIN tot t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def cumulative_users_daily(sf_dir: str) -> pd.DataFrame:
+    """Cumulative distinct users by day (the growth-curve metric):
+    distinct-count-over-time without rescanning — each user reduces to
+    their FIRST event day (one user-keyed groupby-Min; the only
+    exchange), first-day counts reduce to the day series, and the
+    running total closes on the driver over the time-span-bounded day
+    rows (the events_daily_ma7 finish pattern)."""
+    from ray.data.aggregate import Count, Min as _Min
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def day_of(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "day": df["ts"].dt.floor("D")})
+
+    first = ds.map_batches(day_of, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(_Min("day", alias_name="first_day"))
+    daily = first.groupby("first_day") \
+        .aggregate(Count(alias_name="new_users")).to_pandas() \
+        .sort_values("first_day").reset_index(drop=True)
+    daily["cum_users"] = daily["new_users"].cumsum().astype("int64")
+    daily["new_users"] = daily["new_users"].astype("int64")
+    daily["day"] = pd.to_datetime(daily["first_day"])
+    return daily[["day", "new_users", "cum_users"]]
+
+
+CUMULATIVE_USERS_SQL = """
+WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS day
+           FROM events GROUP BY user_id),
+d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM f GROUP BY day)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d ORDER BY day
+"""
+
+
 def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
     """Cohort retention (the classic two-level analytics shape): cohort =
     a customer's FIRST order year; output = distinct customers per
@@ -7499,6 +7633,10 @@ REGISTRY: dict = {
     "pca_top_component_embeddings": (pca_top_component_embeddings,
                                      _pca_sql()),
     "logreg_gd_embeddings": (logreg_gd_embeddings, _logreg_sql()),
+    "ab_test_events": (ab_test_events, AB_TEST_SQL),
+    "char_entropy_docs": (char_entropy_docs, CHAR_ENTROPY_SQL),
+    "cumulative_users_daily": (cumulative_users_daily,
+                               CUMULATIVE_USERS_SQL),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "bpe_encode_docs": (bpe_encode_docs,
                         _bpe_sql(8, final_select=BPE_ENCODE_SQL_TAIL)),

@@ -173,3 +173,14 @@ def test_heavy_hitters_string_keys(ray_session):
     got = SK.heavy_hitters(ds, "k", threshold=10)
     assert list(got["k"]) == ["a", "b"]
     assert list(got["n"]) == [30, 10]
+
+
+def test_heavy_hitters_empty_when_threshold_unreachable(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from wtes_ray.ops.sketch import heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a", "b", "c", "a"]}))
+    out = heavy_hitters(ds, "k", threshold=3)
+    assert list(out.columns) == ["k", "n"] and len(out) == 0

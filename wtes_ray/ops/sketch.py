@@ -252,6 +252,12 @@ def heavy_hitters(ds: ray.data.Dataset, key_col: str, *, threshold: int,
             f"threshold {threshold} <= MG error bound {e_bound}; "
             f"increase k (now {k}) for the superset guarantee")
     cand = summary[summary["cnt_lb"] + e_bound >= threshold][key_col]
+    if len(cand) == 0:
+        # no key can reach the threshold: return the typed empty frame
+        # directly — an empty Dataset to_pandas() drops columns (repo
+        # gotcha), so never run the recount pipeline here
+        return pd.DataFrame({key_col: summary[key_col].iloc[:0],
+                             "n": pd.Series([], dtype=np.int64)})
     cand_ref = ray.put(frozenset(cand.tolist()))
     from .curate import _cached_get
 

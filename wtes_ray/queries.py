@@ -4428,6 +4428,58 @@ FROM d ORDER BY day
 """
 
 
+def heavy_bigrams_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact heavy-hitter word BIGRAMS (corpus boilerplate phrases — the
+    text-domain application of the Misra-Gries machinery already pinned
+    on user ids): one flat bigram expansion per block feeds
+    ops/sketch.heavy_hitters' two bounded passes (mergeable summaries →
+    certified candidate superset → broadcast exact recount); no pass
+    shuffles more than min(k, |candidates|) rows per block. Oracle:
+    GROUP BY … HAVING over the LEAD-window bigrams."""
+    import re as _re
+
+    from .ops.sketch import heavy_hitters
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+    tok_re = _re.compile(r"[a-z0-9_]+")
+
+    def bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        out: list[str] = []
+        for t in batch["text"].fillna(""):
+            toks = tok_re.findall(t.lower())
+            out.extend(a + " " + b for a, b in zip(toks, toks[1:]))
+        return pd.DataFrame({"bigram": pd.Series(out, dtype="object")})
+
+    # scale-derived threshold, identical on both sides: ceil(n_docs/12)
+    # (≥ 4) — a fixed count can't fit every sf
+    n_docs = pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
+    threshold = max(4, -(-n_docs // 12))
+    grams = ds.map_batches(bigrams, batch_format="pandas")
+    hh = heavy_hitters(grams, "bigram", threshold=threshold)
+    hh = hh.rename(columns={"n": "cnt"})
+    hh["cnt"] = hh["cnt"].astype("int64")
+    return hh.sort_values("bigram").reset_index(drop=True)
+
+
+HEAVY_BIGRAMS_SQL = """
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM arr),
+bi AS (
+  SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS bigram
+  FROM toks QUALIFY LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+            IS NOT NULL)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM bi GROUP BY bigram
+HAVING COUNT(*) >= GREATEST(4, CEIL((SELECT COUNT(*) FROM documents)
+                                    / 12.0))
+ORDER BY bigram
+"""
+
+
 def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
     """Cohort retention (the classic two-level analytics shape): cohort =
     a customer's FIRST order year; output = distinct customers per
@@ -7637,6 +7689,7 @@ REGISTRY: dict = {
     "char_entropy_docs": (char_entropy_docs, CHAR_ENTROPY_SQL),
     "cumulative_users_daily": (cumulative_users_daily,
                                CUMULATIVE_USERS_SQL),
+    "heavy_bigrams_docs": (heavy_bigrams_docs, HEAVY_BIGRAMS_SQL),
     "bpe_merges_docs": (bpe_merges_docs, BPE_MERGES_SQL),
     "bpe_encode_docs": (bpe_encode_docs,
                         _bpe_sql(8, final_select=BPE_ENCODE_SQL_TAIL)),

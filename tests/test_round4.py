@@ -567,15 +567,19 @@ def test_binary_exact_dedup_groups(ray_session):
 
     from wtes_ray.ops.multimodal import binary_exact_dedup
 
-    df = pd.DataFrame({"doc_id": [5, 1, 2, 3],
-                       "payload": [b"\x00\xffA", b"\x00\xffA", b"B", None]})
+    df = pd.DataFrame({"doc_id": [5, 1, 2, 3, 4],
+                       "payload": [b"\x00\xffA", b"\x00\xffA", b"B",
+                                   None, b""]})
     out = binary_exact_dedup(rd.from_pandas(df)).to_pandas()
-    assert len(out) == 3                      # A-group, B, empty(None)
+    # A-group, B, NULL sentinel, empty — NULL must NOT merge with b"".
+    assert len(out) == 4
     grp = out.set_index("digest")
     import hashlib as _h
     a = _h.md5(b"\x00\xffA").hexdigest()
     assert grp.loc[a, "keeper"] == 1 and grp.loc[a, "n_copies"] == 2
-    assert grp.loc[_h.md5(b"").hexdigest(), "n_copies"] == 1
+    assert grp.loc[_h.md5(b"").hexdigest(), "keeper"] == 4
+    null_rows = out[out["digest"].str.startswith("null:")]
+    assert len(null_rows) == 1 and null_rows["keeper"].iloc[0] == 3
 
 
 def test_phrase_search_counts_occurrences(ray_session):

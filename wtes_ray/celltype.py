@@ -91,19 +91,29 @@ def classify_cell(content: str, has_img: bool) -> str:
 # serving hits). Image cells bypass: T_IMG needs no regex.
 _CLS_CACHE: dict[str, str] = {}
 _CLS_CACHE_CAP = 1_000_000
+# Byte-aware guards: values are short class names but keys are raw cell text,
+# so long (least-repetitive) keys are never cached and total cached key chars
+# are budgeted — a corpus of large distinct cells can't pin worker heap.
+_CLS_MAX_KEY_LEN = 1024
+_CLS_BYTE_BUDGET = 64 * 1024 * 1024
+_cls_cache_bytes = 0
 
 
 def classify_cell_cached(content: str, has_img: bool) -> str:
     """Memoized :func:`classify_cell` (same result by purity — pinned by
     tests/test_celltype.py's property test over both entry points)."""
+    global _cls_cache_bytes
     if has_img:
         return T_IMG
     key = str(content).strip()
     v = _CLS_CACHE.get(key)
     if v is None:
         v = classify_cell(key, False)
-        if len(_CLS_CACHE) < _CLS_CACHE_CAP:
+        if (len(key) <= _CLS_MAX_KEY_LEN
+                and len(_CLS_CACHE) < _CLS_CACHE_CAP
+                and _cls_cache_bytes < _CLS_BYTE_BUDGET):
             _CLS_CACHE[key] = v
+            _cls_cache_bytes += len(key)
     return v
 
 

@@ -49,16 +49,26 @@ def clean_cell_text(s: str) -> str:
 
 # Cross-cell memo (same rationale as celltype._CLS_CACHE: measured ~6×
 # content repetition on the bench corpus; pure function, insert-capped).
+# Budget is byte-aware: long strings are the least likely to repeat, so cells
+# above _CLEAN_MAX_KEY_LEN are never cached, and total cached chars (key +
+# value) are capped so a corpus of large distinct cells can't pin worker heap.
 _CLEAN_CACHE: dict[str, str] = {}
 _CLEAN_CACHE_CAP = 1_000_000
+_CLEAN_MAX_KEY_LEN = 1024
+_CLEAN_BYTE_BUDGET = 64 * 1024 * 1024  # ~chars; keys+values combined
+_clean_cache_bytes = 0
 
 
 def clean_cell_text_cached(s: str) -> str:
+    global _clean_cache_bytes
     v = _CLEAN_CACHE.get(s)
     if v is None:
         v = clean_cell_text(s)
-        if len(_CLEAN_CACHE) < _CLEAN_CACHE_CAP:
+        if (len(s) <= _CLEAN_MAX_KEY_LEN
+                and len(_CLEAN_CACHE) < _CLEAN_CACHE_CAP
+                and _clean_cache_bytes < _CLEAN_BYTE_BUDGET):
             _CLEAN_CACHE[s] = v
+            _clean_cache_bytes += len(s) + len(v)
     return v
 
 

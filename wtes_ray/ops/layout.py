@@ -81,8 +81,27 @@ def zorder_box_read(out_dir: str, *, xb_range: tuple[int, int],
         np.repeat(np.arange(*xb_range), yb_range[1] - yb_range[0]),
         np.tile(np.arange(*yb_range), xb_range[1] - xb_range[0]),
         bits)}
+
+    def _cell(d: str) -> int:
+        # Non-zcell / malformed directory names never match the cover.
+        try:
+            return int(d[6:])
+        except ValueError:
+            return -1
+
     files = [os.path.join(out_dir, d, f)
              for d in sorted(os.listdir(out_dir))
-             if d.startswith("zcell=") and int(d[6:]) in cover
+             if d.startswith("zcell=") and _cell(d) in cover
              for f in sorted(os.listdir(os.path.join(out_dir, d)))]
+    if not files:
+        # Empty cover (box misses every written cell): an empty dataset,
+        # not a read_parquet([]) crash. Schema comes from any one cell.
+        any_dir = next((d for d in sorted(os.listdir(out_dir))
+                        if d.startswith("zcell=")), None)
+        if any_dir is None:
+            return ray.data.from_items([])
+        sample = os.path.join(out_dir, any_dir,
+                              sorted(os.listdir(os.path.join(out_dir,
+                                                             any_dir)))[0])
+        return ray.data.read_parquet([sample]).limit(0)
     return ray.data.read_parquet(files)

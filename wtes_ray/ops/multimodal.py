@@ -448,11 +448,16 @@ def binary_exact_dedup(ds: ray.data.Dataset, *, bytes_col: str = "payload",
     content digest — the multimodal sibling of ops/dedup.exact_dedup_ids:
     each block hashes its payloads locally, so only (digest, id) pairs ride
     the exchange and the blobs themselves never move. Returns one row per
-    distinct payload: (digest hex, keeper = min id, n_copies)."""
+    distinct payload: (digest hex, keeper = min id, n_copies).
+
+    NULL payloads are digested under a distinct ``null:`` sentinel so they
+    never merge with genuinely empty (``b""``) payloads — NULL means "no
+    media fetched", empty means "zero-byte media", and a dedup pass must
+    not conflate the two."""
     from ray.data.aggregate import Count, Min
 
     def hash_batch(t: pa.Table) -> pa.Table:
-        dig = [hashlib.md5(p if p is not None else b"").hexdigest()
+        dig = ["null:" + "0" * 27 if p is None else hashlib.md5(p).hexdigest()
                for p in t.column(bytes_col).to_pylist()]
         return pa.table({id_col: t.column(id_col),
                          "digest": pa.array(dig, pa.string())})

@@ -3964,9 +3964,12 @@ def degree_assortativity_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"assortativity": [round(num / den, 6)]})
 
 
-# node = key mod 1000 — keep in sync with _PR_MOD (defined later in the
-# module; this literal is resolved at import time, the function resolves
-# the name at call time)
+# Shared graph-synthesis modulus: node id = key % _PR_MOD for every
+# lineitem-derived graph query (assortativity, CC, PageRank). Defined here,
+# BEFORE the SQL builders, so the oracle strings interpolate the same value
+# the Ray side reads — no hand-sync.
+_PR_MOD = 1000
+
 DEGREE_ASSORT_SQL = """
 WITH e0 AS (
   SELECT LEAST(l_orderkey % {{mod}}, l_partkey % {{mod}}) AS a,
@@ -3988,7 +3991,7 @@ m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
 SELECT ROUND((n * sxy - sx * sx) / (n * sxx - sx * sx), 6)
          AS assortativity
 FROM m
-""".replace("{{mod}}", "1000")
+""".replace("{{mod}}", str(_PR_MOD))
 
 
 _CC_ROUNDS = 4
@@ -4053,11 +4056,11 @@ def cc_labels_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
-    ctes = ["""e0 AS MATERIALIZED (
-  SELECT DISTINCT LEAST(l_orderkey % 1000, l_partkey % 1000) AS a,
-         GREATEST(l_orderkey % 1000, l_partkey % 1000) AS b
+    ctes = [f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % {_PR_MOD}, l_partkey % {_PR_MOD}) AS a,
+         GREATEST(l_orderkey % {_PR_MOD}, l_partkey % {_PR_MOD}) AS b
   FROM lineitem
-  WHERE l_orderkey % 1000 <> l_partkey % 1000)""",
+  WHERE l_orderkey % {_PR_MOD} <> l_partkey % {_PR_MOD})""",
             """sym AS MATERIALIZED (
   SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0)""",
             """l0 AS MATERIALIZED (
@@ -5512,7 +5515,8 @@ GROUP BY cluster ORDER BY cluster"""
 # Graph: distributed PageRank (ops/graph.py)
 # ---------------------------------------------------------------------------
 
-_PR_MOD = 1000          # node id = key % _PR_MOD (deterministic synth graph)
+# _PR_MOD (node id = key % _PR_MOD) is defined up by DEGREE_ASSORT_SQL so
+# every graph oracle interpolates the same literal.
 _PR_ITERS = 3
 _PR_DAMPING = "0.85"    # literal text shared by both sides: float('0.85')
                         # and DuckDB's 0.85 cast to DOUBLE are the same bits

@@ -170,7 +170,17 @@ def run_bench(headline_only: bool = False) -> dict:
         a["sec"] for a in hl_attempts)
 
     queries: dict[str, float] = {}
+    query_attempts: dict[str, list[dict]] = {}
     if not headline_only:
+        # Per-query probe gating (round 5, VERDICT r4 #1): the r4 scoreboard
+        # captured 3–6× phantom per-query regressions from one contended
+        # host window. Each query attempt is now bracketed by the same
+        # fixed-work probe pair the headline uses; a contended attempt is
+        # retried (≤3), the reported number is the fastest calm-bracketed
+        # attempt (fastest overall if the host never goes calm), and every
+        # attempt's probe quad is recorded. The trailing probes of one
+        # attempt serve as the leading probes of the next, so a calm pass
+        # over the whole subset costs one extra probe pair per query.
         from wtes_ray import queries as Q
 
         subset = ["q1_pricing_summary", "q3_shipping_priority",
@@ -182,13 +192,75 @@ def run_bench(headline_only: bool = False) -> dict:
                   "pagerank_lineitem", "asof_purchase_click",
                   "doc_repetition_stats", "lm_quality_docs",
                   "bloom_semi_revenue"]
+        p_prev = _probe_sec()
+        q_prev = _parallel_probe_sec(pw)
+        probe_ref = min(probe_ref, p_prev)
+        pprobe_ref = min(pprobe_ref, q_prev)
         for name in subset:
             fn, _sql = Q.REGISTRY[name]
-            tq = time.time()
-            res = fn(sf_dir)
-            if hasattr(res, "count") and not hasattr(res, "columns"):
-                res.count()
-            queries[name] = round(time.time() - tq, 3)
+            att_list: list[dict] = []
+            for attempt in range(3):
+                p0, q0 = p_prev, q_prev
+                tq = time.time()
+                res = fn(sf_dir)
+                if hasattr(res, "count") and not hasattr(res, "columns"):
+                    res.count()
+                dt = time.time() - tq
+                p1 = _probe_sec()
+                q1 = _parallel_probe_sec(pw)
+                probe_ref = min(probe_ref, p1)
+                pprobe_ref = min(pprobe_ref, q1)
+                att_list.append({
+                    "sec": round(dt, 3),
+                    "probe_before": round(p0, 3), "probe_after": round(p1, 3),
+                    "pprobe_before": round(q0, 3),
+                    "pprobe_after": round(q1, 3)})
+                p_prev, q_prev = p1, q1
+                if (max(p0, p1) <= PROBE_TOL * probe_ref
+                        and max(q0, q1) <= PROBE_TOL * pprobe_ref):
+                    break
+            query_attempts[name] = att_list
+        # calm flags are finalized against the SESSION-minimum references
+        # (they only drop as more probes run); queries whose attempts all
+        # flipped contended after a late reference drop get a settle-pass
+        # retry (≤2 more attempts against the now-settled refs), then each
+        # query reports its fastest calm attempt, falling back to fastest
+        # overall.
+        def _flag(a: dict) -> bool:
+            return (max(a["probe_before"], a["probe_after"])
+                    <= PROBE_TOL * probe_ref
+                    and max(a["pprobe_before"], a["pprobe_after"])
+                    <= PROBE_TOL * pprobe_ref)
+
+        for name, att_list in query_attempts.items():
+            if any(_flag(a) for a in att_list):
+                continue
+            fn, _sql = Q.REGISTRY[name]
+            for attempt in range(2):
+                p0, q0 = p_prev, q_prev
+                tq = time.time()
+                res = fn(sf_dir)
+                if hasattr(res, "count") and not hasattr(res, "columns"):
+                    res.count()
+                dt = time.time() - tq
+                p1 = _probe_sec()
+                q1 = _parallel_probe_sec(pw)
+                probe_ref = min(probe_ref, p1)
+                pprobe_ref = min(pprobe_ref, q1)
+                att_list.append({
+                    "sec": round(dt, 3), "retry": True,
+                    "probe_before": round(p0, 3), "probe_after": round(p1, 3),
+                    "pprobe_before": round(q0, 3),
+                    "pprobe_after": round(q1, 3)})
+                p_prev, q_prev = p1, q1
+                if _flag(att_list[-1]):
+                    break
+        for name, att_list in query_attempts.items():
+            for a in att_list:
+                a["calm"] = _flag(a)
+            calm_ts = [a["sec"] for a in att_list if a["calm"]]
+            queries[name] = (min(calm_ts) if calm_ts
+                             else min(a["sec"] for a in att_list))
 
     result = {
         "metric": "extract_pipeline",
@@ -203,6 +275,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "n_errors": summary["n_errors"],
         "headline_calm": bool(calm_secs),
         "headline_attempts": hl_attempts,
+        "query_attempts": query_attempts,
+        "queries_calm": {n: any(a.get("calm") for a in al)
+                         for n, al in query_attempts.items()},
         "probe_ref_sec": round(probe_ref, 3),
         "pprobe_ref_sec": round(pprobe_ref, 3),
     }

@@ -282,6 +282,24 @@ def test_attach_est_driver_matches_join_path(ray_session, mh_docs):
     assert not ((got_drv.a == 1) & (got_drv.b == 2)).any()
 
 
+def test_minhash_broadcast_path_equal(mh_docs):
+    """Round-5 cutover: the in-bucket broadcast-signature estimate path
+    must produce EXACTLY the pair set + values of the slim post-attach
+    path (forced via a zero broadcast budget)."""
+    got_bc = D.minhash_lsh_pairs(mh_docs, threshold=0.6,
+                                 concurrency=1).to_pandas()
+    got_slim = D.minhash_lsh_pairs(mh_docs, threshold=0.6, concurrency=1,
+                                   sig_broadcast_budget_bytes=0).to_pandas()
+    for df in (got_bc, got_slim):
+        df.sort_values(["a", "b"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+        df["a"] = df["a"].astype("int64")
+        df["b"] = df["b"].astype("int64")
+        df["truncated"] = df["truncated"].astype(bool)
+    pd.testing.assert_frame_equal(got_bc, got_slim, check_like=True)
+    assert len(got_bc) > 0
+
+
 def test_minhash_pair_set_unchanged(mh_docs):
     """End-to-end pair set identical to the pre-rework semantics: the
     exact-dup triangle plus the near-dup, nothing else."""

@@ -438,7 +438,9 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                       bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.7, seed: int = 7,
                       max_bucket: int = 64, mode: str = "char",
-                      concurrency=None) -> ray.data.Dataset:
+                      concurrency=None,
+                      sig_broadcast_budget_bytes: int = 64 << 20
+                      ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs via MinHash+LSH.
 
     Returns (a, b, est_jaccard, truncated) with a < b, deduplicated; the
@@ -458,6 +460,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     in-bucket filter kept, and ``truncated`` still reflects the capped
     source buckets (pairs only form among each bucket's ``max_bucket``
     lowest ids, exactly as before)."""
+    import ray as _ray
+
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         stateless(MinHasher, text_col=text_col, id_col=id_col,
@@ -469,6 +473,34 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     exploded = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows_per_band, id_col),
         batch_format="pandas")
+
+    # Size-budgeted signature broadcast (round 5, VERDICT r4 #8): the r4
+    # slimming moved est_jaccard to a post-combine attach — correct shape
+    # at 100 TB but +30% wall at bench scale from the extra signature
+    # passes and driver syncs it added. When the WHOLE signature matrix
+    # fits the broadcast budget (n_docs · num_perm · 8 bytes), ship it
+    # once via ray.put and compute the estimate in-bucket, vectorized,
+    # filtering below threshold BEFORE the combine (smaller combine
+    # input, zero extra passes). Above the budget — the 100-TB regime —
+    # the slim post-attach path is unchanged. Both arms produce the same
+    # pair set (the estimate is a pure function of the two signatures;
+    # pinned by test_minhash_broadcast_path_equal).
+    n_docs = sigs.count()
+    use_broadcast = n_docs * num_perm * 8 <= sig_broadcast_budget_bytes
+    if use_broadcast:
+        # Arrow-native pull: take_all() row-converts the list column (~25×
+        # slower, measured); flatten() of list<int64> is near zero-copy.
+        t = pa.concat_tables(
+            sigs.iter_batches(batch_format="pyarrow", batch_size=None))
+        if t.num_rows:
+            mat = t.column("sig").combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False).reshape(t.num_rows, -1)
+        else:
+            mat = np.zeros((0, num_perm), dtype=np.int64)
+        idx = {v: i for i, v in enumerate(t.column(id_col).to_pylist())}
+        sig_ref = _ray.put((idx, mat))
+    else:
+        sig_ref = None
 
     def pairs_block(g: pd.DataFrame) -> pa.Table:
         # one hash BUCKET of (band, band_hash) groups; singleton groups —
@@ -489,16 +521,30 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                     out["b"].append(ids[j])
                     out["truncated"].append(truncated)
         if not out["a"]:
-            return _arrow(pd.DataFrame(
-                {"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0],
-                 "truncated": pd.Series([], dtype="bool")}))
-        return _arrow(pd.DataFrame(out))
+            empty = {"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0]}
+            if sig_ref is not None:
+                empty["est_jaccard"] = pd.Series([], dtype="float64")
+            empty["truncated"] = pd.Series([], dtype="bool")
+            return _arrow(pd.DataFrame(empty))
+        df = pd.DataFrame(out)
+        if sig_ref is not None:
+            bidx, bmat = _ray.get(sig_ref)
+            ia = np.fromiter((bidx[a] for a in df["a"]), dtype=np.int64,
+                             count=len(df))
+            ib = np.fromiter((bidx[b] for b in df["b"]), dtype=np.int64,
+                             count=len(df))
+            df["est_jaccard"] = (bmat[ia] == bmat[ib]).mean(axis=1)
+            df = df[df["est_jaccard"] >= threshold]
+            df = df[["a", "b", "est_jaccard", "truncated"]]
+        return _arrow(df)
 
     # bucket on band_hash alone: equal band_hash ⇒ same bucket, so every
     # (band, band_hash) group is fully contained in its bucket
     pairs = _grouped_exchange(_consolidate(exploded), "band_hash",
                               pairs_block)
 
+    if use_broadcast:
+        return _combine_pairs(pairs, "est_jaccard")
     return _attach_est_jaccard(_combine_pairs(pairs, None),
                                sigs, id_col=id_col, threshold=threshold)
 

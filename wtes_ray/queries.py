@@ -1990,6 +1990,110 @@ def topk_cosine_ivfpq_full_probe(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+_IVF_RECALL_K = 10
+_IVF_RECALL_NPROBE = 2
+
+
+def ivf_recall_at_k(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 of IVF probing at a REAL operating point (nprobe=2 of 4
+    lists) vs exact brute force — the quantizer-regression witness the
+    full-probe identities can't provide (VERDICT r4 #6).
+
+    The coarse quantizer here is the SQL-expressible one — full-corpus
+    Lloyd's seeded with vecs 0..k-1 (ops/similarity.kmeans_lloyd, the same
+    machinery the kmeans oracles pin) — NOT train_ivf_centroids' sampled
+    RandomState trainer, precisely so the ENTIRE operating point (train →
+    assign → probe ranking → in-list top-k → recall) is one generated
+    CTE-chain oracle. One extra streaming pass after Lloyd's: each block
+    emits its top-k survivors for BOTH arms (brute / probed), the driver
+    finish is bounded by blocks × 2k rows."""
+    from .ops.similarity import _as_matrix, kmeans_lloyd
+    init_t = pq.read_table(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", _KM_K)]) \
+        .sort_by("vec_id")
+    init = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in init_t["embedding"].to_pylist()])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    _assign, cents = kmeans_lloyd(ds, init, iterations=_KM_ITERS)
+    cc = (cents * cents).sum(axis=1)
+    q = _query_vec(sf_dir)
+    qn = float(np.linalg.norm(q))
+    # probe ranking: expanded euclidean (‖c‖² − 2 q·c — ‖q‖² is
+    # rank-invariant), ties → lowest centroid id (lexsort)
+    cent_d = cc - 2.0 * (cents @ q)
+    order = np.lexsort((np.arange(len(cents)), cent_d))
+    probes = set(int(i) for i in order[:_IVF_RECALL_NPROBE])
+    k = _IVF_RECALL_K
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"arm": pd.Series([], dtype="object"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="float64")})
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        ids = batch["vec_id"].to_numpy()
+        lab = (-2.0 * (mat @ cents.T) + cc[None, :]).argmin(axis=1)
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * qn)
+        out = {"arm": [], "vec_id": [], "c": []}
+        for arm, mask in (("brute", np.ones(len(ids), dtype=bool)),
+                          ("ivf", np.isin(lab, list(probes)))):
+            mi, mc = ids[mask], cos[mask]
+            top = np.lexsort((mi, -mc))[:k]
+            out["arm"].extend([arm] * len(top))
+            out["vec_id"].extend(mi[top])
+            out["c"].extend(mc[top])
+        return pd.DataFrame(out)
+
+    surv = ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+    sets = {}
+    for arm, grp in surv.groupby("arm"):
+        grp = grp.sort_values(["c", "vec_id"], ascending=[False, True])
+        sets[arm] = set(grp["vec_id"].head(k).tolist())
+    hits = len(sets.get("brute", set()) & sets.get("ivf", set()))
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "nprobe": pd.Series([_IVF_RECALL_NPROBE], dtype="int64"),
+        "n_centroids": pd.Series([_KM_K], dtype="int64"),
+        "hits": pd.Series([hits], dtype="int64"),
+        "recall": [round(hits / k, 6)]})
+
+
+def _ivf_recall_sql() -> str:
+    """Generated oracle: the kmeans CTE chain (same k/iters as the Ray
+    side) with a probe-rank + two-ROW_NUMBER-top-k + intersection tail."""
+    cd_rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS cid, list_inner_product({{c{i}}}, {{c{i}}})"
+        f" - 2 * list_inner_product((SELECT qe FROM q), {{c{i}}}) AS d"
+        for i in range(_KM_K))
+    tail = f""", q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+       FROM embeddings WHERE vec_id = 0),
+cd AS ({cd_rows}),
+probes AS (SELECT cid FROM
+             (SELECT cid, ROW_NUMBER() OVER (ORDER BY d, cid) AS rn
+              FROM cd) WHERE rn <= {_IVF_RECALL_NPROBE}),
+scored AS (SELECT vec_id, cluster,
+                  list_cosine_similarity(e, (SELECT qe FROM q)) AS c
+           FROM {{af}}),
+brute AS (SELECT vec_id FROM
+            (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY c DESC, vec_id)
+                    AS rn FROM scored) WHERE rn <= {_IVF_RECALL_K}),
+ivf AS (SELECT vec_id FROM
+          (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY c DESC, vec_id)
+                  AS rn FROM scored
+           WHERE cluster IN (SELECT cid FROM probes))
+        WHERE rn <= {_IVF_RECALL_K}),
+hit AS (SELECT COUNT(*) AS h FROM ivf WHERE vec_id IN
+          (SELECT vec_id FROM brute))
+SELECT CAST({_IVF_RECALL_K} AS BIGINT) AS k,
+       CAST({_IVF_RECALL_NPROBE} AS BIGINT) AS nprobe,
+       CAST({_KM_K} AS BIGINT) AS n_centroids,
+       CAST(h AS BIGINT) AS hits,
+       ROUND(h / {_IVF_RECALL_K}.0, 6) AS recall
+FROM hit"""
+    return _kmeans_sql(final_select=tail)
+
+
 def embedding_label_count(sf_dir: str) -> pd.DataFrame:
     ds = _read_pq(_t(sf_dir, "embeddings"), columns=["label"])
     df = ds.groupby("label").aggregate(Count(alias_name="n")).to_pandas()
@@ -7619,6 +7723,7 @@ REGISTRY: dict = {
     "topk_cosine_ivfpq": (topk_cosine_ivfpq, None),
     "topk_cosine_ivfpq_full_probe": (topk_cosine_ivfpq_full_probe,
                                      TOPK_COSINE_SQL),
+    "ivf_recall_at_k": (ivf_recall_at_k, _ivf_recall_sql()),
     "embedding_label_count": (embedding_label_count, EMB_LABEL_SQL),
     "extract_spans_synthetic": (extract_spans_synthetic, None),
     "extract_relations_dedup": (extract_relations_dedup, None),

@@ -1,0 +1,953 @@
+from ._common import *  # noqa: F401,F403
+from .tpch import *  # noqa: F401,F403
+from .relational import *  # noqa: F401,F403
+from .events import *  # noqa: F401,F403
+from .text import *  # noqa: F401,F403
+from .dedup import *  # noqa: F401,F403
+
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    # row-group/predicate pushdown: only fragments that can contain
+    # vec_id=0 are decoded — never the full embeddings table
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"],
+                      filters=[("vec_id", "==", 0)])
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
+
+def topk_cosine_bruteforce(sf_dir: str) -> pd.DataFrame:
+    from ..ops.similarity import topk_cosine
+    ds = _read_pq(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    df = topk_cosine(ds, _query_vec(sf_dir), k=10).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+
+TOPK_COSINE_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    (SELECT qe FROM q)), 6) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                (SELECT qe FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+
+def topk_cosine_multiquery(sf_dir: str) -> pd.DataFrame:
+    """Batched retrieval: exact top-10 for THREE queries in one corpus
+    pass — one (n×d)·(d×3) matmul per block, ≤ 3·k survivor rows per
+    block, driver finish bounded by blocks × 3 × k (never corpus size).
+    The query vectors load with a vec_id pushdown filter, never a full
+    read. Oracle: per-query ROW_NUMBER window with the identical
+    (cosine desc, vec_id asc) tie-break."""
+    from ..ops.similarity import topk_cosine_multi
+    qt = pq.read_table(_t(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 3)]).sort_by("vec_id")
+    qids = qt.column("vec_id").to_pylist()
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qt.column("embedding").to_pylist()])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    df = topk_cosine_multi(ds, Q, qids, k=10)
+    df["cosine"] = df["cosine"].round(6)
+    return df.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True]) \
+             .reset_index(drop=True)
+
+
+
+TOPK_COSINE_MULTI_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    q.qe) AS c
+      FROM q, embeddings e),
+r AS (SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id) AS rn
+      FROM s)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id,
+       ROUND(c, 6) AS cosine
+FROM r WHERE rn <= 10
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
+
+def topk_cosine_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate variant (rows-only check: recall < 1 by design)."""
+    from ..ops.similarity import lsh_topk_cosine
+    ds = _read_pq(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    df = lsh_topk_cosine(ds, _query_vec(sf_dir), k=10, probe=2).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+
+def topk_cosine_lsh_full_probe(sf_dir: str) -> pd.DataFrame:
+    """LSH ANN at ``probe == planes``: every signature is within Hamming ≤
+    planes of the query's, so the candidate filter keeps ALL rows and the
+    pipeline must equal brute force exactly — which makes the whole
+    signature→filter→score→top-k composition SQL-checkable
+    (TOPK_COSINE_SQL)."""
+    from ..ops.similarity import lsh_topk_cosine
+    ds = _read_pq(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    df = lsh_topk_cosine(ds, _query_vec(sf_dir), k=10,
+                         planes=10, probe=10).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+
+_IVF_N_CENTROIDS = 16
+
+
+
+def _ivf_index(sf_dir: str) -> str:
+    """Build-once (cached under /tmp, keyed on sf tag + row count +
+    n_centroids) IVF index over the embeddings table: train → assign →
+    write hive-partitioned by ``centroid_id``. Returns the index dir."""
+    from ..ops.similarity import build_ivf_index
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n_rows = pq.ParquetFile(_t(sf_dir, "embeddings")).metadata.num_rows
+    cache = f"/tmp/wtes_cache/ivf-{tag}-{n_rows}-c{_IVF_N_CENTROIDS}"
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil as _shutil
+        _shutil.rmtree(cache, ignore_errors=True)
+        ds = _read_pq(_t(sf_dir, "embeddings"),
+                             columns=["vec_id", "embedding"])
+        build_ivf_index(ds, cache, n_centroids=_IVF_N_CENTROIDS)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    return cache
+
+
+
+def topk_cosine_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-probe ANN on the SCALE path: the corpus is written partitioned
+    by ``centroid_id`` (build-once index) and the search reads ONLY the
+    nprobe probed partition directories — non-probed lists never leave
+    storage. Rows-only check (recall < 1 by design at nprobe=4); the
+    full-probe variant below is the hash-checked exactness witness."""
+    from ..ops.similarity import ivf_search_index
+    df = ivf_search_index(_ivf_index(sf_dir), _query_vec(sf_dir), k=10,
+                          nprobe=4).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+
+def topk_cosine_ivf_full_probe(sf_dir: str) -> pd.DataFrame:
+    """IVF at ``nprobe == n_centroids``: every list is probed, so the
+    index path (train → assign → partitioned write → pruned read → top-k)
+    must equal brute force exactly — SQL-checkable (TOPK_COSINE_SQL)."""
+    from ..ops.similarity import ivf_search_index
+    df = ivf_search_index(_ivf_index(sf_dir), _query_vec(sf_dir), k=10,
+                          nprobe=_IVF_N_CENTROIDS).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+
+def _ivfpq_index(sf_dir: str) -> str:
+    """Build-once IVF-PQ index (ops/similarity.build_ivfpq_index): coarse
+    quantizer + 4×16-centroid PQ codebooks (seeded from vecs 0..15),
+    codes written alongside the vectors, hive-partitioned by
+    centroid_id. Cached under /tmp keyed on sf tag + row count."""
+    from ..ops.similarity import build_ivfpq_index
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n_rows = pq.ParquetFile(_t(sf_dir, "embeddings")).metadata.num_rows
+    cache = f"/tmp/wtes_cache/ivfpq-{tag}-{n_rows}-c{_IVF_N_CENTROIDS}"
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil as _shutil
+        _shutil.rmtree(cache, ignore_errors=True)
+        init_t = pq.read_table(_t(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"],
+                               filters=[("vec_id", "<", 16)]) \
+            .sort_by("vec_id")
+        init = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in init_t["embedding"].to_pylist()])
+        ds = _read_pq(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+        build_ivfpq_index(ds, cache, init, n_centroids=_IVF_N_CENTROIDS,
+                          m=4)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    return cache
+
+
+
+def topk_cosine_ivfpq(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ ANN: pruned read of the probed lists, asymmetric-distance
+    shortlist over the m-byte CODES column only, exact re-rank of the
+    shortlist. Rows-only check (recall < 1 by design at nprobe=4 /
+    shortlist=100); the full-probe/full-rerank variant below is the
+    hash-checked exactness witness."""
+    from ..ops.similarity import ivfpq_search_index
+    df = ivfpq_search_index(_ivfpq_index(sf_dir), _query_vec(sf_dir),
+                            k=10, nprobe=4, shortlist=100).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+
+def topk_cosine_ivfpq_full_probe(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ at ``nprobe == n_centroids`` and ``shortlist == corpus``:
+    every list is probed and every candidate re-ranks exactly, so the
+    composed index path (coarse train → PQ codebook train → encode →
+    partitioned write → pruned read → ADC shortlist → exact re-rank)
+    must equal brute force exactly — SQL-checkable (TOPK_COSINE_SQL)."""
+    from ..ops.similarity import ivfpq_search_index
+    n_rows = pq.ParquetFile(_t(sf_dir, "embeddings")).metadata.num_rows
+    df = ivfpq_search_index(_ivfpq_index(sf_dir), _query_vec(sf_dir),
+                            k=10, nprobe=_IVF_N_CENTROIDS,
+                            shortlist=n_rows).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+
+_IVF_RECALL_K = 10
+
+_IVF_RECALL_NPROBE = 2
+
+
+
+def ivf_recall_at_k(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 of IVF probing at a REAL operating point (nprobe=2 of 4
+    lists) vs exact brute force — the quantizer-regression witness the
+    full-probe identities can't provide (VERDICT r4 #6).
+
+    The coarse quantizer here is the SQL-expressible one — full-corpus
+    Lloyd's seeded with vecs 0..k-1 (ops/similarity.kmeans_lloyd, the same
+    machinery the kmeans oracles pin) — NOT train_ivf_centroids' sampled
+    RandomState trainer, precisely so the ENTIRE operating point (train →
+    assign → probe ranking → in-list top-k → recall) is one generated
+    CTE-chain oracle. One extra streaming pass after Lloyd's: each block
+    emits its top-k survivors for BOTH arms (brute / probed), the driver
+    finish is bounded by blocks × 2k rows."""
+    from ..ops.similarity import _as_matrix, kmeans_lloyd
+    init_t = pq.read_table(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", _KM_K)]) \
+        .sort_by("vec_id")
+    init = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in init_t["embedding"].to_pylist()])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    _assign, cents = kmeans_lloyd(ds, init, iterations=_KM_ITERS)
+    cc = (cents * cents).sum(axis=1)
+    q = _query_vec(sf_dir)
+    qn = float(np.linalg.norm(q))
+    # probe ranking: expanded euclidean (‖c‖² − 2 q·c — ‖q‖² is
+    # rank-invariant), ties → lowest centroid id (lexsort)
+    cent_d = cc - 2.0 * (cents @ q)
+    order = np.lexsort((np.arange(len(cents)), cent_d))
+    probes = set(int(i) for i in order[:_IVF_RECALL_NPROBE])
+    k = _IVF_RECALL_K
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"arm": pd.Series([], dtype="object"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="float64")})
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        ids = batch["vec_id"].to_numpy()
+        lab = (-2.0 * (mat @ cents.T) + cc[None, :]).argmin(axis=1)
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * qn)
+        out = {"arm": [], "vec_id": [], "c": []}
+        for arm, mask in (("brute", np.ones(len(ids), dtype=bool)),
+                          ("ivf", np.isin(lab, list(probes)))):
+            mi, mc = ids[mask], cos[mask]
+            top = np.lexsort((mi, -mc))[:k]
+            out["arm"].extend([arm] * len(top))
+            out["vec_id"].extend(mi[top])
+            out["c"].extend(mc[top])
+        return pd.DataFrame(out)
+
+    surv = ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+    sets = {}
+    for arm, grp in surv.groupby("arm"):
+        grp = grp.sort_values(["c", "vec_id"], ascending=[False, True])
+        sets[arm] = set(grp["vec_id"].head(k).tolist())
+    hits = len(sets.get("brute", set()) & sets.get("ivf", set()))
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "nprobe": pd.Series([_IVF_RECALL_NPROBE], dtype="int64"),
+        "n_centroids": pd.Series([_KM_K], dtype="int64"),
+        "hits": pd.Series([hits], dtype="int64"),
+        "recall": [round(hits / k, 6)]})
+
+
+
+def _ivf_recall_sql() -> str:
+    """Generated oracle: the kmeans CTE chain (same k/iters as the Ray
+    side) with a probe-rank + two-ROW_NUMBER-top-k + intersection tail."""
+    cd_rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS cid, list_inner_product({{c{i}}}, {{c{i}}})"
+        f" - 2 * list_inner_product((SELECT qe FROM q), {{c{i}}}) AS d"
+        for i in range(_KM_K))
+    tail = f""", q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+       FROM embeddings WHERE vec_id = 0),
+cd AS ({cd_rows}),
+probes AS (SELECT cid FROM
+             (SELECT cid, ROW_NUMBER() OVER (ORDER BY d, cid) AS rn
+              FROM cd) WHERE rn <= {_IVF_RECALL_NPROBE}),
+scored AS (SELECT vec_id, cluster,
+                  list_cosine_similarity(e, (SELECT qe FROM q)) AS c
+           FROM {{af}}),
+brute AS (SELECT vec_id FROM
+            (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY c DESC, vec_id)
+                    AS rn FROM scored) WHERE rn <= {_IVF_RECALL_K}),
+ivf AS (SELECT vec_id FROM
+          (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY c DESC, vec_id)
+                  AS rn FROM scored
+           WHERE cluster IN (SELECT cid FROM probes))
+        WHERE rn <= {_IVF_RECALL_K}),
+hit AS (SELECT COUNT(*) AS h FROM ivf WHERE vec_id IN
+          (SELECT vec_id FROM brute))
+SELECT CAST({_IVF_RECALL_K} AS BIGINT) AS k,
+       CAST({_IVF_RECALL_NPROBE} AS BIGINT) AS nprobe,
+       CAST({_KM_K} AS BIGINT) AS n_centroids,
+       CAST(h AS BIGINT) AS hits,
+       ROUND(h / {_IVF_RECALL_K}.0, 6) AS recall
+FROM hit"""
+    return _kmeans_sql(final_select=tail)
+
+
+
+def embedding_label_count(sf_dir: str) -> pd.DataFrame:
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["label"])
+    df = ds.groupby("label").aggregate(Count(alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("label").reset_index(drop=True)
+
+
+
+EMB_LABEL_SQL = "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDER BY label"
+
+
+
+def bm25_topk_docs(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 retrieval for the query {hash, join, window}
+    (ops/curate.py:bm25_topk): pass 1 reduces each block to
+    |terms|+2 stat rows (df / N / Σdl), pass 2 ships the few idf
+    floats in the closure, scores per block and emits local top-k
+    heads only. Scores are rounded to 6dp BEFORE ranking on both
+    sides, so the cut is ULP-stable and fully SQL-checkable."""
+    from ..ops.curate import bm25_topk
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bm25_topk(ds, ["hash", "join", "window"], 10)
+
+
+
+BM25_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+       FROM toks GROUP BY doc_id),
+st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+              CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                AS avgdl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM toks WHERE term IN ('hash', 'join', 'window')
+       GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              ROUND(SUM(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                        * tf.tf * (1.2 + 1.0)
+                        / (tf.tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl.dl / st.avgdl))),
+                    6) AS score
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+       GROUP BY tf.doc_id)
+SELECT doc_id, score
+FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id
+"""
+
+
+
+def topk_retrieve_docs(sf_dir: str) -> pd.DataFrame:
+    """Retrieval with payload attach (the RAG-prep composition): exact
+    top-10 cosine over the corpus, then ONLY the 10 winners' document
+    metadata read back with a doc_id pushdown filter (the q10
+    winner-attach pattern — the payload table is never scanned)."""
+    from ..ops.similarity import topk_cosine
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    hits = topk_cosine(ds, _query_vec(sf_dir), k=10).to_pandas()
+    ids = sorted(int(v) for v in hits["vec_id"])
+    docs = pq.read_table(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"],
+                         filters=[("doc_id", "in", ids)]).to_pandas()
+    out = hits.merge(docs, left_on="vec_id", right_on="doc_id")
+    out["cosine"] = out["cosine"].round(6)
+    return out[["vec_id", "cosine", "lang", "n_chars"]] \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
+
+TOPK_RETRIEVE_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      (SELECT qe FROM q)), 6) AS cosine
+  FROM embeddings
+  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                  (SELECT qe FROM q)) DESC, vec_id
+  LIMIT 10)
+SELECT t.vec_id, t.cosine, d.lang, d.n_chars
+FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+ORDER BY t.vec_id
+"""
+
+
+
+def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact per-label mean embedding (class prototypes) in long layout —
+    ops/similarity.label_centroids: per-block (label, dim, Σ, n) partials,
+    one small groupby finish; corpus vectors never shuffle."""
+    from ..ops.similarity import label_centroids
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+    df = label_centroids(ds).to_pandas()
+    df["centroid"] = df["centroid"].round(6)
+    return df.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+
+LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim, ROUND(AVG(v), 6) AS centroid
+FROM e GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+
+def classify_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Linear-classifier inference over the embedding column (ops/infer.
+    linear_classify): a deterministic 8-class weight matrix broadcasts
+    once, each block scores with ONE matmul, ties on the 6dp-rounded score
+    break to the lowest class id (round-before-argmax = the repo's
+    ULP-stable rank rule). The oracle regenerates the SAME matrix with
+    generate_series arithmetic and ranks identically."""
+    from ..ops.infer import demo_weights, linear_classify
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = linear_classify(ds, demo_weights(8, 64)).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+
+CLASSIFY_SQL = """
+WITH w AS (
+  SELECT c.c AS c, j.j AS j,
+         ((1009 * c.c + 9176 * (j.j - 1) + 31) % 1997) / 1997.0 - 0.5 AS w
+  FROM generate_series(0, 7) c(c) CROSS JOIN generate_series(1, 64) j(j)),
+e AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS j
+  FROM embeddings),
+s AS (
+  SELECT e.vec_id, w.c, ROUND(SUM(e.v * w.w), 6) AS score
+  FROM e JOIN w ON e.j = w.j GROUP BY e.vec_id, w.c),
+r AS (
+  SELECT vec_id, c, score,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, c) AS rn
+  FROM s)
+SELECT vec_id, CAST(c AS BIGINT) AS pred_class, score
+FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+
+_PCA_ITERS = 3
+
+_PCA_DIM = 64
+
+
+
+def pca_top_component_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Top principal direction of the embedding Gram matrix XᵀX by POWER
+    ITERATION (the 6th oracled iterative algorithm): start from the
+    constant unit vector, each iteration is ONE streaming pass emitting a
+    d-vector partial Xᵀ(Xv) per block (matmul twice per block — vectors
+    never leave their blocks, driver state is d doubles), normalize on
+    the driver, repeat ×3. Output: (dim, component) rounded 6dp. Oracle:
+    unrolled CTE chain computing the same s→normalize recurrence with
+    list_inner_product/unnest; power iteration is a contraction toward
+    the dominant eigvec, so the two sides' ~1e-15 summation-order
+    differences do not amplify across the 3 rounds."""
+    import ray as _ray
+    from ..ops.similarity import _as_matrix
+
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["embedding"])
+    v = np.full(_PCA_DIM, 1.0 / np.sqrt(_PCA_DIM))
+    for _ in range(_PCA_ITERS):
+        ref = _ray.put(v)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            vv = _ray.get(ref)
+            mat = _as_matrix(batch["embedding"]).astype(np.float64)
+            s = mat.T @ (mat @ vv)
+            return pd.DataFrame({"dim": np.arange(1, _PCA_DIM + 1,
+                                                  dtype=np.int64),
+                                 "s": s})
+
+        agg = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+            .groupby("dim", sort=True)["s"].sum()
+        s = agg.to_numpy()
+        v = s / np.sqrt((s * s).sum())
+
+    return pd.DataFrame({"dim": np.arange(1, _PCA_DIM + 1,
+                                          dtype=np.int64),
+                         "component": np.round(v, 6)})
+
+
+
+def _pca_sql(iters: int = _PCA_ITERS, d: int = _PCA_DIM) -> str:
+    ctes = [f"""e AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings)""",
+            f"""v0 AS MATERIALIZED (
+  SELECT UNNEST(range(1, {d + 1})) AS dim, 1.0 / SQRT({d}) AS val)"""]
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes.append(f"""s{r} AS MATERIALIZED (
+  SELECT dim, SUM(xi * ip) AS s FROM (
+    SELECT UNNEST(x) AS xi, generate_subscripts(x, 1) AS dim,
+           list_inner_product(
+             x, (SELECT list(val ORDER BY dim) FROM v{p})) AS ip
+    FROM e)
+  GROUP BY dim)""")
+        ctes.append(f"""v{r} AS MATERIALIZED (
+  SELECT dim, s / (SELECT SQRT(SUM(s * s)) FROM s{r}) AS val FROM s{r})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(dim AS BIGINT) AS dim,"
+            + f" ROUND(val, 6) AS component FROM v{iters} ORDER BY dim")
+
+
+
+_LR_STEPS = 3
+
+_LR_RATE = "0.1"     # literal text shared with the SQL (same float bits)
+
+
+
+def logreg_gd_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed full-batch logistic-regression training (3 gradient
+    steps, lr 0.1, features = embedding dims 1–2 + bias, label = parity
+    of the stored class): each step is ONE streaming pass emitting a
+    3-double gradient partial per block — Σ x·(σ(w·x) − y) — with the
+    3-double weight vector as driver state; the 7th oracled iterative
+    algorithm. The oracle unrolls the steps as scalar-aggregate CTEs with
+    the same σ/EXP expression (numpy exp vs libm exp agree well past the
+    6dp output rounding over 3 contraction-free but tiny-depth steps)."""
+    import ray as _ray
+
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["embedding", "label"])
+    w = np.zeros(3)
+    for _ in range(_LR_STEPS):
+        ref = _ray.put(w)
+
+        def grad_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            ww = _ray.get(ref)
+            from ..ops.similarity import _as_matrix
+            mat = _as_matrix(batch["embedding"]).astype(np.float64)
+            x = np.column_stack([mat[:, 0], mat[:, 1],
+                                 np.ones(len(mat))])
+            y = (batch["label"].to_numpy() % 2).astype(np.float64)
+            z = x @ ww
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = x.T @ (p - y)
+            return pd.DataFrame({"g0": [g[0]], "g1": [g[1]],
+                                 "g2": [g[2]], "n": [float(len(x))]})
+
+        parts = ds.map_batches(grad_partial,
+                               batch_format="pandas").to_pandas().sum()
+        n = parts["n"]
+        w = w - float(_LR_RATE) * np.array(
+            [parts["g0"] / n, parts["g1"] / n, parts["g2"] / n])
+
+    return pd.DataFrame({"weight": ["w0", "w1", "bias"],
+                         "value": np.round(w, 6)})
+
+
+
+def _logreg_sql(steps: int = _LR_STEPS) -> str:
+    ctes = ["""d AS MATERIALIZED (
+  SELECT CAST(embedding[1] AS DOUBLE) AS x0,
+         CAST(embedding[2] AS DOUBLE) AS x1,
+         CAST(label % 2 AS DOUBLE) AS y
+  FROM embeddings)""",
+            "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)"]
+    for r in range(1, steps + 1):
+        p = r - 1
+        ctes.append(f"""g{r} AS MATERIALIZED (
+  SELECT SUM(x0 * (p - y)) AS g0, SUM(x1 * (p - y)) AS g1,
+         SUM(1.0 * (p - y)) AS g2, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT x0, x1, y,
+               1.0 / (1.0 + EXP(-(x0 * w.a + x1 * w.b + 1.0 * w.c))) AS p
+        FROM d CROSS JOIN w{p} w))""")
+        ctes.append(f"""w{r} AS (
+  SELECT w.a - {_LR_RATE} * (g.g0 / g.n) AS a,
+         w.b - {_LR_RATE} * (g.g1 / g.n) AS b,
+         w.c - {_LR_RATE} * (g.g2 / g.n) AS c
+  FROM w{p} w CROSS JOIN g{r} g)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT 'w0' AS weight, ROUND(a, 6) AS value FROM w{steps}
+UNION ALL SELECT 'w1', ROUND(b, 6) FROM w{steps}
+UNION ALL SELECT 'bias', ROUND(c, 6) FROM w{steps}
+ORDER BY weight""")
+
+
+
+_KM_K = 4
+
+_KM_ITERS = 2
+
+
+
+def kmeans_assign_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed full-corpus Lloyd's k-means (ops/similarity.
+    kmeans_lloyd): k=4 centroids seeded from the 4 lowest vec_ids
+    (pushdown-filtered read), 2 update iterations, each one streaming
+    pass emitting (cluster, dim, Σ, n) partials. Output is the final
+    assignment. Parity note: the oracle scores with the same expanded
+    form (‖c‖² − 2·x·c via list_inner_product), so Ray and SQL disagree
+    only if two centroids are equidistant to ~1e-15 relative — not
+    observed on this corpus; ties at equal distance break to the lower
+    cluster id on both sides (numpy argmin-first / CASE order)."""
+    from ..ops.similarity import kmeans_lloyd
+    init_t = pq.read_table(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", _KM_K)]) \
+        .sort_by("vec_id")
+    init = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in init_t["embedding"].to_pylist()])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    assign, _cent = kmeans_lloyd(ds, init, iterations=_KM_ITERS)
+    return assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, *,
+                vec_expr: str = "CAST(embedding AS DOUBLE[])",
+                select_extra: str = "",
+                prefix: str = "",
+                final_select: str | None = None) -> str:
+    """Unrolled k-means oracle: assign/update pairs expand to CTE chains
+    (like the PageRank oracle). Scoring uses the SAME expanded euclidean
+    form as the Ray side (‖c‖² − 2·x·c — ‖x‖² is rank-invariant), CASE
+    order implements the lowest-id tie-break, and an empty cluster keeps
+    its previous centroid via a COUNT(*) guard.
+
+    ``vec_expr`` parameterizes the input vector (the PQ oracle passes a
+    list SLICE per subspace), ``select_extra`` injects literal output
+    columns, ``prefix`` namespaces the CTEs so several chains can UNION
+    in one statement."""
+    def assign(name: str, cents: list[str]) -> str:
+        ds = ",\n         ".join(
+            f"list_inner_product({c}, {c})"
+            f" - 2 * list_inner_product(e, {c}) AS d{i}"
+            for i, c in enumerate(cents))
+        cases = []
+        for i in range(k - 1):
+            conds = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k))
+            cases.append(f"WHEN {conds} THEN {i}")
+        case = "CASE " + " ".join(cases) + f" ELSE {k - 1} END"
+        # AS MATERIALIZED: the chain is referenced many times downstream
+        # (4 means + the next assign); DuckDB's default CTE inlining would
+        # re-evaluate it combinatorially across iterations
+        return (f"{name} AS MATERIALIZED (\n"
+                f"  SELECT vec_id, e, {case} AS cluster\n"
+                f"  FROM (SELECT vec_id, e,\n         {ds}\n"
+                f"        FROM e))")
+
+    p = prefix
+    ctes = [f"{p}e AS (SELECT vec_id, {vec_expr} AS e FROM embeddings)"]
+    cents = [f"(SELECT e FROM {p}e WHERE vec_id = {i})" for i in range(k)]
+
+    def assign_p(name: str, cents: list[str]) -> str:
+        # re-point the generic assign body at the prefixed source CTE
+        return assign(name, cents).replace("FROM e)", f"FROM {p}e)")
+
+    for it in range(1, iters + 1):
+        ctes.append(assign_p(f"{p}a{it}", cents))
+        new_cents = []
+        for ci in range(k):
+            ctes.append(
+                f"""{p}m{it}_{ci} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM {p}a{it} WHERE cluster = {ci}) > 0
+              THEN (SELECT list(m ORDER BY dim) FROM
+                    (SELECT dim, AVG(v) AS m
+                     FROM (SELECT unnest(e) AS v,
+                                  generate_subscripts(e, 1) AS dim
+                           FROM {p}a{it} WHERE cluster = {ci})
+                     GROUP BY dim))
+              ELSE {cents[ci]} END AS ce)""")
+            new_cents.append(f"(SELECT ce FROM {p}m{it}_{ci})")
+        cents = new_cents
+    ctes.append(assign_p(f"{p}af", cents))
+    if final_select is not None:
+        # caller-supplied tail — may reference {p}af and the final centroid
+        # selects via {cents} placeholders the caller formats itself
+        return ("WITH " + ",\n".join(ctes) + "\n"
+                + final_select.format(af=f"{p}af",
+                                      **{f"c{i}": c
+                                         for i, c in enumerate(cents)}))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vec_id, {select_extra}"
+            + f"CAST(cluster AS BIGINT) AS cluster FROM {p}af"
+            + "\nORDER BY vec_id")
+
+
+
+KMEANS_ASSIGN_SQL = _kmeans_sql()
+
+
+
+def kmeans_quality_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Clustering-quality summary (simplified silhouette / Davies-Bouldin
+    ingredients): per cluster, the member count, the mean SQUARED distance
+    to the OWN centroid and to the NEAREST OTHER centroid — one extra
+    streaming pass after Lloyd's converges (distances per block from the
+    broadcast k×dim centroid matrix; (cluster, Σ_own, Σ_other, n) partials
+    → one k-row groupby). Oracle: the generated kmeans CTE chain with a
+    distance-CASE tail over the final assignment — the 4th fully-oracled
+    iterative-algorithm surface."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..ops.similarity import _as_matrix, kmeans_lloyd
+    init_t = pq.read_table(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", _KM_K)]) \
+        .sort_by("vec_id")
+    init = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in init_t["embedding"].to_pylist()])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    _assign, cents = kmeans_lloyd(ds, init, iterations=_KM_ITERS)
+    cc = (cents * cents).sum(axis=1)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                                 "s_own": pd.Series([], dtype="float64"),
+                                 "s_other": pd.Series([], dtype="float64"),
+                                 "n": pd.Series([], dtype="int64")})
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        xc = mat @ cents.T
+        lab = (-2.0 * xc + cc[None, :]).argmin(axis=1)   # the assign rule
+        ee = (mat * mat).sum(axis=1)
+        d_full = ee[:, None] - 2.0 * xc + cc[None, :]    # ≡ SQL's a-2b+c
+        idx = np.arange(len(lab))
+        d_own = d_full[idx, lab]
+        masked = d_full.copy()
+        masked[idx, lab] = np.inf
+        d_other = masked.min(axis=1)
+        rows = {"cluster": [], "s_own": [], "s_other": [], "n": []}
+        for ci in np.unique(lab):
+            m = lab == ci
+            rows["cluster"].append(int(ci))
+            rows["s_own"].append(float(d_own[m].sum()))
+            rows["s_other"].append(float(d_other[m].sum()))
+            rows["n"].append(int(m.sum()))
+        return pd.DataFrame(rows)
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("cluster") \
+        .aggregate(_Sum("s_own", alias_name="s_own"),
+                   _Sum("s_other", alias_name="s_other"),
+                   _Sum("n", alias_name="n")).to_pandas()
+    agg["mean_intra"] = (agg["s_own"] / agg["n"]).round(6)
+    agg["mean_other"] = (agg["s_other"] / agg["n"]).round(6)
+    agg["n"] = agg["n"].astype("int64")
+    return agg[["cluster", "n", "mean_intra", "mean_other"]] \
+        .sort_values("cluster").reset_index(drop=True)
+
+
+
+def _kmeans_quality_sql(k: int = _KM_K) -> str:
+    dcols = ",\n         ".join(
+        f"list_inner_product(e, e) - 2 * list_inner_product(e, {{c{i}}})"
+        f" + list_inner_product({{c{i}}}, {{c{i}}}) AS fd{i}"
+        for i in range(k))
+    own = " ".join(f"WHEN {i} THEN fd{i}" for i in range(k))
+    other = " ".join(
+        "WHEN {i} THEN LEAST({rest})".format(
+            i=i, rest=", ".join(f"fd{j}" for j in range(k) if j != i))
+        for i in range(k))
+    final = f"""
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(d_own) / COUNT(*), 6) AS mean_intra,
+       ROUND(SUM(d_other) / COUNT(*), 6) AS mean_other
+FROM (
+  SELECT cluster, CASE cluster {own} END AS d_own,
+         CASE cluster {other} END AS d_other
+  FROM (SELECT cluster, e,
+         {dcols}
+        FROM {{af}}))
+GROUP BY cluster ORDER BY cluster"""
+    return _kmeans_sql(k=k, final_select=final)
+
+
+
+_PQ_M = 4
+
+_PQ_K = 4
+
+_PQ_ITERS = 1
+
+
+
+def pq_codes_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization encoding (ops/similarity.pq_codes): 4
+    subspaces × 4-centroid codebooks (seeded from vecs 0..3, 1 Lloyd's
+    iteration each), every vector encoded to its per-subspace argmin —
+    the third fully-oracled ITERATIVE algorithm (after PageRank and
+    k-means). The oracle unions 4 generated kmeans CTE chains, each over
+    a list SLICE of the embedding."""
+    from ..ops.similarity import pq_codes
+    init_t = pq.read_table(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", _PQ_K)]) \
+        .sort_by("vec_id")
+    init = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in init_t["embedding"].to_pylist()])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    codes, _books = pq_codes(ds, init, m=_PQ_M, iterations=_PQ_ITERS)
+    return codes.to_pandas().sort_values(["vec_id", "sub"]) \
+        .reset_index(drop=True)
+
+
+
+def _pq_sql(m: int = _PQ_M, k: int = _PQ_K,
+            iters: int = _PQ_ITERS, dim: int = 64) -> str:
+    dsub = dim // m
+    parts = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        inner = _kmeans_sql(
+            k, iters,
+            vec_expr=f"(CAST(embedding AS DOUBLE[]))[{lo}:{hi}]",
+            select_extra=f"CAST({s} AS BIGINT) AS sub, ",
+            prefix=f"p{s}_")
+        parts.append(f"SELECT vec_id, sub, cluster AS code\n"
+                     f"FROM ({inner})")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY vec_id, sub"
+
+
+
+PQ_CODES_SQL = _pq_sql()
+
+
+
+def hybrid_retrieval_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid dense+sparse retrieval with reciprocal-rank fusion
+    (Cormack et al., 2009): BM25 top-20 for {hash, join, window} fuses
+    with cosine top-20 for query vec 0 via Σ 1/(60+rank), joined on the
+    aligned doc_id/vec_id key. Both lists rank by their 6dp-ROUNDED
+    score with an id tie-break (the bm25_topk ULP-stability trick,
+    applied to the dense side too), so the ranks — and therefore the
+    fused scores, integer-rank rationals — are bit-exact against SQL.
+    Each side is its own bounded-driver-finish top-k pipeline; fusion
+    touches only 2·k rows."""
+    from ..ops.curate import bm25_topk
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    sp = bm25_topk(ds, ["hash", "join", "window"], 20)
+    sp = sp.sort_values(["score", "doc_id"], ascending=[False, True])
+    sp["r"] = np.arange(1, len(sp) + 1)
+
+    qv = _query_vec(sf_dir)
+    qn = qv / np.linalg.norm(qv)
+    qref = ray.put(qn)
+
+    def dense_block(t: pa.Table) -> pa.Table:
+        q = ray.get(qref) if not isinstance(qref, np.ndarray) else qref
+        M = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        M = M.astype(np.float64)
+        c = (M @ q) / np.linalg.norm(M, axis=1)
+        df = pd.DataFrame({"doc_id": t["vec_id"].to_pandas(),
+                           "c": np.round(c, 6)})
+        return _arrow(_topk(df, ["c", "doc_id"], [False, True], 20))
+
+    emb = _read_pq(_t(sf_dir, "embeddings"),
+                   columns=["vec_id", "embedding"])
+    dn = _topk(emb.map_batches(dense_block, batch_format="pyarrow")
+               .to_pandas(), ["c", "doc_id"], [False, True], 20)
+    dn["r"] = np.arange(1, len(dn) + 1)
+
+    fused = pd.concat([sp[["doc_id", "r"]], dn[["doc_id", "r"]]])
+    fused["s"] = 1.0 / (60.0 + fused["r"])
+    out = fused.groupby("doc_id", as_index=False)["s"].sum()
+    out["rrf"] = out["s"].round(6)
+    out = _topk(out, ["rrf", "doc_id"], [False, True], 10)
+    return out[["doc_id", "rrf"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+
+HYBRID_RRF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+       FROM toks GROUP BY doc_id),
+st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+              CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                AS avgdl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM toks WHERE term IN ('hash', 'join', 'window')
+       GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              ROUND(SUM(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                        * tf.tf * (1.2 + 1.0)
+                        / (tf.tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl.dl / st.avgdl))),
+                    6) AS score
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+       GROUP BY tf.doc_id),
+sp AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id = 0),
+dn AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+       FROM (SELECT vec_id AS doc_id,
+                    ROUND(list_cosine_similarity(
+                        CAST(embedding AS DOUBLE[]),
+                        (SELECT qe FROM q)), 6) AS c
+             FROM embeddings ORDER BY c DESC, doc_id LIMIT 20)),
+u AS (SELECT doc_id, 1.0 / (60.0 + r) AS s FROM sp
+      UNION ALL
+      SELECT doc_id, 1.0 / (60.0 + r) FROM dn)
+SELECT doc_id, ROUND(SUM(s), 6) AS rrf FROM u GROUP BY doc_id
+ORDER BY ROUND(SUM(s), 6) DESC, doc_id LIMIT 10
+"""
+
+
+__all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -1,0 +1,1320 @@
+from ._common import *  # noqa: F401,F403
+from .tpch import *  # noqa: F401,F403
+from .relational import *  # noqa: F401,F403
+
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate (streaming-shaped workload, ray_guide):
+    window key computed vectorized in arrow, then grouped."""
+    ds = _read_pq(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        # unit-proof: normalize to µs first (epoch_us on the SQL side)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000))
+        return pa.table({"user_id": t["user_id"],
+                         "hour_bucket": pc.cast(hour, pa.int64()),
+                         "value": t["value"]})
+
+    agg = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["user_id", "hour_bucket"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"))
+    df = agg.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+
+
+
+EVENTS_HOURLY_SQL = """
+SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY user_id, hour_bucket
+"""
+
+
+
+def sessionize_events_map_groups(sf_dir: str) -> pd.DataFrame:
+    """Reference formulation: sort-within-group pandas body under
+    ``groupby(user).map_groups`` — one Python callback PER USER. Correct,
+    but at billions of small groups the per-group dispatch dominates;
+    :func:`sessionize_events` is the sort-within-partition production
+    form. Kept (and tested equal) as the semantics reference."""
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > 1800)).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    df = ds.groupby("user_id").map_groups(
+        sessions, batch_format="pandas").to_pandas()
+    df = df.astype({"n_sessions": "int64", "n_events": "int64"})
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min gap) per user, sort-WITHIN-PARTITION: users
+    co-partition by hash into coarse buckets (ops.dedup._grouped_exchange)
+    and each bucket is sessionized in ONE vectorized pandas pass — sort by
+    (user, ts), session break = user change or gap > 30 min, per-user sum
+    of breaks. No per-group Python callback anywhere (the map_groups
+    reference form above is one callback per user)."""
+    from ..ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions_block(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gaps = g["ts"].diff().dt.total_seconds()
+        brk = (new_user | (gaps > 1800)).astype("int64")
+        out = pd.DataFrame({"user_id": g["user_id"], "brk": brk}) \
+            .groupby("user_id", as_index=False) \
+            .agg(n_sessions=("brk", "sum"), n_events=("brk", "size"))
+        return _arrow(out.astype({"n_sessions": "int64",
+                                  "n_events": "int64"}))
+
+    df = _grouped_exchange(ds, "user_id", sessions_block).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+
+SESSIONIZE_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON scalar extraction (the `props` column) + grouped aggregate.
+    The field pull is a real JSON parse per row (``json.loads`` — JSON
+    decode is inherently per-value; the parse batches inside map_batches),
+    so arbitrary key sets/nesting around ``k`` are handled, not just the
+    seeded ``{"k": N}`` shape. SQL semantics: rows whose props lack an
+    integer ``k`` still count in ``n`` (COUNT(*)) but are skipped by
+    ``sum_k`` (SUM ignores NULL; pandas sum ignores NaN). JSON ``true``/
+    ``false`` are NOT integers (DuckDB's CAST('true' AS BIGINT) errors —
+    excluded here, so a boolean-k corpus diverges only where the oracle
+    itself would fail). Recorded deviation: a group with NO integer k
+    yields sum_k = 0 where SQL SUM gives NULL (unreachable on the seeded
+    corpus; int64 output column keeps the driver compare well-typed)."""
+    import json as _json
+    ds = _read_pq(_t(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def _k_of(s) -> float:
+        try:
+            v = _json.loads(s)["k"]
+        except (TypeError, ValueError, KeyError):
+            return np.nan
+        if isinstance(v, bool) or not isinstance(v, (int, np.integer)):
+            return np.nan
+        return float(v)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].map(_k_of)
+        out = pd.DataFrame({"event_type": df["event_type"], "k": k})
+        return _arrow(out.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n=("k", "size")))
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("event_type").aggregate(
+                Sum("sum_k", alias_name="sum_k"),
+                Sum("n", alias_name="n"))
+    df = agg.to_pandas().astype({"sum_k": "int64", "n": "int64"})
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT …): per-batch pair dedup (partial) → pair-level
+    aggregate (one row per unique pair, no per-group Python callbacks) →
+    grouped count. Both exchanges carry unique pairs / pair-counts only."""
+    ds = _read_pq(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+    pre = ds.map_batches(
+        lambda df: _arrow(df.drop_duplicates(["event_type", "user_id"])),
+        batch_format="pandas")
+    uniq = _for_agg(pre).groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="__dups"))
+    df = _for_agg(uniq).groupby("event_type").aggregate(
+        Count(alias_name="n_users")).to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+
+def last_click_before_purchase_map_groups(sf_dir: str) -> pd.DataFrame:
+    """Reference formulation (one Python callback per user) — see
+    :func:`last_click_before_purchase` for the sort-within-partition
+    production form; kept and tested equal."""
+    ds = _read_pq(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        # exact mirror of the oracle window (ORDER BY ts, event_id ROWS ...
+        # 1 PRECEDING): running max of click ts over the strictly-preceding
+        # rows — includes a click at the SAME ts when its event_id sorts
+        # first, which merge_asof(allow_exact_matches=False) would drop
+        g = g.sort_values(["ts", "event_id"])
+        click_ts = g["ts"].where(g["event_type"] == "click")
+        prev_click = click_ts.ffill().shift(1)
+        out = g.loc[g["event_type"] == "purchase", ["event_id"]].copy()
+        out["last_click_ts"] = prev_click[out.index]
+        out = out.dropna(subset=["last_click_ts"])
+        if out.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "last_click_ts":
+                                     pd.Series([], dtype="datetime64[us]")})
+        return out
+
+    df = ds.groupby("user_id").map_groups(asof,
+                                          batch_format="pandas").to_pandas()
+    df["last_click_ts"] = df["last_click_ts"].astype("datetime64[us]")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+
+def last_click_before_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of join (a custom operator Ray Data lacks), sort-WITHIN-PARTITION:
+    users co-partition by hash into coarse buckets and each bucket runs ONE
+    vectorized pandas pass — sort by (user, ts, event_id), per-user running
+    click-ts (grouped ffill) shifted by one row (grouped shift), then the
+    purchase rows project out. Matches the oracle window (ORDER BY ts,
+    event_id ROWS ... 1 PRECEDING) including the same-ts click-first edge.
+    Purchases with no prior click are dropped (NULL-free compare)."""
+    from ..ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def asof_block(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"]
+        click_ts = g["ts"].where(g["event_type"] == "click")
+        prev_click = click_ts.groupby(uid, sort=False).ffill() \
+                             .groupby(uid, sort=False).shift(1)
+        out = g.loc[g["event_type"] == "purchase", ["event_id"]].copy()
+        out["last_click_ts"] = prev_click[out.index]
+        out = out.dropna(subset=["last_click_ts"])
+        return _arrow(pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "last_click_ts": out["last_click_ts"]
+            .astype("datetime64[us]")}))
+
+    df = _grouped_exchange(ds, "user_id", asof_block).to_pandas()
+    df["last_click_ts"] = df["last_click_ts"].astype("datetime64[us]")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+
+LAST_CLICK_SQL = """
+SELECT event_id, last_click_ts FROM (
+  SELECT event_id, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events)
+WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+ORDER BY event_id
+"""
+
+
+
+def clicks_before_purchase_1h_map_groups(sf_dir: str) -> pd.DataFrame:
+    """Reference formulation (one Python callback per user) — see
+    :func:`clicks_before_purchase_1h` for the sort-within-partition
+    production form; kept and tested equal."""
+    ds = _read_pq(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def count_window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        clicks = g.loc[g["event_type"] == "click", "ts"].values
+        purch = g[g["event_type"] == "purchase"]
+        if purch.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_clicks_1h":
+                                     pd.Series([], dtype="int64")})
+        ts = purch["ts"].values
+        lo = np.searchsorted(clicks, ts - np.timedelta64(3600, "s"),
+                             side="left")
+        hi = np.searchsorted(clicks, ts, side="left")   # strictly before
+        return pd.DataFrame({"event_id": purch["event_id"].values,
+                             "n_clicks_1h": (hi - lo).astype("int64")})
+
+    df = ds.groupby("user_id").map_groups(count_window,
+                                          batch_format="pandas").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+
+def clicks_before_purchase_1h(sf_dir: str) -> pd.DataFrame:
+    """Range join (non-equi interval predicate — an operator Ray Data
+    lacks), sort-WITHIN-PARTITION: users co-partition by hash into coarse
+    buckets; inside each bucket the interval count resolves with TWO
+    vectorized ``merge_asof`` passes (both C-level, per-user via ``by=``):
+    against the per-user running click count, the count of clicks strictly
+    before ``ts`` minus the count strictly before ``ts − 1 h`` is exactly
+    the clicks in ``[ts − 1 h, ts)``. No per-group Python callback."""
+    from ..ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def count_block(g: pd.DataFrame) -> pa.Table:
+        clicks = g.loc[g["event_type"] == "click", ["user_id", "ts"]] \
+                  .sort_values("ts", kind="mergesort")
+        clicks["cum"] = clicks.groupby("user_id", sort=False).cumcount() + 1
+        purch = g.loc[g["event_type"] == "purchase",
+                      ["event_id", "user_id", "ts"]] \
+                 .sort_values("ts", kind="mergesort")
+        if purch.empty or clicks.empty:
+            n = pd.Series(np.zeros(len(purch), dtype="int64"),
+                          index=purch.index)
+        else:
+            hi = pd.merge_asof(purch, clicks, on="ts", by="user_id",
+                               allow_exact_matches=False)["cum"] \
+                   .fillna(0).values
+            lo_t = purch.assign(
+                ts=(purch["ts"] - pd.Timedelta(hours=1))
+                .astype(purch["ts"].dtype))   # keep the [us] unit — the
+            # subtraction promotes to [ns], which merge_asof rejects
+            # clicks AT ts−1h count (>= bound), so exclude them from `lo`
+            # by querying strictly-before ts−1h
+            lo = pd.merge_asof(lo_t, clicks, on="ts", by="user_id",
+                               allow_exact_matches=False)["cum"] \
+                   .fillna(0).values
+            n = pd.Series((hi - lo).astype("int64"), index=purch.index)
+        return _arrow(pd.DataFrame({
+            "event_id": purch["event_id"].astype("int64"),
+            "n_clicks_1h": n}))
+
+    df = _grouped_exchange(ds, "user_id", count_block).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+
+CLICKS_BEFORE_PURCHASE_SQL = """
+SELECT p.event_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id ORDER BY p.event_id
+"""
+
+
+
+def events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate (1 h windows every 30 min): each event is
+    exploded to its two covering windows inside ``map_batches`` (vectorized),
+    then a grouped combine — the window assignment stays embarrassingly
+    parallel, only (key, window) partials shuffle."""
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "value"])
+    W, S = 3_600_000_000, 1_800_000_000  # 1 h window, 30 min slide (µs)
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        vals = t["value"].to_numpy()
+        # windows starting at slide boundaries covering each ts:
+        # w0 = floor(ts/S)*S and w1 = w0 - S (since W = 2·S)
+        w0 = (us // S) * S
+        starts = np.concatenate([w0, w0 - S])
+        v2 = np.concatenate([vals, vals])
+        return pa.table({"window_start": pa.array(starts, pa.int64()),
+                         "value": pa.array(v2, pa.float64())})
+
+    agg = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("window_start").aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"))
+    df = agg.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values("window_start").reset_index(drop=True)
+
+
+
+EVENTS_SLIDING_SQL = """
+SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM (
+  SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS window_start, value
+  FROM events
+  UNION ALL
+  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000, value
+  FROM events)
+GROUP BY window_start ORDER BY window_start
+"""
+
+
+
+def funnel_counts(sf_dir: str) -> pd.DataFrame:
+    """Sequential-pattern funnel over events: users whose FIRST view is
+    followed by a click, whose first such click is followed by a
+    purchase (strict first-occurrence ordering). Per-user state is
+    bucket-local (the `_grouped_exchange` co-partition by user), each
+    bucket reduces to ONE partial row of three counts, and the driver
+    sums buckets — nothing user-level ever leaves the workers."""
+    from ..ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["user_id", "ts", "event_type"])
+    keep = pa.array(["view", "click", "purchase"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=keep)),
+        batch_format="pyarrow")
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        v = g[g["event_type"] == "view"].groupby("user_id")["ts"].min() \
+            .rename("vt").reset_index()
+        gc = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = gc[gc["ts"] > gc["vt"]].groupby("user_id")["ts"].min() \
+            .rename("ct").reset_index()
+        gp = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        p = gp[gp["ts"] > gp["ct"]].groupby("user_id")["ts"].min()
+        return pa.table({"n_view": pa.array([len(v)], pa.int64()),
+                         "n_view_click": pa.array([len(c)], pa.int64()),
+                         "n_full_funnel": pa.array([len(p)], pa.int64())})
+
+    parts = _grouped_exchange(ds, "user_id", block).to_pandas()
+    out = parts.sum().to_frame().T.astype(np.int64)
+    return out[["n_view", "n_view_click", "n_full_funnel"]] \
+        .reset_index(drop=True)
+
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+"""
+
+
+
+def hll_registers_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog registers over events.user_id — the full 2^12-bucket
+    register table, EXACT-integer oracle-checked (ranks via bit_length
+    on both sides: ``length(bin(rem))`` in DuckDB; no float log2
+    anywhere). Each batch pre-reduces to per-bucket maxima, the
+    exchange is a ≤4096-group max."""
+    from ..ops.sketch import hll_registers
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    out = hll_registers(ds, "user_id").to_pandas()
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["register"] = out["register"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+
+HLL_REGISTERS_SQL = """
+WITH h AS (
+  SELECT DISTINCT md5_number_lower('hll:' || CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+r AS (
+  SELECT CAST(h >> 52 AS BIGINT) AS bucket,
+         CASE WHEN (h & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+              ELSE 53 - length(bin(h & ((1::UBIGINT << 52) - 1)))
+         END AS rank
+  FROM h)
+SELECT bucket, CAST(MAX(rank) AS BIGINT) AS register
+FROM r GROUP BY bucket ORDER BY bucket
+"""
+
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HLL estimate next to the exact distinct count. The estimate is a
+    driver-side float over the (oracle-pinned) integer registers; the
+    oracle recomputes the IDENTICAL register→estimate arithmetic in SQL
+    (same alpha, same linear-counting branch), both rounded to 4dp."""
+    from ..ops.sketch import approx_distinct
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    exact = len(ds.unique("user_id"))
+    return pd.DataFrame({
+        "approx_users": pd.Series([round(est, 4)], dtype=float),
+        "exact_users": pd.Series([exact], dtype=np.int64)})
+
+
+
+APPROX_DISTINCT_SQL = """
+WITH h AS (
+  SELECT DISTINCT md5_number_lower('hll:' || CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+r AS (
+  SELECT CAST(h >> 52 AS BIGINT) AS bucket,
+         CASE WHEN (h & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+              ELSE 53 - length(bin(h & ((1::UBIGINT << 52) - 1)))
+         END AS rank
+  FROM h),
+regs AS (SELECT bucket, MAX(rank) AS register FROM r GROUP BY bucket),
+s AS (
+  SELECT SUM(POW(2.0, -register)) + (4096 - COUNT(*)) AS denom,
+         4096 - COUNT(*) AS zeros
+  FROM regs),
+est AS (
+  SELECT CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / denom
+                   <= 2.5 * 4096 AND zeros > 0
+              THEN 4096.0 * LN(4096.0 / zeros)
+              ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / denom
+         END AS e
+  FROM s)
+SELECT ROUND((SELECT e FROM est), 4) AS approx_users,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events
+"""
+
+
+
+def approx_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """HLL as a grouped aggregate: per event_type approximate distinct
+    users (ops/sketch.grouped_approx_distinct) next to the exact count —
+    the approx-COUNT-DISTINCT-GROUP-BY shape. Registers reduce per
+    (group, bucket) inside blocks, one groupby-max finishes; the oracle
+    recomputes the identical register AND estimate arithmetic per group
+    in SQL (same alpha, same linear-counting branch)."""
+    from ray.data.aggregate import Count as _Count
+
+    from ..ops.sketch import grouped_approx_distinct
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    approx = grouped_approx_distinct(ds, "event_type", "user_id")
+    approx["approx"] = approx["approx"].round(4)
+    exact = ds.groupby(["event_type", "user_id"]).aggregate(_Count()) \
+        .groupby("event_type").aggregate(_Count(alias_name="exact_users")) \
+        .to_pandas()[["event_type", "exact_users"]]
+    out = approx.merge(exact, on="event_type")
+    out["exact_users"] = out["exact_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+
+APPROX_BY_TYPE_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         md5_number_lower('hll:' || CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+r AS (
+  SELECT event_type, CAST(h >> 52 AS BIGINT) AS bucket,
+         CASE WHEN (h & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+              ELSE 53 - length(bin(h & ((1::UBIGINT << 52) - 1)))
+         END AS rank
+  FROM h),
+regs AS (SELECT event_type, bucket, MAX(rank) AS register
+         FROM r GROUP BY event_type, bucket),
+s AS (
+  SELECT event_type,
+         SUM(POW(2.0, -register)) + (4096 - COUNT(*)) AS denom,
+         4096 - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type,
+         CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / denom
+                   <= 2.5 * 4096 AND zeros > 0
+              THEN 4096.0 * LN(4096.0 / zeros)
+              ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / denom
+         END AS e
+  FROM s),
+x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS exact_users
+      FROM events GROUP BY event_type)
+SELECT est.event_type, ROUND(est.e, 4) AS approx, x.exact_users
+FROM est JOIN x ON x.event_type = est.event_type
+ORDER BY est.event_type
+"""
+
+
+
+def cms_counters_users(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch counters over events.user_id (width 2048 ×
+    depth 4) — EXACT occurrence counts per (row, bucket), value-checked
+    against the straightforward hash-and-count SQL. Per-batch partials
+    bound the exchange at depth × width rows per block."""
+    from ..ops.sketch import cms_counters
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    out = cms_counters(ds, "user_id").to_pandas()
+    for c in ("d", "bucket", "cnt"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["d", "bucket"]).reset_index(drop=True)
+
+
+
+CMS_COUNTERS_SQL = """
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(md5_number_lower('cms' || d || ':' || CAST(user_id AS VARCHAR))
+            % 2048 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events, UNNEST(range(4)) AS t(d)
+GROUP BY 1, 2
+ORDER BY d, bucket
+"""
+
+
+
+def bloom_bits_users(sf_dir: str) -> pd.DataFrame:
+    """Distributed Bloom-filter build over events.user_id (the
+    reference's ST2 Bloom dedup mechanism, re-expressed exact-checkable):
+    the distinct set-bit positions under 4 salted hash functions."""
+    from ..ops.sketch import bloom_bits
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    out = bloom_bits(ds, "user_id").to_pandas()
+    out["bit"] = out["bit"].astype(np.int64)
+    return out.sort_values("bit").reset_index(drop=True)
+
+
+
+BLOOM_BITS_SQL = """
+SELECT DISTINCT
+       CAST(md5_number_lower('bloom' || i || ':' || CAST(user_id AS VARCHAR))
+            % 32768 AS BIGINT) AS bit
+FROM events, UNNEST(range(4)) AS t(i)
+ORDER BY bit
+"""
+
+
+
+def heavy_hitters_users(sf_dir: str) -> pd.DataFrame:
+    """EXACT heavy hitters (users with ≥ 80 events) in two bounded
+    passes (ops/sketch.py:heavy_hitters): pass 1 merges per-block
+    Misra-Gries summaries — ≤ k rows per block enter the exchange, with
+    the mergeable-summaries superset guarantee (every key with true
+    count > E survives truncation); pass 2 broadcasts the pruned
+    candidate set once and recounts ONLY those keys exactly. The full
+    key space never shuffles, yet the output is exact — hence the plain
+    GROUP BY ... HAVING oracle."""
+    from ..ops.sketch import heavy_hitters
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    return heavy_hitters(ds, "user_id", threshold=80)
+
+
+
+HEAVY_HITTERS_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id HAVING COUNT(*) >= 80
+ORDER BY user_id
+"""
+
+
+
+def events_cube(sf_dir: str) -> pd.DataFrame:
+    """One-pass grouping-sets aggregate (CUBE over event_type ×
+    hour-of-day): each block reduces to its (type, hod) partial counts
+    and derives ALL FOUR grouping sets locally, so the exchange carries
+    ≤ 4·|types|·24 rows per block regardless of corpus size; the global
+    groupby just sums. Sentinels '(all)' / -1 encode rolled-up
+    dimensions (COALESCE on the SQL side) — no second pass, no second
+    shuffle for the rollups."""
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "hod": (us // 3_600_000_000) % 24,
+            "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = base.groupby(["event_type", "hod"], as_index=False) \
+            .agg(n=("value", "size"), sum_value=("value", "sum"))
+        gt = g.groupby("event_type", as_index=False)[["n", "sum_value"]] \
+            .sum()
+        gt["hod"] = np.int64(-1)
+        gh = g.groupby("hod", as_index=False)[["n", "sum_value"]].sum()
+        gh["event_type"] = "(all)"
+        ga = pd.DataFrame({"event_type": ["(all)"], "hod": np.int64(-1),
+                           "n": [g["n"].sum()],
+                           "sum_value": [g["sum_value"].sum()]})
+        out = pd.concat([g, gt, gh, ga], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return _arrow(out[["event_type", "hod", "n", "sum_value"]])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hod"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"))
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values(["event_type", "hod"]).reset_index(drop=True)
+
+
+
+EVENTS_CUBE_SQL = """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(hod, -1) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM (SELECT event_type,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+             value
+      FROM events)
+GROUP BY GROUPING SETS ((event_type, hod), (event_type), (hod), ())
+ORDER BY event_type, hod
+"""
+
+
+
+def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
+    """Global (non-keyed) as-of join: every purchase event picks up the
+    value of the LATEST click anywhere in the stream at-or-before its
+    timestamp. A hash exchange can't express this — the match may sit in
+    another partition — so it runs through ops/joins.global_asof_join's
+    range-bucket + driver-prefix carry-in. Clicks pre-reduce to one tick
+    per timestamp (MAX value) to make the match unique on both sides."""
+    from ray.data.aggregate import Max
+
+    from ..ops.joins import global_asof_join
+
+    ev = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_id", "ts", "event_type", "value"])
+
+    def typed(kind: str, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"),
+                                     kind)).select(cols)
+        return f
+
+    purchases = ev.map_batches(typed("purchase", ["event_id", "ts"]),
+                               batch_format="pyarrow")
+    ticks = ev.map_batches(typed("click", ["ts", "value"]),
+                           batch_format="pyarrow") \
+        .groupby("ts").aggregate(Max("value", alias_name="click_value"))
+    out = global_asof_join(purchases, ticks, left_on="ts", right_on="ts",
+                           value_col="click_value").to_pandas()
+    out["click_value"] = out["click_value"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+
+ASOF_PURCHASE_CLICK_SQL = """
+WITH ticks AS (SELECT ts, MAX(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY ts),
+p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.ts, ROUND(t.click_value, 6) AS click_value
+FROM p ASOF LEFT JOIN ticks t ON p.ts >= t.ts
+ORDER BY p.event_id
+"""
+
+
+
+def event_interval_join(sf_dir: str) -> pd.DataFrame:
+    """Range-stab join (ops/joins.interval_join): events fall into
+    deterministic analysis windows — family A: 180 windows of 90 min every
+    4 h; family B (OVERLAPPING family A and each other at the bucket
+    level): 60 windows of 3 h every 12 h offset by 2 h — then a per-window
+    count/sum. The join's output blocks are its range buckets, so the
+    aggregate pre-reduces per block before a window-keyed (tiny) groupby:
+    match rows never ride an exchange."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..ops.joins import interval_join
+
+    t0 = 1704067200 * 10**6                  # 2024-01-01T00:00:00Z in µs
+    ka = np.arange(180, dtype=np.int64)
+    kb = np.arange(60, dtype=np.int64)
+    iv = pa.table({
+        "interval_id": pa.array(np.concatenate([ka, 1000 + kb])),
+        "lo": pa.array(np.concatenate(
+            [t0 + ka * 14_400_000_000,
+             t0 + kb * 43_200_000_000 + 7_200_000_000])),
+        "hi": pa.array(np.concatenate(
+            [t0 + ka * 14_400_000_000 + 5_400_000_000,
+             t0 + kb * 43_200_000_000 + 7_200_000_000 + 10_800_000_000])),
+    })
+    ev = _read_pq(_t(sf_dir, "events"), columns=["ts", "value"])
+    joined = interval_join(ev, rd.from_arrow(iv), point_on="ts",
+                           lo_col="lo", hi_col="hi")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("interval_id")["value"].agg(["count", "sum"])
+        return _arrow(pd.DataFrame({
+            "interval_id": g.index.to_numpy(),
+            "__n": g["count"].to_numpy().astype(np.int64),
+            "__s": g["sum"].to_numpy()}))
+
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("interval_id") \
+        .aggregate(_Sum("__n", alias_name="n_events"),
+                   _Sum("__s", alias_name="sum_value")).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("interval_id").reset_index(drop=True)
+
+
+
+EVENT_INTERVAL_SQL = """
+WITH iv AS (
+  SELECT k.k AS interval_id,
+         1704067200000000 + k.k * 14400000000 AS lo,
+         1704067200000000 + k.k * 14400000000 + 5400000000 AS hi
+  FROM generate_series(0, 179) k(k)
+  UNION ALL
+  SELECT 1000 + k.k,
+         1704067200000000 + k.k * 43200000000 + 7200000000,
+         1704067200000000 + k.k * 43200000000 + 7200000000 + 10800000000
+  FROM generate_series(0, 59) k(k))
+SELECT iv.interval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 2) AS sum_value
+FROM events e JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi
+GROUP BY iv.interval_id ORDER BY iv.interval_id
+"""
+
+
+
+def events_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equi-width histogram of the event value column — the distributed
+    profiling primitive: per-block ``np.unique`` bin counts (width 10,
+    floor binning) ride the exchange as (bin, cnt) partials into ONE
+    bin-keyed groupby. floor(x/10) is IEEE-identical on both sides."""
+    from ray.data.aggregate import Sum as _Sum
+    ds = _read_pq(_t(sf_dir, "events"), columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        bins, cnt = np.unique(np.floor(v / 10.0).astype(np.int64),
+                              return_counts=True)
+        return pa.table({"bin": pa.array(bins, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(_Sum("cnt", alias_name="cnt")).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+
+EVENTS_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1 ORDER BY bin
+"""
+
+
+
+def event_value_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type least-squares trend of value over time (grouped
+    linear regression — the drift-detection primitive): ONE streaming pass
+    emits a 6-double moment row per (type, block) — n, Σx, Σy, Σx², Σxy —
+    x being the timestamp in days centered at day 20000 (a fixed shared
+    constant — raw epoch-days cancel catastrophically in the variance
+    term); one type-keyed groupby
+    finishes; the slope/intercept close on the driver over |types| rows.
+    The SQL oracle computes the SAME uncentered formula (not regr_slope,
+    whose internal centering rounds differently)."""
+    from ray.data.aggregate import Sum as _Sum
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "ts",
+                                                 "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        x = (df["ts"].astype("datetime64[ns]").astype("int64")
+             / 86_400_000_000_000).to_numpy() - 20000.0
+        # explicit ns (the parquet column is µs — pandas would otherwise
+        # keep that unit), CENTERED at a fixed day-20000 reference: raw
+        # epoch-days (~19k) make n·Σx²−(Σx)² catastrophically cancel and
+        # the intercept unstable past 6dp; the SQL subtracts the same
+        # constant
+        y = df["value"].to_numpy()
+        g = pd.DataFrame({"event_type": df["event_type"], "x": x, "y": y,
+                          "xx": x * x, "xy": x * y, "n": 1.0})
+        return g.groupby("event_type", as_index=False).sum()
+
+    m = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(*[_Sum(c, alias_name=c)
+                     for c in ("x", "y", "xx", "xy", "n")]).to_pandas()
+    n, sx, sy, sxx, sxy = (m["n"], m["x"], m["y"], m["xx"], m["xy"])
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    out = pd.DataFrame({"event_type": m["event_type"],
+                        "slope": slope.round(6),
+                        "intercept": intercept.round(6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+
+EVENT_TREND_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(epoch_ns(ts) / 86400000000000.0 - 20000.0) AS sx,
+         SUM(value) AS sy,
+         SUM((epoch_ns(ts) / 86400000000000.0 - 20000.0)
+             * (epoch_ns(ts) / 86400000000000.0 - 20000.0)) AS sxx,
+         SUM((epoch_ns(ts) / 86400000000000.0 - 20000.0) * value) AS sxy
+  FROM events GROUP BY event_type),
+s AS (SELECT event_type,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             n, sx, sy FROM m)
+SELECT event_type, ROUND(slope, 6) AS slope,
+       ROUND((sy - slope * sx) / n, 6) AS intercept
+FROM s ORDER BY event_type
+"""
+
+
+
+def ab_test_events(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Welch z-test between event-type value distributions
+    (the experimentation primitive): per-type moment partials (n, Σ, Σ²)
+    in ONE pass — the same mergeable-moments shape as event_outliers —
+    then the driver closes mean/variance/z over |type-pairs| rows for the
+    fixed comparison set. Sample variance uses the n−1 denominator
+    (VAR_SAMP) on both sides."""
+    from ray.data.aggregate import Sum as _Sum
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        v = df["value"].to_numpy()
+        g = pd.DataFrame({"event_type": df["event_type"], "n": 1.0,
+                          "s": v, "ss": v * v})
+        return g.groupby("event_type", as_index=False).sum()
+
+    m = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(*[_Sum(c, alias_name=c) for c in ("n", "s", "ss")]) \
+        .to_pandas().set_index("event_type")
+    rows = []
+    for a, b in (("click", "purchase"), ("view", "click"),
+                 ("signup", "error")):
+        na, nb = m.loc[a, "n"], m.loc[b, "n"]
+        ma, mb = m.loc[a, "s"] / na, m.loc[b, "s"] / nb
+        va = (m.loc[a, "ss"] - m.loc[a, "s"] * m.loc[a, "s"] / na) \
+            / (na - 1)
+        vb = (m.loc[b, "ss"] - m.loc[b, "s"] * m.loc[b, "s"] / nb) \
+            / (nb - 1)
+        z = (ma - mb) / np.sqrt(va / na + vb / nb)
+        rows.append((a, b, round(ma - mb, 6), round(z, 6)))
+    return pd.DataFrame(rows, columns=["grp_a", "grp_b", "mean_diff", "z"])
+
+
+
+AB_TEST_SQL = """
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, SUM(value) AS s,
+         SUM(value * value) AS ss
+  FROM events GROUP BY event_type),
+pairs(grp_a, grp_b) AS (VALUES ('click', 'purchase'), ('view', 'click'),
+                               ('signup', 'error'))
+SELECT p.grp_a, p.grp_b,
+       ROUND(a.s / a.n - b.s / b.n, 6) AS mean_diff,
+       ROUND((a.s / a.n - b.s / b.n)
+             / SQRT(((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n
+                    + ((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n), 6)
+         AS z
+FROM pairs p JOIN m a ON a.event_type = p.grp_a
+             JOIN m b ON b.event_type = p.grp_b
+ORDER BY grp_a, grp_b
+"""
+
+
+
+def cumulative_users_daily(sf_dir: str) -> pd.DataFrame:
+    """Cumulative distinct users by day (the growth-curve metric):
+    distinct-count-over-time without rescanning — each user reduces to
+    their FIRST event day (one user-keyed groupby-Min; the only
+    exchange), first-day counts reduce to the day series, and the
+    running total closes on the driver over the time-span-bounded day
+    rows (the events_daily_ma7 finish pattern)."""
+    from ray.data.aggregate import Count, Min as _Min
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def day_of(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "day": df["ts"].dt.floor("D")})
+
+    first = ds.map_batches(day_of, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(_Min("day", alias_name="first_day"))
+    daily = first.groupby("first_day") \
+        .aggregate(Count(alias_name="new_users")).to_pandas() \
+        .sort_values("first_day").reset_index(drop=True)
+    daily["cum_users"] = daily["new_users"].cumsum().astype("int64")
+    daily["new_users"] = daily["new_users"].astype("int64")
+    daily["day"] = pd.to_datetime(daily["first_day"])
+    return daily[["day", "new_users", "cum_users"]]
+
+
+
+CUMULATIVE_USERS_SQL = """
+WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS day
+           FROM events GROUP BY user_id),
+d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM f GROUP BY day)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d ORDER BY day
+"""
+
+
+
+def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention (the classic two-level analytics shape): cohort =
+    a customer's FIRST order year; output = distinct customers per
+    (cohort, order year). Three bounded stages: (1) per-block (cust, year)
+    partials → one groupby-Min gives the customer-sized cohort table;
+    (2) distinct (cust, year) pairs via groupby (the pre-reduction — order
+    rows never reach the next stage); (3) cohorts broadcast (customer
+    table ≪ fact table — the documented dimension-broadcast contract;
+    above budget this becomes a bucketed join on cust) and a final
+    (cohort, year) count."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Min
+
+    ds = _read_pq(_t(sf_dir, "orders"),
+                  columns=["o_custkey", "o_orderdate"])
+
+    def cust_year(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cust": df["o_custkey"].astype("int64"),
+            "o_year": df["o_orderdate"].dt.year.astype("int64")})
+
+    cy = ds.map_batches(cust_year, batch_format="pandas").materialize()
+    fy = cy.groupby("cust").aggregate(Min("o_year", alias_name="cohort"))
+    cohort_map = {r["cust"]: r["cohort"] for r in fy.take_all()}
+    ref = _ray.put(cohort_map)
+
+    pairs = cy.groupby(["cust", "o_year"]).aggregate(Count())
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cm = _ray.get(ref)
+        return pd.DataFrame({
+            "cohort": df["cust"].map(cm).astype("int64"),
+            "o_year": df["o_year"].astype("int64")})
+
+    out = pairs.map_batches(attach, batch_format="pandas") \
+        .groupby(["cohort", "o_year"]) \
+        .aggregate(Count(alias_name="n_customers")).to_pandas()
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values(["cohort", "o_year"]).reset_index(drop=True)
+
+
+
+COHORT_RETENTION_SQL = """
+WITH fy AS (SELECT o_custkey,
+                   MIN(EXTRACT(year FROM o_orderdate)) AS cohort
+            FROM orders GROUP BY 1)
+SELECT CAST(fy.cohort AS BIGINT) AS cohort,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM orders o JOIN fy ON o.o_custkey = fy.o_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+
+def events_equidepth_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equi-DEPTH histogram of event values: quartile edges from the
+    two-pass exact-quantile operator (ops/curate.exact_quantiles — only
+    probed buckets' values move), then ONE counting pass bins every row
+    against the 3 broadcast edges. Bucket rule: number of edges < v
+    (so v == edge stays in the lower bucket — the PERCENTILE_DISC-value
+    boundary the SQL CASE expresses with the same stored doubles)."""
+    from ..ops.curate import exact_quantiles
+    from ray.data.aggregate import Sum as _Sum
+    ds = _read_pq(_t(sf_dir, "events"), columns=["value"])
+    edges = exact_quantiles(ds, "value", [0.25, 0.5, 0.75])["value"] \
+        .to_numpy(dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, v, side="left")    # == count(edges < v)
+        bins, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(bins, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(_Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+
+EVENTS_EQUIDEPTH_SQL = """
+WITH e AS (
+  SELECT PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY value) AS e1,
+         PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY value) AS e2,
+         PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY value) AS e3
+  FROM events)
+SELECT CASE WHEN value <= e.e1 THEN 0
+            WHEN value <= e.e2 THEN 1
+            WHEN value <= e.e3 THEN 2
+            ELSE 3 END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events CROSS JOIN e
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+
+def events_contract_check(sf_dir: str) -> pd.DataFrame:
+    """Data-contract validation (ops/curate.validate_rows): three named
+    row predicates over events (error-type rows, value > 400,
+    value < 0.05) evaluated vectorized per batch — no exchange — with
+    violation accounting reduced from per-batch partials plus a 'clean'
+    row (violates nothing). Predicates compare STORED values (no
+    arithmetic), so the counts are bit-exact against SQL."""
+    from ..ops.curate import validate_rows
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_id", "event_type", "value"])
+    rules = [
+        ("err_type", lambda t: pc.equal(t["event_type"],
+                                        pa.scalar("error")).to_numpy(
+                                            zero_copy_only=False)),
+        ("high_value", lambda t: t["value"].to_numpy() > 400.0),
+        ("tiny_value", lambda t: t["value"].to_numpy() < 0.05),
+    ]
+    flagged = validate_rows(ds, rules)
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        names = [n for n, _ in rules] + ["clean"]
+        vals = [int(pc.sum(pc.cast(t[f"bad_{n}"], pa.int64())).as_py()
+                    or 0) for n, _ in rules]
+        vals.append(int(pc.sum(pc.cast(pc.equal(t["n_bad"], 0),
+                                       pa.int64())).as_py() or 0))
+        return pa.table({"rule": pa.array(names, pa.string()),
+                         "n": pa.array(vals, pa.int64())})
+
+    df = _for_agg(flagged.map_batches(cnt_partial,
+                                      batch_format="pyarrow")) \
+        .groupby("rule").aggregate(Sum("n", alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    return df.sort_values("rule").reset_index(drop=True)
+
+
+
+EVENTS_CONTRACT_SQL = """
+SELECT 'clean' AS rule,
+       CAST(SUM(CASE WHEN event_type <> 'error' AND value <= 400
+                      AND value >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM events
+UNION ALL
+SELECT 'err_type', CAST(SUM(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'high_value', CAST(SUM(CASE WHEN value > 400
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'tiny_value', CAST(SUM(CASE WHEN value < 0.05
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+ORDER BY rule
+"""
+
+
+
+def events_daily_ma7(sf_dir: str) -> pd.DataFrame:
+    """Time-series smoothing: per-day event totals with a 7-ROW trailing
+    moving average (the ops-dashboard shape). The corpus reduces to
+    date-cardinality-bounded per-day partials inside map_batches; the
+    day series (bounded by the time SPAN, never data size) finishes on
+    the driver where the ordered window runs vectorized — a windowed
+    aggregate over an aggregate needs no distributed window machinery.
+    The window is over PRESENT days (ROWS BETWEEN 6 PRECEDING), matching
+    pandas rolling(7) on the sorted existing rows."""
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"day": t["ts"].to_pandas().dt.floor("D"),
+                           "value": t["value"].to_numpy()})
+        g = df.groupby("day", as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum"))
+        return _arrow(g)
+
+    d = ds.map_batches(day_partial, batch_format="pyarrow").to_pandas() \
+        .groupby("day", as_index=False) \
+        .agg(n=("n", "sum"), total_value=("total_value", "sum")) \
+        .sort_values("day")
+    d["ma7"] = d["total_value"].rolling(7, min_periods=1).mean().round(6)
+    d["n"] = d["n"].astype(np.int64)
+    d["day"] = d["day"].astype("datetime64[us]")
+    return d[["day", "n", "ma7"]].reset_index(drop=True)
+
+
+
+EVENTS_MA7_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(value) AS total_value
+  FROM events GROUP BY 1)
+SELECT day, n,
+       ROUND(AVG(total_value) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM d ORDER BY day
+"""
+
+
+
+def event_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-type z-score outliers (|z| > 2): two streaming passes — moment
+    partials (type, n, Σv, Σv²) reduced to a 5-row stats table, then a
+    broadcast flag pass. Sample stddev matches SQL STDDEV_SAMP; both
+    sides agree to ~1e-13 relative, far from the |z|=2 cut for every
+    row in this corpus (the boundary-proximity caveat of any float
+    threshold, cf. kmeans_assign_embeddings)."""
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pandas(),
+                           "v": t.column("value").to_numpy()})
+        g = df.groupby("event_type")["v"].agg(["count", "sum",
+                                               lambda s: (s ** 2).sum()])
+        g.columns = ["n", "s1", "s2"]
+        return _arrow(g.reset_index())
+
+    agg = _for_agg(ds.map_batches(moments, batch_format="pyarrow")) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2")).to_pandas()
+    m = agg["s1"] / agg["n"]
+    s = np.sqrt((agg["s2"] - agg["s1"] ** 2 / agg["n"]) / (agg["n"] - 1))
+    stats = {t: (mm, ss) for t, mm, ss in zip(agg["event_type"], m, s)}
+    ref = ray.put(stats)
+
+    def flag(t: pa.Table, *, _r=ref) -> pa.Table:
+        st = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+        df = t.to_pandas()
+        ms = df["event_type"].map(lambda k: st[k][0]).to_numpy()
+        ss = df["event_type"].map(lambda k: st[k][1]).to_numpy()
+        z = (df["value"].to_numpy() - ms) / ss
+        out = df[np.abs(z) > 2.0].copy()
+        out["z"] = pd.Series(z, index=df.index)[np.abs(z) > 2.0].round(6)
+        return _arrow(out)
+
+    df = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+
+EVENT_OUTLIERS_SQL = """
+WITH st AS (SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS s
+            FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - st.m) / st.s, 6) AS z
+FROM events e JOIN st USING (event_type)
+WHERE ABS((e.value - st.m) / st.s) > 2.0
+ORDER BY e.event_id
+"""
+
+
+
+def event_value_p95(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group percentile (p95 of value per event_type):
+    PERCENTILE_DISC semantics — sorted group, 1-based rank ceil(0.95·n).
+    Groups co-partition through the bucketed exchange; each computes its
+    percentile in one vectorized pass (no per-group callback)."""
+    import math
+
+    from ..ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        for t, grp in g.groupby("event_type", sort=False):
+            v = np.sort(grp["value"].to_numpy())
+            rows.append((t, float(v[math.ceil(0.95 * len(v)) - 1])))
+        return _arrow(pd.DataFrame(rows, columns=["event_type", "p95"]))
+
+    df = _grouped_exchange(ds, "event_type", block,
+                           num_buckets=8).to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+
+EVENT_P95_SQL = """
+SELECT event_type,
+       PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY value) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition counts over per-user event sequences (the
+    journey-analysis shape: LEAD() window → pair counts). Users
+    co-partition by hash (ops.dedup._grouped_exchange, the sessionize
+    pattern); each bucket sorts once by (user, ts, event_id) and shifts —
+    no per-user callback; pair counts reduce as per-bucket partials into
+    a #types² combine."""
+    from ..ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["user_id", "ts", "event_id", "event_type"])
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        nxt = g["event_type"].shift(-1)
+        same = g["user_id"].eq(g["user_id"].shift(-1))
+        p = pd.DataFrame({"event_type": g["event_type"],
+                          "next_type": nxt})[same]
+        return _arrow(p.groupby(["event_type", "next_type"],
+                                as_index=False).size()
+                      .rename(columns={"size": "n"}))
+
+    df = _for_agg(_grouped_exchange(ds, "user_id", block)) \
+        .groupby(["event_type", "next_type"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    return df.sort_values(["event_type", "next_type"]) \
+        .reset_index(drop=True)
+
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type ORDER BY event_type, next_type
+"""
+
+
+__all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

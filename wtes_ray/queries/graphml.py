@@ -1,0 +1,398 @@
+from ._common import *  # noqa: F401,F403
+from .tpch import *  # noqa: F401,F403
+from .relational import *  # noqa: F401,F403
+from .events import *  # noqa: F401,F403
+from .text import *  # noqa: F401,F403
+from .dedup import *  # noqa: F401,F403
+from .ann import *  # noqa: F401,F403
+from .extraction import *  # noqa: F401,F403
+from .media import *  # noqa: F401,F403
+from .curation import *  # noqa: F401,F403
+
+
+
+def degree_assortativity_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the order–part graph (node = key mod 1000):
+    Pearson correlation of endpoint degrees over the DIRECTED edge
+    multiset (each undirected edge contributes both orientations — the
+    standard Newman definition). Shape: distinct-undirected-edge groupby →
+    degree groupby (node-sized) → degrees broadcast (node table ≤ 1000 —
+    above a node budget this becomes two bucketed joins) → one streaming
+    moment pass (5 doubles per block) → driver close. SQL computes the
+    SAME uncentered formula over the mirrored edge list."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey",
+                                                   "l_partkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        a = t.column("l_orderkey").to_numpy() % _PR_MOD
+        b = t.column("l_partkey").to_numpy() % _PR_MOD
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                         "b": pa.array(hi[keep], pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count()) \
+        .select_columns(["a", "b"]).materialize()
+
+    def deg_partial(t: pa.Table) -> pd.DataFrame:
+        nodes = np.concatenate([t.column("a").to_numpy(),
+                                t.column("b").to_numpy()])
+        ns, cnt = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": ns, "deg": cnt.astype("int64")})
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(_Sum("deg", alias_name="deg"))
+    dmap = {r["node"]: float(r["deg"]) for r in deg.take_all()}
+    ref = _ray.put(dmap)
+
+    def moments(t: pa.Table) -> pa.Table:
+        dm = _ray.get(ref)
+        da = np.array([dm[v] for v in t.column("a").to_pylist()])
+        db = np.array([dm[v] for v in t.column("b").to_pylist()])
+        # both orientations: x = concat(da, db), y = concat(db, da)
+        x = np.concatenate([da, db])
+        y = np.concatenate([db, da])
+        return pa.table({"n": pa.array([float(len(x))]),
+                         "sx": pa.array([float(x.sum())]),
+                         "sxx": pa.array([float((x * x).sum())]),
+                         "sxy": pa.array([float((x * y).sum())])})
+
+    m = edges.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    num = m["n"] * m["sxy"] - m["sx"] * m["sx"]   # sy == sx by symmetry
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    return pd.DataFrame({"assortativity": [round(num / den, 6)]})
+
+
+
+# Shared graph-synthesis modulus: node id = key % _PR_MOD for every
+# lineitem-derived graph query (assortativity, CC, PageRank). Defined here,
+# BEFORE the SQL builders, so the oracle strings interpolate the same value
+# the Ray side reads — no hand-sync.
+_PR_MOD = 1000
+
+
+DEGREE_ASSORT_SQL = """
+WITH e0 AS (
+  SELECT LEAST(l_orderkey % {{mod}}, l_partkey % {{mod}}) AS a,
+         GREATEST(l_orderkey % {{mod}}, l_partkey % {{mod}}) AS b
+  FROM lineitem
+  WHERE l_orderkey % {{mod}} <> l_partkey % {{mod}}),
+e AS (SELECT DISTINCT a, b FROM e0),
+d AS (SELECT node, CAST(COUNT(*) AS DOUBLE) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      GROUP BY node),
+pairs AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b
+  UNION ALL
+  SELECT db.deg AS x, da.deg AS y
+  FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM pairs)
+SELECT ROUND((n * sxy - sx * sx) / (n * sxx - sx * sx), 6)
+         AS assortativity
+FROM m
+""".replace("{{mod}}", str(_PR_MOD))
+
+
+
+_CC_ROUNDS = 4
+
+
+
+def cc_labels_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Min-label propagation over the order–part graph (node = key mod
+    1000), exactly ``_CC_ROUNDS`` synchronized rounds — the bounded-round
+    form of connected components (the converged form backs
+    ops/dedup.neardup_clusters_ds; fixing the round count makes the
+    ITERATION ITSELF value-checkable against an unrolled CTE chain, the
+    5th oracled iterative algorithm beside PageRank / k-means / PQ /
+    BPE). One streaming pass per round: per-block min-label partials per
+    destination + one node-keyed groupby; the node-sized label vector
+    broadcasts (mod-1000 graph; the >budget path is the bucketed-join
+    arm of neardup_clusters_ds). Integer math — bit-exact by
+    construction."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+    from ray.data.aggregate import Min as _Min
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey",
+                                                   "l_partkey"])
+
+    def mk_sym(t: pa.Table) -> pa.Table:
+        a = t.column("l_orderkey").to_numpy() % _PR_MOD
+        b = t.column("l_partkey").to_numpy() % _PR_MOD
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b]), pa.int64()),
+            "v": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    sym = ds.map_batches(mk_sym, batch_format="pyarrow") \
+        .groupby(["u", "v"]).aggregate(Count()) \
+        .select_columns(["u", "v"]).materialize()
+
+    nodes = sorted({r["u"] for r in
+                    sym.groupby("u").aggregate(Count()).take_all()})
+    labels = {n: n for n in nodes}
+    for _ in range(_CC_ROUNDS):
+        ref = _ray.put(labels)
+
+        def contrib(t: pa.Table) -> pd.DataFrame:
+            lm = _ray.get(ref)
+            df = pd.DataFrame({
+                "node": t.column("u").to_numpy(zero_copy_only=False),
+                "lab": [lm[v] for v in t.column("v").to_pylist()]})
+            return df.groupby("node", as_index=False)["lab"].min()
+
+        mins = sym.map_batches(contrib, batch_format="pyarrow") \
+            .groupby("node").aggregate(_Min("lab", alias_name="lab"))
+        new = dict(labels)
+        for r in mins.take_all():
+            if r["lab"] < new[r["node"]]:
+                new[r["node"]] = r["lab"]
+        labels = new
+
+    return pd.DataFrame({"node": list(labels.keys()),
+                         "label": list(labels.values())}) \
+        .astype("int64").sort_values("node").reset_index(drop=True)
+
+
+
+def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
+    ctes = [f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % {_PR_MOD}, l_partkey % {_PR_MOD}) AS a,
+         GREATEST(l_orderkey % {_PR_MOD}, l_partkey % {_PR_MOD}) AS b
+  FROM lineitem
+  WHERE l_orderkey % {_PR_MOD} <> l_partkey % {_PR_MOD})""",
+            """sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0)""",
+            """l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS lab FROM sym)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""l{r} AAS (
+  SELECT n.node,
+         LEAST(n.lab, COALESCE(m.minlab, n.lab)) AS lab
+  FROM l{r - 1} n LEFT JOIN (
+    SELECT s.u AS node, MIN(p.lab) AS minlab
+    FROM sym s JOIN l{r - 1} p ON p.node = s.v GROUP BY s.u) m
+  USING (node))""".replace("AAS (", "AS MATERIALIZED ("))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, lab AS label FROM l{rounds} ORDER BY node")
+
+
+
+_KCORE_K = 5
+
+_KCORE_ROUNDS = 3
+
+_KCORE_MOD = 8192
+
+
+
+def kcore_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Bounded-round k-core peeling (k=5, 3 synchronized rounds) over the
+    mod-8192 order–part graph (this modulus thins the graph so the peel
+    genuinely removes nodes at every test scale — mod-1000 is too dense
+    to bite): each round drops nodes whose CURRENT degree — over
+    edges with both endpoints still alive — is below k. The bounded-round
+    form makes the peeling itself oracle-checkable (unrolled CTE chain,
+    like cc_labels_lineitem). One streaming degree pass per round against
+    the broadcast alive set (node-sized; the >budget arm is a bucketed
+    semi join). Output: surviving nodes with their within-core degree."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey",
+                                                   "l_partkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        a = t.column("l_orderkey").to_numpy() % _KCORE_MOD
+        b = t.column("l_partkey").to_numpy() % _KCORE_MOD
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                         "b": pa.array(hi[keep], pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count()) \
+        .select_columns(["a", "b"]).materialize()
+
+    alive: set | None = None          # None = all alive (round 0)
+    deg_df = None
+    for _ in range(_KCORE_ROUNDS):
+        ref = _ray.put(alive)
+
+        def deg_partial(t: pa.Table) -> pd.DataFrame:
+            al = _ray.get(ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            if al is not None:
+                m = (np.fromiter((x in al for x in a), bool, len(a))
+                     & np.fromiter((x in al for x in b), bool, len(b)))
+                a, b = a[m], b[m]
+            ns, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+            return pd.DataFrame({"node": ns, "deg": cnt.astype("int64")})
+
+        deg_df = edges.map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(_Sum("deg", alias_name="deg")) \
+            .to_pandas()
+        alive = set(deg_df[deg_df["deg"] >= _KCORE_K]["node"])
+
+    out = deg_df[deg_df["node"].isin(alive)].copy()
+    out["deg"] = out["deg"].astype("int64")
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    ctes = [f"""e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_orderkey % {_KCORE_MOD},
+                        l_partkey % {_KCORE_MOD}) AS a,
+         GREATEST(l_orderkey % {_KCORE_MOD},
+                  l_partkey % {_KCORE_MOD}) AS b
+  FROM lineitem
+  WHERE l_orderkey % {_KCORE_MOD} <> l_partkey % {_KCORE_MOD})""",
+            """a0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node FROM e UNION SELECT DISTINCT b FROM e)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT e.a AS node FROM e
+    JOIN a{p} x ON x.node = e.a JOIN a{p} y ON y.node = e.b
+    UNION ALL
+    SELECT e.b AS node FROM e
+    JOIN a{p} x ON x.node = e.a JOIN a{p} y ON y.node = e.b)
+  GROUP BY node)""")
+        ctes.append(f"""a{r} AS MATERIALIZED (
+  SELECT node FROM d{r} WHERE deg >= {k})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT d.node, d.deg FROM d{rounds} d"
+            + f" JOIN a{rounds} USING (node) ORDER BY node")
+
+
+
+# ---------------------------------------------------------------------------
+# Graph: distributed PageRank (ops/graph.py)
+# ---------------------------------------------------------------------------
+
+# _PR_MOD (node id = key % _PR_MOD) is defined up by DEGREE_ASSORT_SQL so
+# every graph oracle interpolates the same literal.
+_PR_ITERS = 3
+
+_PR_DAMPING = "0.85"    # literal text shared by both sides: float('0.85')
+
+                        # and DuckDB's 0.85 cast to DOUBLE are the same bits
+
+
+def pagerank_lineitem(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the order→part graph (node = key mod 1000): 3 damped
+    power iterations with dangling-mass redistribution, each one streaming
+    pass over the distinct edge set with per-block partial sums (ops/
+    graph.pagerank — driver-vector path at this node count; the bucketed
+    fully-distributed path is pinned result-equal in tests)."""
+    from ..ops.graph import pagerank
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("l_orderkey").to_numpy() % _PR_MOD,
+            "dst": t.column("l_partkey").to_numpy() % _PR_MOD})
+
+    out = pagerank(ds.map_batches(edges, batch_format="pyarrow"),
+                   iterations=_PR_ITERS,
+                   damping=float(_PR_DAMPING)).to_pandas()
+    out["pagerank"] = out["pagerank"].round(8)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+
+def triangle_count_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count of the order–part graph (node = key mod 5000)
+    via ops/graph.triangle_count: degree-oriented wedge join (Suri &
+    Vassilvitskii) — each triangle counted at its lowest-rank apex, wedge
+    volume bounded by m^1.5 regardless of hub skew, wedges and oriented
+    edges co-partitioned by a routing hash and matched on the real pair
+    columns."""
+    from ..ops.graph import triangle_count
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "dst": pc.cast(t.column("l_partkey"), pa.int64())})
+
+    def mod(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("src").to_numpy() % 5000,
+            "dst": t.column("dst").to_numpy() % 5000})
+
+    n = triangle_count(
+        ds.map_batches(edges, batch_format="pyarrow")
+          .map_batches(mod, batch_format="pyarrow"))
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
+
+TRIANGLE_COUNT_SQL = """
+WITH e AS (SELECT DISTINCT least(l_orderkey % 5000, l_partkey % 5000) AS u,
+                  greatest(l_orderkey % 5000, l_partkey % 5000) AS v
+           FROM lineitem WHERE l_orderkey % 5000 <> l_partkey % 5000)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
+
+def _pagerank_sql(iters: int = _PR_ITERS, damping: str = _PR_DAMPING,
+                  mod: int = _PR_MOD) -> str:
+    """Unrolled-CTE PageRank oracle: r{k} references r{k-1}, so DuckDB
+    evaluates the exact same power iteration (incl. dangling mass) in
+    plain ANSI SQL. 8dp rounding kills summation-order ULP drift (ranks
+    are O(1e-3); per-iteration float error is O(1e-16))."""
+    d = f"CAST({damping} AS DOUBLE)"
+    ctes = [f"""edges AS (
+  SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
+  FROM lineitem)""",
+            """nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges)""",
+            """deg AS (SELECT src AS node, COUNT(*) AS outdeg
+         FROM edges GROUP BY src)""",
+            """nd AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg
+        FROM nodes n LEFT JOIN deg d USING (node))""",
+            "cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+            """r0 AS (SELECT node, outdeg, 1.0 / (SELECT n FROM cnt) AS rank
+        FROM nd)"""]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        ctes.append(f"""r{k} AS (
+  SELECT nd.node, nd.outdeg,
+         (1 - {d}) / (SELECT n FROM cnt)
+         + {d} * (COALESCE(c.contrib, 0)
+                  + (SELECT COALESCE(SUM(rank), 0) FROM {prev}
+                     WHERE outdeg = 0) / (SELECT n FROM cnt)) AS rank
+  FROM nd
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS contrib
+             FROM edges e JOIN {prev} r ON e.src = r.node
+             GROUP BY e.dst) c USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, ROUND(rank, 8) AS pagerank FROM r{iters}"
+            + "\nORDER BY node")
+
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
+__all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -13,7 +13,6 @@ Usage: python tools/soak_sf1.py [--out PATH]
 """
 import json
 import os
-import re
 import sys
 import time
 
@@ -67,23 +66,52 @@ def build_sf1() -> None:
         f.write("ok")
 
 
-def mem_counters() -> dict:
-    """Object-store usage + cumulative spill from the Ray internal API."""
-    try:
-        from ray._private.internal_api import memory_summary
-        s = memory_summary(stats_only=True)
-    except Exception as e:                  # API drift tolerated
-        return {"error": str(e)}
-    out = {}
-    m = re.search(r"Plasma memory usage (\d+) MiB", s)
-    if m:
-        out["plasma_mib"] = int(m.group(1))
-    m = re.search(r"Spilled (\d+) MiB", s)
-    out["spilled_mib"] = int(m.group(1)) if m else 0
-    m = re.search(r"Objects consumed by Ray tasks: (\d+) MiB", s)
-    if m:
-        out["consumed_mib"] = int(m.group(1))
-    return out
+def _spill_bytes() -> int:
+    """Cumulative bytes under every Ray session's spill directory."""
+    import glob
+    total = 0
+    for d in glob.glob("/tmp/ray/session_*/ray_spilled_objects*"):
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    return total
+
+
+class MemSampler:
+    """Background peak sampler: plasma lives in /dev/shm on Linux, spill
+    under the session dir — both readable without the (absent) grpc
+    memory API. ``peak()`` returns the max observed during the window."""
+
+    def __init__(self, interval: float = 0.2):
+        import threading
+        self.interval = interval
+        self.peak_shm = 0
+        self.peak_spill = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        import shutil as sh
+        while not self._stop.is_set():
+            u = sh.disk_usage("/dev/shm")
+            self.peak_shm = max(self.peak_shm, u.used)
+            self.peak_spill = max(self.peak_spill, _spill_bytes())
+            self._stop.wait(self.interval)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join()
+
+    def peaks(self) -> dict:
+        return {"peak_object_store_mib": round(self.peak_shm / 2**20, 1),
+                "peak_spill_mib": round(self.peak_spill / 2**20, 1)}
 
 
 def main() -> None:
@@ -111,16 +139,17 @@ def main() -> None:
         os.path.join(SF01, "documents.parquet")).metadata.num_rows
     docs_path = B._prepare_input(SF01, 80 * n_base)
     from wtes_ray.pipeline import run_extract_pipeline
-    m0 = mem_counters()
     t0 = time.time()
-    summary = run_extract_pipeline(docs_path, "/tmp/wtes_soak_out",
-                                   num_partitions=256, batch_size=16)
+    with MemSampler() as ms:
+        summary = run_extract_pipeline(docs_path, "/tmp/wtes_soak_out",
+                                       num_partitions=256, batch_size=16)
+    dt = time.time() - t0
     results["ops"]["extract_400k"] = {
-        "sec": round(time.time() - t0, 1),
+        "sec": round(dt, 1),
         "n_docs": summary["n_docs"], "n_spans": summary["n_spans"],
         "n_errors": summary["n_errors"],
-        "docs_per_sec": round(summary["n_docs"] / (time.time() - t0), 1),
-        "mem_before": m0, "mem_after": mem_counters()}
+        "docs_per_sec": round(summary["n_docs"] / dt, 1),
+        **ms.peaks()}
 
     # --- heaviest query pipelines over the sf1 tables ----------------------
     from wtes_ray.queries import REGISTRY
@@ -130,18 +159,16 @@ def main() -> None:
              "pack_docs_budget"]
     for name in heavy:
         fn, _sql = REGISTRY[name]
-        m0 = mem_counters()
         t0 = time.time()
-        res = fn(SF1)
-        n = res.count() if hasattr(res, "count") and not hasattr(
-            res, "columns") else len(res)
+        with MemSampler() as ms:
+            res = fn(SF1)
+            n = res.count() if hasattr(res, "count") and not hasattr(
+                res, "columns") else len(res)
         results["ops"][name] = {
             "sec": round(time.time() - t0, 1), "rows": int(n),
-            "mem_before": m0, "mem_after": mem_counters()}
+            **ms.peaks()}
         print(name, results["ops"][name]["sec"], "s", n, "rows",
               flush=True)
-
-    results["final_mem"] = mem_counters()
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results["ops"], indent=1))

@@ -1,0 +1,81 @@
+"""Round-5 additions: personalized PageRank (arm equality + teleport
+semantics) and the KMV distinct sketch (mergeability + estimator)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _edges(rows):
+    import pyarrow as pa
+    import ray.data as rd
+    s, d = zip(*rows) if rows else ([], [])
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(s, dtype=np.int64)),
+        "dst": pa.array(np.asarray(d, dtype=np.int64))}))
+
+
+EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 1), (5, 6), (7, 7),
+         (8, 1), (2, 8)]
+
+
+def test_ppr_arms_equal(ray_session):
+    from wtes_ray.ops.graph import personalized_pagerank
+    seeds = {1, 4}
+    a = personalized_pagerank(_edges(EDGES), seeds, iterations=3) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    b = personalized_pagerank(_edges(EDGES), seeds, iterations=3,
+                              force_distributed=True, num_buckets=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert (a["node"] == b["node"]).all()
+    assert np.allclose(a["ppr"], b["ppr"], atol=1e-12, rtol=0)
+
+
+def test_ppr_teleport_semantics(ray_session):
+    from wtes_ray.ops.graph import personalized_pagerank
+    out = personalized_pagerank(_edges(EDGES), {1}, iterations=3) \
+        .to_pandas().set_index("node")["ppr"]
+    # seed-relative: the seed outranks everything, and a node unreachable
+    # from the seed (7, a self-loop component) gets no mass at all
+    assert out.loc[1] == out.max()
+    assert out.loc[7] == 0.0
+    # total mass stays ~1 (stochastic with the dangling fix)
+    assert abs(out.sum() - 1.0) < 1e-9
+
+
+def test_ppr_disjoint_teleport_raises(ray_session):
+    from wtes_ray.ops.graph import personalized_pagerank
+    with pytest.raises(ValueError):
+        personalized_pagerank(_edges(EDGES), {999}, iterations=1) \
+            .to_pandas()
+
+
+def test_kmv_merge_and_estimate(ray_session):
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import _key_u64
+    from wtes_ray.ops.sketch import kmv_estimate, kmv_minima
+    keys = [f"user{i % 700}" for i in range(5000)]    # 700 distinct
+    ds = rd.from_pandas(pd.DataFrame({"k": keys}))
+    k = 64
+    minima = kmv_minima(ds, "k", k=k)
+    # the sketch is the k smallest distinct hashes — exactly
+    want = np.unique(_key_u64(list(set(keys)), "kmv"))[:k]
+    assert np.array_equal(minima, want)
+    # mergeability: sketch(union) == k-minima of (sketch(A) ∪ sketch(B))
+    a = kmv_minima(rd.from_pandas(pd.DataFrame({"k": keys[:2500]})),
+                   "k", k=k)
+    b = kmv_minima(rd.from_pandas(pd.DataFrame({"k": keys[2500:]})),
+                   "k", k=k)
+    merged = np.unique(np.concatenate([a, b]))[:k]
+    assert np.array_equal(merged, minima)
+    # estimator lands near the truth (KMV relative error ~ 1/sqrt(k))
+    k_used, kth_frac, est = kmv_estimate(minima, k)
+    assert k_used == k
+    assert 0 < kth_frac < 1
+    assert abs(est - 700) / 700 < 0.5
+    # fewer distinct keys than k: k_used shrinks, same expression
+    small = kmv_minima(rd.from_pandas(pd.DataFrame({"k": ["a", "b"]})),
+                       "k", k=k)
+    k_used, kth_frac, est = kmv_estimate(small, k)
+    assert k_used == 2 and est == 1 / kth_frac

@@ -320,3 +320,40 @@ def grouped_approx_distinct(ds: ray.data.Dataset, group_col: str,
     for grp, sub in regs.groupby(group_col):
         out.append((grp, hll_estimate(sub[["bucket", "register"]])))
     return pd.DataFrame(sorted(out), columns=[group_col, "approx"])
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+def kmv_minima(ds: ray.data.Dataset, key_col: str, *, k: int = 256,
+               salt: str = "kmv") -> np.ndarray:
+    """The ``k`` smallest DISTINCT key-hash values (uint64, ascending) —
+    the KMV sketch state (Bar-Yossef et al.'s "distinct elements in a
+    stream" estimator family).
+
+    Mergeable the HLL way: each block contributes its own k-minima
+    partial (duplicates collapse per block via np.unique first), the
+    driver merge is bounded by blocks × k hashes — never corpus-sized.
+    The state is a pure function of the DISTINCT key set, so two
+    sketches merge by taking the k smallest of the union."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = np.unique(_key_u64(batch.column(key_col).to_pylist(), salt))
+        return pa.table({"hv": pa.array(h[:k], pa.uint64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = np.unique(parts["hv"].to_numpy(dtype=np.uint64))
+    return merged[:k]
+
+
+def kmv_estimate(minima: np.ndarray, k: int) -> tuple[int, float, float]:
+    """(k_used, kth_frac, estimate): the classic (k−1)/R estimator with
+    R = kth-smallest hash normalized into (0, 1]. Written as EXACTLY the
+    float expression the SQL oracle uses — ``(k_used − 1) / (max(minima)
+    / 2^64)`` — including when fewer than ``k`` distinct keys exist, so
+    the two sides stay bit-comparable after rounding."""
+    k_used = int(min(k, len(minima)))
+    kth = float(minima[k_used - 1])
+    kth_frac = kth / 18446744073709551616.0
+    return k_used, kth_frac, (k_used - 1) / kth_frac

@@ -1317,4 +1317,38 @@ GROUP BY event_type, next_type ORDER BY event_type, next_type
 """
 
 
+def kmv_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch over events — the
+    third mergeable distinct counter next to HLL (exact-state oracle) and
+    the exact groupby. Per-block k-minima partials ride the exchange
+    (blocks × k hashes max), the driver merge is k-bounded, and the whole
+    state + estimate is a pure function of the DISTINCT md5 key set — so
+    DuckDB reproduces sketch AND estimate bit-comparably (same
+    ``(k−1)/(kth/2^64)`` double expression both sides)."""
+    from ..ops.sketch import kmv_estimate, kmv_minima
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+    minima = kmv_minima(ds, "user_id", k=256)
+    k_used, kth_frac, est = kmv_estimate(minima, 256)
+    return pd.DataFrame({
+        "k_used": pd.Series([k_used], dtype="int64"),
+        "kth_frac": [round(kth_frac, 12)],
+        "est_distinct": [round(est, 4)]})
+
+
+KMV_DISTINCT_SQL = """
+WITH h AS (
+  SELECT DISTINCT md5_number_lower('kmv:' || CAST(user_id AS VARCHAR)) AS hv
+  FROM events),
+km AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+       ROUND(CAST(MAX(hv) AS DOUBLE) / 18446744073709551616.0, 12)
+         AS kth_frac,
+       ROUND((COUNT(*) - 1)
+             / (CAST(MAX(hv) AS DOUBLE) / 18446744073709551616.0), 4)
+         AS est_distinct
+FROM km
+"""
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -395,4 +395,80 @@ def _pagerank_sql(iters: int = _PR_ITERS, damping: str = _PR_DAMPING,
 PAGERANK_SQL = _pagerank_sql()
 
 
+_PPR_TELE_MOD = 50          # teleport seeds: node % 50 == 0 (20 of 1000)
+
+
+def personalized_pagerank_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank over the order→part graph: teleportation
+    lands uniformly on the seed set {node : node % 50 == 0} — the
+    seed-relative relevance score (crawl-frontier / corpus weighting
+    relative to trusted seeds). Same dangling fix and iteration count as
+    pagerank_lineitem; ops/graph.personalized_pagerank, driver-vector arm
+    at this node count with the bucketed arm pinned result-equal in
+    tests. Oracle: the unrolled r{k} CTE chain with a per-node teleport
+    column."""
+    from ..ops.graph import personalized_pagerank
+
+    ds = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_orderkey", "l_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("l_orderkey").to_numpy() % _PR_MOD,
+            "dst": t.column("l_partkey").to_numpy() % _PR_MOD})
+
+    seeds = range(0, _PR_MOD, _PPR_TELE_MOD)
+    out = personalized_pagerank(
+        ds.map_batches(edges, batch_format="pyarrow"), seeds,
+        iterations=_PR_ITERS, damping=float(_PR_DAMPING)).to_pandas()
+    out["ppr"] = out["ppr"].round(8)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _ppr_sql(iters: int = _PR_ITERS, damping: str = _PR_DAMPING,
+             mod: int = _PR_MOD, tmod: int = _PPR_TELE_MOD) -> str:
+    """Unrolled-CTE personalized-PageRank oracle: the pagerank chain with
+    a teleport column t(v) = 1/|S∩V| on node %% tmod == 0, r0 = t, and the
+    dangling mass redistributed onto t — the same ((1-d)·t + d·(c + dg·t))
+    grouping the Ray side computes (8dp rounding kills ULP drift)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    ctes = [f"""edges AS (
+  SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
+  FROM lineitem)""",
+            """nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges)""",
+            """deg AS (SELECT src AS node, COUNT(*) AS outdeg
+         FROM edges GROUP BY src)""",
+            """nd AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg
+        FROM nodes n LEFT JOIN deg d USING (node))""",
+            f"""tcnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt
+          FROM nodes WHERE node % {tmod} = 0)""",
+            f"""tl AS (SELECT node,
+          CASE WHEN node % {tmod} = 0
+               THEN 1.0 / (SELECT nt FROM tcnt) ELSE 0.0 END AS t
+        FROM nodes)""",
+            """r0 AS (SELECT nd.node, nd.outdeg, tl.t, tl.t AS rank
+        FROM nd JOIN tl USING (node))"""]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        ctes.append(f"""r{k} AS (
+  SELECT nd.node, nd.outdeg, tl.t,
+         (1 - {d}) * tl.t
+         + {d} * (COALESCE(c.contrib, 0)
+                  + (SELECT COALESCE(SUM(rank), 0) FROM {prev}
+                     WHERE outdeg = 0) * tl.t) AS rank
+  FROM nd
+  JOIN tl USING (node)
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS contrib
+             FROM edges e JOIN {prev} r ON e.src = r.node
+             GROUP BY e.dst) c USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, ROUND(rank, 8) AS ppr FROM r{iters}"
+            + "\nORDER BY node")
+
+
+PPR_SQL = _ppr_sql()
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -79,3 +79,33 @@ def test_kmv_merge_and_estimate(ray_session):
                        "k", k=k)
     k_used, kth_frac, est = kmv_estimate(small, k)
     assert k_used == 2 and est == 1 / kth_frac
+
+
+def test_ddsketch_band_guarantee(ray_session):
+    """Every DDSketch estimate must sit within the γ=2 relative band of
+    the EXACT PERCENTILE_DISC value (lower bound ≤ exact < 2× bound)."""
+    import duckdb
+
+    from wtes_ray.queries.registry import REGISTRY
+    out = REGISTRY["ddsketch_quantiles_events"][0]("/root/testdata/sf0.001")
+    exact = {
+        q: duckdb.sql(
+            "SELECT PERCENTILE_DISC(" + repr(q) + ") WITHIN GROUP "
+            "(ORDER BY FLOOR(value*100)) "
+            "FROM '/root/testdata/sf0.001/events.parquet'").fetchone()[0]
+        for q in out["q"]}
+    for _, row in out.iterrows():
+        lo = row["est"] * 100.0          # bucket lower bound, in cents
+        assert lo <= exact[row["q"]] < 2.0 * lo
+
+
+def test_lsh_recall_bounds_and_determinism(ray_session):
+    from wtes_ray.queries.registry import REGISTRY
+    fn = REGISTRY["lsh_recall_at_k"][0]
+    a = fn("/root/testdata/sf0.001")
+    b = fn("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
+    assert 0.0 <= a["recall"].iloc[0] <= 1.0
+    # vec 0 IS the query: its own bucket always survives the Hamming
+    # filter, so the top hit is recalled and recall is strictly positive
+    assert a["hits"].iloc[0] >= 1

@@ -331,6 +331,115 @@ FROM hit"""
 
 
 
+_LSH_RECALL_PLANES = 8
+
+_LSH_RECALL_PROBE = 2
+
+_LSH_RECALL_K = 10
+
+
+
+def lsh_recall_at_k(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 of hyperplane LSH at a REAL operating point (Hamming ≤ 2
+    of an 8-bit signature) vs exact brute force — the LSH companion to
+    ``ivf_recall_at_k`` (VERDICT r4 #6 extended to the second ANN family).
+
+    Like the IVF witness, the quantizer here is built to be fully
+    SQL-expressible: the hyperplanes are the corpus's OWN vectors 1..8
+    (pushdown-filtered read) rather than ``lsh_topk_cosine``'s seeded
+    RandomState normals, so the ENTIRE operating point — sign bits,
+    Hamming filter, in-bucket top-k, recall — is one DuckDB statement
+    (strict ``> 0`` sign rule shared verbatim). One streaming pass: each
+    block emits its top-k survivors for BOTH arms; driver finish is
+    bounded by blocks × 2k rows."""
+    from ..ops.similarity import _as_matrix
+    pt = pq.read_table(_t(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", ">", 0),
+                                ("vec_id", "<=", _LSH_RECALL_PLANES)]) \
+        .sort_by("vec_id")
+    planes = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in pt["embedding"].to_pylist()])
+    q = _query_vec(sf_dir)
+    qn = float(np.linalg.norm(q))
+    qbits = (planes @ q) > 0.0
+    k, probe = _LSH_RECALL_K, _LSH_RECALL_PROBE
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"arm": pd.Series([], dtype="object"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="float64")})
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        ids = batch["vec_id"].to_numpy()
+        bits = (mat @ planes.T) > 0.0
+        ham = (bits != qbits[None, :]).sum(axis=1)
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * qn)
+        out = {"arm": [], "vec_id": [], "c": []}
+        for arm, mask in (("brute", np.ones(len(ids), dtype=bool)),
+                          ("lsh", ham <= probe)):
+            mi, mc = ids[mask], cos[mask]
+            top = np.lexsort((mi, -mc))[:k]
+            out["arm"].extend([arm] * len(top))
+            out["vec_id"].extend(mi[top])
+            out["c"].extend(mc[top])
+        return pd.DataFrame(out)
+
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    surv = ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+    sets = {}
+    for arm, grp in surv.groupby("arm"):
+        grp = grp.sort_values(["c", "vec_id"], ascending=[False, True])
+        sets[arm] = set(grp["vec_id"].head(k).tolist())
+    hits = len(sets.get("brute", set()) & sets.get("lsh", set()))
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "planes": pd.Series([_LSH_RECALL_PLANES], dtype="int64"),
+        "probe": pd.Series([probe], dtype="int64"),
+        "hits": pd.Series([hits], dtype="int64"),
+        "recall": [round(hits / k, 6)]})
+
+
+
+LSH_RECALL_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0),
+p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
+      FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_LSH_RECALL_PLANES}),
+qb AS (SELECT pid, list_inner_product((SELECT qe FROM q), pe) > 0 AS b
+       FROM p),
+ham AS (SELECT e.vec_id,
+               SUM(CASE WHEN (list_inner_product(
+                                CAST(e.embedding AS DOUBLE[]), p.pe) > 0)
+                             <> qb.b THEN 1 ELSE 0 END) AS h
+        FROM embeddings e CROSS JOIN p JOIN qb USING (pid)
+        GROUP BY e.vec_id),
+scored AS (SELECT vec_id,
+                  list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                         (SELECT qe FROM q)) AS c
+           FROM embeddings),
+brute AS (SELECT vec_id FROM
+            (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY c DESC, vec_id)
+                    AS rn FROM scored) WHERE rn <= {_LSH_RECALL_K}),
+lsh AS (SELECT vec_id FROM
+          (SELECT s.vec_id,
+                  ROW_NUMBER() OVER (ORDER BY s.c DESC, s.vec_id) AS rn
+           FROM scored s JOIN ham USING (vec_id)
+           WHERE ham.h <= {_LSH_RECALL_PROBE})
+        WHERE rn <= {_LSH_RECALL_K}),
+hit AS (SELECT COUNT(*) AS h FROM lsh WHERE vec_id IN
+          (SELECT vec_id FROM brute))
+SELECT CAST({_LSH_RECALL_K} AS BIGINT) AS k,
+       CAST({_LSH_RECALL_PLANES} AS BIGINT) AS planes,
+       CAST({_LSH_RECALL_PROBE} AS BIGINT) AS probe,
+       CAST(h AS BIGINT) AS hits,
+       ROUND(h / {_LSH_RECALL_K}.0, 6) AS recall
+FROM hit
+"""
+
+
+
 def embedding_label_count(sf_dir: str) -> pd.DataFrame:
     ds = _read_pq(_t(sf_dir, "embeddings"), columns=["label"])
     df = ds.groupby("label").aggregate(Count(alias_name="n")).to_pandas()

@@ -1351,4 +1351,77 @@ FROM km
 
 
 
+_DDSK_QS = ("0.5", "0.9", "0.99")   # literal text shared with the SQL
+
+
+
+def ddsketch_quantiles_events(sf_dir: str) -> pd.DataFrame:
+    """DDSketch-style mergeable quantile sketch (Masson et al., VLDB'19)
+    with γ=2 over integer cents: bucket = bit_length(⌊value·100⌋), so a
+    bucket's lower bound is within a 2× relative band of every member —
+    the sketch state is a tiny (bucket → count) table whose per-block
+    partials MERGE by addition (one small groupby; values never shuffle).
+    Quantile estimate = the lower bound 2^(b−1)/100 of the first bucket
+    whose cumulative count reaches ⌈q·n⌉ (the PERCENTILE_DISC rank rule,
+    same as ops/curate.exact_quantiles).
+
+    Determinism/parity: the bucket index is EXACT integer arithmetic on
+    both sides — numpy ``frexp`` exponent ≡ DuckDB ``length(bin(v))``
+    (the HLL register trick) on v = ⌊value·100⌋, identical IEEE doubles
+    feeding identical FLOOR — so the full sketch state AND the estimates
+    hash-check against SQL, unlike a randomized KLL/t-digest."""
+    import math
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        v = np.floor(batch["value"].to_numpy() * 100.0)
+        e = np.frexp(v)[1].astype(np.int64)   # == bit_length of int(v)
+        b, c = np.unique(e, return_counts=True)
+        return pd.DataFrame({"bucket": b, "cnt": c.astype(np.int64)})
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["value"])
+    counts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    n = int(counts["cnt"].sum())
+    cum = counts["cnt"].cumsum().to_numpy()
+    rows = {"q": [], "bucket": [], "est": []}
+    for qs in _DDSK_QS:
+        r = math.ceil(float(qs) * n)
+        idx = int(np.searchsorted(cum, r, side="left"))
+        b = int(counts["bucket"].iloc[idx])
+        rows["q"].append(float(qs))
+        rows["bucket"].append(b)
+        rows["est"].append(float(2 ** (b - 1)) / 100.0)
+    out = pd.DataFrame({"q": rows["q"],
+                        "bucket": pd.Series(rows["bucket"], dtype="int64"),
+                        "est": rows["est"]})
+    out["n"] = pd.Series([n] * len(out), dtype="int64")
+    return out
+
+
+
+DDSKETCH_QUANTILES_SQL = f"""
+WITH b AS (
+  SELECT CAST(length(bin(CAST(FLOOR(value * 100.0) AS BIGINT)))
+              AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+c AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+             (SELECT CAST(SUM(cnt) AS BIGINT) FROM b) AS n
+      FROM b),
+qs AS (SELECT UNNEST([{", ".join(_DDSK_QS)}]) AS q)
+SELECT qs.q,
+       MIN(c.bucket) AS bucket,
+       POWER(2, MIN(c.bucket) - 1) / 100.0 AS est,
+       MIN(c.n) AS n
+FROM qs JOIN c ON c.cum >= CEIL(qs.q * c.n)
+GROUP BY qs.q
+ORDER BY qs.q
+"""
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

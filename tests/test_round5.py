@@ -109,3 +109,46 @@ def test_lsh_recall_bounds_and_determinism(ray_session):
     # vec 0 IS the query: its own bucket always survives the Hamming
     # filter, so the top hit is recalled and recall is strictly positive
     assert a["hits"].iloc[0] >= 1
+
+
+def test_khop_reach_chain(ray_session):
+    # path 0->1->2->3->4 plus an unreachable island (9,9)
+    e = _edges([(0, 1), (1, 2), (2, 3), (3, 4), (9, 9)])
+    from wtes_ray.ops.graph import khop_reach
+    out = khop_reach(e, {0}, 3)
+    assert out["hop"].tolist() == [0, 1, 2, 3]
+    assert out["n_reached"].tolist() == [1, 2, 3, 4]
+    # frontier saturates: extra hops stop growing
+    out5 = khop_reach(e, {0}, 5)
+    assert out5["n_reached"].tolist() == [1, 2, 3, 4, 5, 5]
+    with pytest.raises(ValueError):
+        khop_reach(e, set(), 1)
+
+
+def test_event_value_mad_matches_numpy(ray_session):
+    from wtes_ray.queries.registry import REGISTRY
+    out = REGISTRY["event_value_mad"][0]("/root/testdata/sf0.001")
+    import pyarrow.parquet as _pq
+    v = _pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["value"])["value"].to_numpy()
+    # PERCENTILE_DISC(0.5) = value at 1-based rank ceil(n/2)
+    sv = np.sort(v)
+    med = sv[int(np.ceil(0.5 * len(sv))) - 1]
+    assert out["median"].iloc[0] == med
+    dev = np.sort(np.abs(v - med))
+    mad = dev[int(np.ceil(0.5 * len(dev))) - 1]
+    assert out["mad"].iloc[0] == mad
+    assert out["n_outliers"].iloc[0] == int((np.abs(v - med) > 3 * mad).sum())
+
+
+def test_mmr_selects_relevant_but_diverse(ray_session):
+    from wtes_ray.queries.registry import REGISTRY
+    out = REGISTRY["mmr_retrieval_docs"][0]("/root/testdata/sf0.001")
+    assert out["rank"].tolist() == list(range(1, 11))
+    assert out["vec_id"].nunique() == 10
+    # rank 1 is the plain cosine argmax (vec 0 IS the query -> itself)
+    top = REGISTRY["topk_cosine_bruteforce"][0]("/root/testdata/sf0.001")
+    assert out["vec_id"].iloc[0] == top["vec_id"].iloc[0]
+    # the diversity term must actually bite: MMR's tail diverges from
+    # the pure-relevance top-10 on this corpus
+    assert set(out["vec_id"]) != set(top["vec_id"])

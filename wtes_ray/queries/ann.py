@@ -440,6 +440,126 @@ FROM hit
 
 
 
+_MMR_K = 10
+
+_MMR_POOL = 20
+
+_MMR_LAM = "0.7"     # literal text shared with the SQL
+
+_MMR_MU = "0.3"      # 1 − λ, as a literal so both sides parse the same bits
+
+
+
+def mmr_retrieval_docs(sf_dir: str) -> pd.DataFrame:
+    """Maximal Marginal Relevance retrieval (Carbonell & Goldstein, 1998)
+    — the diversity-aware selection every RAG context-builder runs after
+    a similarity search. Distributed part: the exact top-20 candidate
+    pool (per-block round-before-rank top-k, the hybrid-RRF dense-side
+    pattern — ULP-stable cut). Driver finish: the greedy λ·rel −
+    (1−λ)·max-sim-to-selected loop over the pool — O(k·pool) on 20 rows,
+    bounded regardless of corpus size; the 20 pool vectors are fetched
+    back with a vec_id pushdown filter, never a second scan.
+
+    Parity: rel and the 20×20 pairwise sims are ROUNDED 6dp before any
+    comparison, the greedy objective re-rounds at 6dp, ties break to the
+    lowest id (round-before-argmax). The oracle unrolls the k−1 greedy
+    steps as CTEs. Rank 1's reported score is its relevance (standard
+    MMR: the first pick maximizes rel alone)."""
+    from ..ops.similarity import _as_matrix
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+    pool_n, k = _MMR_POOL, _MMR_K
+
+    def dense_block(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref) if not isinstance(qref, np.ndarray) else qref
+        mat = _as_matrix(t["embedding"].to_pandas()).astype(np.float64)
+        c = (mat @ qv) / np.linalg.norm(mat, axis=1)
+        df = pd.DataFrame({"vec_id": t["vec_id"].to_pandas(),
+                           "c": np.round(c, 6)})
+        return _arrow(_topk(df, ["c", "vec_id"], [False, True], pool_n))
+
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    pool = _topk(ds.map_batches(dense_block, batch_format="pyarrow")
+                 .to_pandas(), ["c", "vec_id"], [False, True], pool_n) \
+        .reset_index(drop=True)
+    ids = [int(v) for v in pool["vec_id"]]
+    rel = dict(zip(ids, (float(v) for v in pool["c"])))
+    vt = pq.read_table(_t(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", sorted(ids))])
+    vm = {int(i): np.asarray(v, dtype=np.float64)
+          for i, v in zip(vt["vec_id"].to_pylist(),
+                          vt["embedding"].to_pylist())}
+    mat = np.stack([vm[i] / np.linalg.norm(vm[i]) for i in ids])
+    sim = np.round(mat @ mat.T, 6)
+    pos = {i: p for p, i in enumerate(ids)}
+
+    lam, mu = float(_MMR_LAM), float(_MMR_MU)
+    first = min(ids, key=lambda i: (-rel[i], i))
+    sel, rows = [first], [(1, first, rel[first])]
+    for rank in range(2, k + 1):
+        best = None
+        for i in ids:
+            if i in sel:
+                continue
+            ms = max(sim[pos[i], pos[s]] for s in sel)
+            obj = round(lam * rel[i] - mu * ms, 6)
+            cand = (-obj, i)
+            if best is None or cand < best:
+                best, best_obj = cand, obj
+        sel.append(best[1])
+        rows.append((rank, best[1], best_obj))
+    return pd.DataFrame({
+        "rank": pd.Series([r[0] for r in rows], dtype="int64"),
+        "vec_id": pd.Series([r[1] for r in rows], dtype="int64"),
+        "mmr": [r[2] for r in rows]})
+
+
+
+def _mmr_sql(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
+    ctes = [f"""q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+       FROM embeddings WHERE vec_id = 0)""",
+            f"""pool AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn
+    FROM (SELECT vec_id,
+                 ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                              (SELECT qe FROM q)), 6) AS c
+          FROM embeddings))
+  WHERE rn <= {pool})""",
+            """pe AS MATERIALIZED (
+  SELECT p.vec_id, p.c, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM pool p JOIN embeddings e USING (vec_id))""",
+            """sim AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS s
+  FROM pe a JOIN pe b ON a.vec_id <> b.vec_id)""",
+            """sel1 AS MATERIALIZED (
+  SELECT vec_id, 1 AS rank, c AS obj FROM pe
+  ORDER BY c DESC, vec_id LIMIT 1)"""]
+    for r in range(2, k + 1):
+        p = r - 1
+        ctes.append(f"""pick{r} AS MATERIALIZED (
+  SELECT p.vec_id, ROUND({_MMR_LAM} * p.c - {_MMR_MU} * MAX(s.s), 6) AS obj
+  FROM pe p JOIN sim s ON s.ia = p.vec_id
+                      AND s.ib IN (SELECT vec_id FROM sel{p})
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{p})
+  GROUP BY p.vec_id, p.c
+  ORDER BY obj DESC, p.vec_id LIMIT 1)""")
+        ctes.append(f"""sel{r} AS MATERIALIZED (
+  SELECT vec_id, rank, obj FROM sel{p}
+  UNION ALL SELECT vec_id, {r} AS rank, obj FROM pick{r})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(rank AS BIGINT) AS rank, vec_id, obj AS mmr"
+            + f"\nFROM sel{k} ORDER BY rank")
+
+
+
+MMR_SQL = _mmr_sql()
+
+
+
 def embedding_label_count(sf_dir: str) -> pd.DataFrame:
     ds = _read_pq(_t(sf_dir, "embeddings"), columns=["label"])
     df = ds.groupby("label").aggregate(Count(alias_name="n")).to_pandas()

@@ -1351,6 +1351,63 @@ FROM km
 
 
 
+def event_value_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust (median/MAD) outlier detection over events.value — the
+    moment-free companion to ``event_outliers``' z>2 rule, immune to the
+    outliers it hunts. Three streaming passes, each with bounded driver
+    state: exact median (ops/curate.exact_quantiles two-pass range-bucket
+    counting = PERCENTILE_DISC), exact median of |value − median| (same
+    machinery over the derived deviation column), then a count pass with
+    the broadcast 3·MAD threshold (one partial row per block).
+
+    Parity: PERCENTILE_DISC picks REAL data values, so median and MAD are
+    bit-exact unrounded doubles; |v − med| and the strict > 3·MAD compare
+    use identical IEEE inputs on both sides — no rounding needed
+    anywhere (the priority-sampling/DLT precedent)."""
+    from ..ops.curate import exact_quantiles
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["value"])
+    med = float(exact_quantiles(ds, "value", [0.5])["value"].iloc[0])
+
+    def absdev(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"dev": pa.array(np.abs(v - med))})
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    mad = float(exact_quantiles(dev, "dev", [0.5])["value"].iloc[0])
+    thr = 3.0 * mad
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_outliers": pa.array([int((np.abs(v - med) > thr).sum())],
+                                   pa.int64()),
+            "n": pa.array([len(v)], pa.int64())})
+
+    agg = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .to_pandas().sum()
+    return pd.DataFrame({
+        "median": [med], "mad": [mad],
+        "n_outliers": pd.Series([int(agg["n_outliers"])], dtype="int64"),
+        "n": pd.Series([int(agg["n"])], dtype="int64")})
+
+
+
+EVENT_VALUE_MAD_SQL = """
+WITH m AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value)
+                  AS med FROM events),
+s AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      FROM (SELECT ABS(value - (SELECT med FROM m)) AS dev FROM events))
+SELECT (SELECT med FROM m) AS median,
+       (SELECT mad FROM s) AS mad,
+       CAST((SELECT COUNT(*) FROM events
+             WHERE ABS(value - (SELECT med FROM m))
+                   > 3.0 * (SELECT mad FROM s)) AS BIGINT) AS n_outliers,
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n
+"""
+
+
+
 _DDSK_QS = ("0.5", "0.9", "0.99")   # literal text shared with the SQL
 
 

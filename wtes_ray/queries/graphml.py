@@ -471,4 +471,59 @@ PPR_SQL = _ppr_sql()
 
 
 
+_KHOP_HOPS = 3
+
+_KHOP_QTY = 2     # edge sparsifier: only lineitem rows with quantity ≤ this
+
+
+
+def khop_reach_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Bounded-round BFS from node 0 over a SPARSIFIED order→part graph
+    (only lineitem rows with l_quantity ≤ 2 contribute edges — the full
+    mod-1000 graph saturates in one hop): cumulative reached count per
+    hop (ops/graph.khop_reach — one streaming edge pass per hop, visited
+    set broadcast, per-block unique-dst partials, groupby-deduped
+    frontier). Oracle: unrolled frontier-union CTE chain (the cc_labels
+    generator pattern)."""
+    from ..ops.graph import khop_reach
+
+    ds = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_orderkey", "l_partkey", "l_quantity"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        keep = t.column("l_quantity").to_numpy() <= _KHOP_QTY
+        return pa.table({
+            "src": t.column("l_orderkey").to_numpy()[keep] % _PR_MOD,
+            "dst": t.column("l_partkey").to_numpy()[keep] % _PR_MOD})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    return khop_reach(edges, {0}, _KHOP_HOPS)
+
+
+
+def _khop_sql(hops: int = _KHOP_HOPS) -> str:
+    ctes = [f"""edges AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {_PR_MOD} AS src,
+         l_partkey % {_PR_MOD} AS dst
+  FROM lineitem WHERE l_quantity <= {_KHOP_QTY})""",
+            "r0 AS (SELECT CAST(0 AS BIGINT) AS node)"]
+    for h in range(1, hops + 1):
+        p = h - 1
+        ctes.append(f"""r{h} AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT node FROM r{p}
+    UNION ALL
+    SELECT e.dst AS node FROM edges e JOIN r{p} r ON e.src = r.node))""")
+    sels = "\nUNION ALL ".join(
+        f"SELECT CAST({h} AS BIGINT) AS hop,"
+        f" CAST((SELECT COUNT(*) FROM r{h}) AS BIGINT) AS n_reached"
+        for h in range(hops + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sels + "\nORDER BY hop"
+
+
+
+KHOP_SQL = _khop_sql()
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -152,3 +152,49 @@ def test_mmr_selects_relevant_but_diverse(ray_session):
     # the diversity term must actually bite: MMR's tail diverges from
     # the pure-relevance top-10 on this corpus
     assert set(out["vec_id"]) != set(top["vec_id"])
+
+
+def _wedges(rows):
+    import pyarrow as pa
+    import ray.data as rd
+    s, d, w = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(s, dtype=np.int64)),
+        "dst": pa.array(np.asarray(d, dtype=np.int64)),
+        "w": pa.array(np.asarray(w, dtype=np.float64))}))
+
+
+def test_weighted_pagerank_arms_equal(ray_session):
+    from wtes_ray.ops.graph import weighted_pagerank
+    rows = [(1, 2, 3.0), (2, 3, 1.0), (3, 1, 2.0), (3, 4, 5.0),
+            (4, 5, 1.0), (6, 1, 4.0), (5, 6, 2.0), (8, 1, 1.0),
+            (2, 8, 7.0)]
+    a = weighted_pagerank(_wedges(rows), iterations=3) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    b = weighted_pagerank(_wedges(rows), iterations=3,
+                          force_distributed=True, num_buckets=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert (a["node"] == b["node"]).all()
+    assert np.allclose(a["pagerank"], b["pagerank"], atol=1e-12, rtol=0)
+
+
+def test_weighted_pagerank_uniform_equals_unweighted(ray_session):
+    from wtes_ray.ops.graph import pagerank, weighted_pagerank
+    uni = [(s, d, 1.0) for s, d in EDGES]
+    a = weighted_pagerank(_wedges(uni), iterations=3) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    b = pagerank(_edges(EDGES), iterations=3) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    # w=1 out-strength == outdeg exactly (float sum of ones), so the two
+    # recurrences are the SAME doubles, not merely close
+    assert (a["node"] == b["node"]).all()
+    assert (a["pagerank"].to_numpy() == b["pagerank"].to_numpy()).all()
+
+
+def test_weighted_pagerank_weight_bias(ray_session):
+    from wtes_ray.ops.graph import weighted_pagerank
+    # star: 1 points to 2 (weight 9) and 3 (weight 1) -> 2 must outrank 3
+    out = weighted_pagerank(_wedges([(1, 2, 9.0), (1, 3, 1.0)]),
+                            iterations=2) \
+        .to_pandas().set_index("node")["pagerank"]
+    assert out.loc[2] > out.loc[3]

@@ -615,3 +615,150 @@ def khop_reach(edges: ray.data.Dataset, seeds, hops: int, *,
         out_n.append(len(visited))
     return pd.DataFrame({"hop": pd.Series(out_hops, dtype="int64"),
                          "n_reached": pd.Series(out_n, dtype="int64")})
+
+
+def weighted_pagerank(edges: ray.data.Dataset, *, weight: str = "w",
+                      iterations: int = 3, damping: float = 0.85,
+                      src: str = "src", dst: str = "dst",
+                      nodes_budget: int = 1_000_000,
+                      force_distributed: bool = False,
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """Edge-weighted PageRank: contribution rank(u)·w_uv / W_u with
+    out-strength W_u = Σ_v w_uv — the weighted-graph generalization used
+    for citation/click graphs where edge multiplicity is signal.
+
+    The input must already be the AGGREGATED edge list (one row per
+    (src, dst) with its combined weight): unlike :func:`pagerank` there
+    is no dedupe pass here, because how multi-edge weights combine (sum,
+    max, …) is a semantic choice the caller owns. Weights are assumed
+    positive, so dangling (zero out-strength) coincides with no-out-edge
+    nodes. Same dual driver-vector / bucketed-join arms as
+    :func:`pagerank`, dispatched on the node budget and pinned
+    result-equal in tests. Parity note for oracles: contributions are
+    computed as (rank / W_u) · w_uv — keep that association order."""
+    from .dedup import _consolidate
+    e = _consolidate(edges)
+    nodes = _node_set(e, src, dst).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(_arrow(
+            pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "pagerank": pd.Series([], dtype="float64")})))
+    base = (1.0 - damping) / n
+    if not force_distributed and n <= nodes_budget:
+        return _wpr_driver_vector(e, nodes, n, base, damping, iterations,
+                                  src, dst, weight)
+    return _wpr_distributed(e, nodes, n, base, damping, iterations,
+                            src, dst, weight, num_buckets)
+
+
+def _wpr_driver_vector(e, nodes, n, base, damping, iterations,
+                       src, dst, weight) -> ray.data.Dataset:
+    ws = e.groupby(src).aggregate(Sum(weight, alias_name="wsum")) \
+        .to_pandas()
+    node_ids = nodes.to_pandas()["node"].to_numpy()
+    wsum = pd.Series(0.0, index=node_ids, dtype="float64")
+    wsum.loc[ws[src].to_numpy()] = ws["wsum"].to_numpy()
+    rank = pd.Series(1.0 / n, index=node_ids, dtype="float64")
+    dangling_ix = wsum.index[wsum.to_numpy() == 0.0]
+
+    for _ in range(iterations):
+        rw = rank[wsum > 0] / wsum[wsum > 0]
+        w_ref = ray.put(rw)
+
+        def partial(t: pa.Table, *, _w=w_ref) -> pa.Table:
+            rws = ray.get(_w) if isinstance(_w, ray.ObjectRef) else _w
+            df = t.select([src, dst, weight]).to_pandas()
+            c = rws.reindex(df[src].to_numpy()).to_numpy() \
+                * df[weight].to_numpy()
+            out = (pd.DataFrame({"dst": df[dst].to_numpy(), "contrib": c})
+                   .groupby("dst", as_index=False)["contrib"].sum())
+            return _arrow(out)
+
+        contrib = e.map_batches(partial, batch_format="pyarrow") \
+            .groupby("dst").aggregate(Sum("contrib", alias_name="contrib")) \
+            .to_pandas()
+        dangling = float(rank[dangling_ix].sum())
+        new = pd.Series(base + damping * dangling / n, index=node_ids,
+                        dtype="float64")
+        new.loc[contrib["dst"].to_numpy()] += \
+            damping * contrib["contrib"].to_numpy()
+        rank = new
+
+    out = pd.DataFrame({"node": node_ids, "pagerank": rank.to_numpy()})
+    return ray.data.from_arrow(_arrow(out))
+
+
+def _wpr_distributed(e, nodes, n, base, damping, iterations,
+                     src, dst, weight, num_buckets) -> ray.data.Dataset:
+    ws = e.groupby(src).aggregate(Sum(weight, alias_name="wsum"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "wsum"])
+
+    ws = ws.map_batches(rename, batch_format="pyarrow")
+    state_schema = pa.schema([("node", pa.int64()), ("wsum", pa.float64()),
+                              ("rank", pa.float64())])
+
+    def seed(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["wsum"] = df["wsum"].fillna(0.0).astype("float64")
+        df["rank"] = 1.0 / n
+        return _arrow(df[["node", "wsum", "rank"]])
+
+    state = bucketed_hash_join(
+        nodes, ws, on="node", how="left", num_buckets=num_buckets) \
+        .map_batches(seed, batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        def weights_stage(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df = df[df["wsum"] > 0]
+            out = pd.DataFrame({src: df["node"].to_numpy(),
+                                "rw": (df["rank"] / df["wsum"]).to_numpy()})
+            return _arrow(out)
+
+        w = state.map_batches(weights_stage, batch_format="pyarrow")
+        joined = bucketed_hash_join(
+            e, w, on=src, num_buckets=num_buckets,
+            right_schema=pa.schema([(src, pa.int64()),
+                                    ("rw", pa.float64())]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            out = (pd.DataFrame({
+                "node": df[dst].to_numpy(),
+                "contrib": df["rw"].to_numpy() * df[weight].to_numpy()})
+                .groupby("node", as_index=False)["contrib"].sum())
+            return _arrow(out)
+
+        contrib = joined.map_batches(partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("contrib", alias_name="contrib"))
+
+        def dangling_partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            s = float(df.loc[df["wsum"] == 0.0, "rank"].sum())
+            return _arrow(pd.DataFrame({"d": [s]}))
+
+        dangling = state.map_batches(
+            dangling_partial, batch_format="pyarrow").sum("d") or 0.0
+
+        def advance(t: pa.Table, *, _dg=dangling) -> pa.Table:
+            df = t.to_pandas()
+            c = df["contrib"].fillna(0.0) if "contrib" in df.columns else 0.0
+            df["rank"] = base + damping * (c + _dg / n)
+            return _arrow(df[["node", "wsum", "rank"]])
+
+        state = bucketed_hash_join(
+            state, contrib, on="node", how="left", num_buckets=num_buckets,
+            left_schema=state_schema,
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("contrib", pa.float64())])) \
+            .map_batches(advance, batch_format="pyarrow").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _arrow(pd.DataFrame({"node": df["node"].to_numpy(),
+                                    "pagerank": df["rank"].to_numpy()}))
+
+    return state.map_batches(finish, batch_format="pyarrow")

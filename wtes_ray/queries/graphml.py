@@ -471,6 +471,79 @@ PPR_SQL = _ppr_sql()
 
 
 
+def weighted_pagerank_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Edge-WEIGHTED PageRank over the order→part graph, weight = total
+    quantity shipped across the pair's lineitems (ops/graph.
+    weighted_pagerank): contribution rank·w/W_u with out-strength W_u.
+    Per-block (src,dst,Σw) partials shrink the one aggregation exchange;
+    integer-valued quantities make every weight and out-strength sum
+    EXACT regardless of summation order, so only the rank recurrence
+    itself needs the 8dp rounding (same argument as pagerank_lineitem).
+    The bucketed-join distributed arm is pinned result-equal in tests."""
+    from ..ops.graph import weighted_pagerank
+
+    ds = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_orderkey", "l_partkey", "l_quantity"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "src": t.column("l_orderkey").to_numpy() % _PR_MOD,
+            "dst": t.column("l_partkey").to_numpy() % _PR_MOD,
+            "w": t.column("l_quantity").to_numpy().astype(np.float64)})
+        out = df.groupby(["src", "dst"], as_index=False)["w"].sum()
+        return _arrow(out)
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w"))
+    out = weighted_pagerank(edges, iterations=_PR_ITERS,
+                            damping=float(_PR_DAMPING)).to_pandas()
+    out["pagerank"] = out["pagerank"].round(8)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+
+def _wpr_sql(iters: int = _PR_ITERS, damping: str = _PR_DAMPING,
+             mod: int = _PR_MOD) -> str:
+    """Unrolled weighted-PageRank oracle — the _pagerank_sql chain with
+    outdeg → out-strength and the Ray side's exact association order
+    ((rank / wsum) * w)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    ctes = [f"""edges AS MATERIALIZED (
+  SELECT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst,
+         CAST(SUM(l_quantity) AS DOUBLE) AS w
+  FROM lineitem GROUP BY 1, 2)""",
+            """nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges)""",
+            """stw AS (SELECT src AS node, SUM(w) AS wsum
+         FROM edges GROUP BY src)""",
+            """nd AS (SELECT n.node, COALESCE(s.wsum, 0.0) AS wsum
+        FROM nodes n LEFT JOIN stw s USING (node))""",
+            "cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+            """r0 AS (SELECT node, wsum, 1.0 / (SELECT n FROM cnt) AS rank
+        FROM nd)"""]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        ctes.append(f"""r{k} AS (
+  SELECT nd.node, nd.wsum,
+         (1 - {d}) / (SELECT n FROM cnt)
+         + {d} * (COALESCE(c.contrib, 0)
+                  + (SELECT COALESCE(SUM(rank), 0) FROM {prev}
+                     WHERE wsum = 0.0) / (SELECT n FROM cnt)) AS rank
+  FROM nd
+  LEFT JOIN (SELECT e.dst AS node,
+                    SUM((r.rank / r.wsum) * e.w) AS contrib
+             FROM edges e JOIN {prev} r ON e.src = r.node
+             GROUP BY e.dst) c USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, ROUND(rank, 8) AS pagerank FROM r{iters}"
+            + "\nORDER BY node")
+
+
+
+WEIGHTED_PAGERANK_SQL = _wpr_sql()
+
+
+
 _KHOP_HOPS = 3
 
 _KHOP_QTY = 2     # edge sparsifier: only lineitem rows with quantity ≤ this

@@ -795,4 +795,117 @@ ORDER BY stage
 """
 
 
+def heaps_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-vocabulary size after
+    the first 25/50/75/100% of documents (by doc_id order — the corpus's
+    arrival order). One term-keyed shuffle: per-block (term, min doc_id)
+    partials → groupby MIN (first-occurrence table, the same exchange
+    vocabulary/DF counting pays), then a second pass over THAT table
+    emits 4 histogram counts per block (searchsorted against the
+    checkpoint ids) — the corpus text never shuffles and the driver sums
+    blocks × 4 numbers."""
+    from ray.data.aggregate import Min as _Min
+
+    from ..ops.curate import _WORD_RE
+    n = _n_rows(sf_dir, "documents")
+    cps = [(n * k) // 4 for k in (1, 2, 3, 4)]
+
+    def first_seen(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        docs: list[int] = []
+        for did, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            w = _WORD_RE.findall(str(text).lower())
+            toks.extend(w)
+            docs.extend([int(did)] * len(w))
+        if not toks:
+            return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                                 "fd": pd.Series([], dtype="int64")})
+        pairs = pd.DataFrame({"term": toks,
+                              "fd": np.asarray(docs, dtype=np.int64)})
+        return pairs.groupby("term", as_index=False)["fd"].min()
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    first = ds.map_batches(first_seen, batch_format="pandas") \
+        .groupby("term").aggregate(_Min("fd", alias_name="fd"))
+
+    bounds = np.asarray(cps, dtype=np.int64)
+
+    def hist(t: pa.Table) -> pa.Table:
+        fd = np.sort(t.column("fd").to_numpy(zero_copy_only=False))
+        # count of fd <= c per checkpoint
+        c = np.searchsorted(fd, bounds, side="right").astype(np.int64)
+        return pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                         "vocab": pa.array(c, pa.int64())})
+
+    agg = first.map_batches(hist, batch_format="pyarrow").to_pandas() \
+        .groupby("k", sort=True)["vocab"].sum()
+    return pd.DataFrame({
+        "frac": [k / 4.0 for k in (1, 2, 3, 4)],
+        "checkpoint": pd.Series(cps, dtype="int64"),
+        "vocab": pd.Series(agg.to_numpy(), dtype="int64")})
+
+
+
+HEAPS_VOCAB_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+f AS MATERIALIZED (SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY term),
+cp AS (SELECT k,
+              CAST(((SELECT COUNT(*) FROM documents) * k) // 4 AS BIGINT)
+                AS c
+       FROM (SELECT UNNEST([1, 2, 3, 4]) AS k))
+SELECT cp.k / 4.0 AS frac, cp.c AS checkpoint,
+       CAST((SELECT COUNT(*) FROM f WHERE fd <= cp.c) AS BIGINT) AS vocab
+FROM cp ORDER BY frac
+"""
+
+
+
+_ZIPF_TOP = 100
+
+
+
+def zipf_slope_docs(sf_dir: str) -> pd.DataFrame:
+    """Zipf-law exponent: OLS slope of ln(tf) against ln(rank) over the
+    top-100 terms (rank = tf desc, term asc — the vocab_top_terms rule).
+    Distributed part: the per-block local-head top-k merge
+    (ops/curate.top_terms); the regression runs on 100 driver rows.
+    Rounded 6dp — the two sides sum 100 doubles in different orders."""
+    from ..ops.curate import top_terms
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    top = top_terms(ds, k=_ZIPF_TOP, n_docs=_n_rows(sf_dir, "documents"))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["tf"].to_numpy(np.float64))
+    nn = float(len(top))
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    return pd.DataFrame({
+        "zipf_slope": [round(slope, 6)],
+        "n_terms": pd.Series([len(top)], dtype="int64")})
+
+
+
+ZIPF_SLOPE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+stats AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+top AS (SELECT tf,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS r
+        FROM stats ORDER BY tf DESC, term LIMIT {_ZIPF_TOP}),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(LN(r)) AS sx, SUM(LN(tf)) AS sy,
+             SUM(LN(r) * LN(r)) AS sxx, SUM(LN(r) * LN(tf)) AS sxy
+      FROM top)
+SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       CAST((SELECT COUNT(*) FROM top) AS BIGINT) AS n_terms
+FROM m
+"""
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -198,3 +198,122 @@ def test_weighted_pagerank_weight_bias(ray_session):
                             iterations=2) \
         .to_pandas().set_index("node")["pagerank"]
     assert out.loc[2] > out.loc[3]
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ewma_daily_matches_pandas_ewm(ray_session):
+    from wtes_ray.queries.events import ewma_daily_events
+    out = ewma_daily_events(SF)
+    # recompute the recurrence from the query's own daily series with
+    # pandas ewm(adjust=False) — the canonical definition
+    want = out["daily_value"].ewm(alpha=0.3, adjust=False).mean()
+    assert np.allclose(out["ewma"], want, atol=1e-6, rtol=0)
+    assert out["day"].is_monotonic_increasing
+
+
+def test_trimmed_mean_matches_numpy_sort(ray_session):
+    import duckdb
+
+    from wtes_ray.queries.events import trimmed_mean_events
+    out = trimmed_mean_events(SF)
+    v = np.sort(duckdb.sql(
+        f"SELECT value FROM '{SF}/events.parquet'").df()["value"])
+    k = len(v) // 10
+    want = v[k:len(v) - k].sum()
+    assert abs(out["trimmed_sum"].iloc[0] - want) < 1e-4
+    assert int(out["n_kept"].iloc[0]) == len(v) - 2 * k
+
+
+def test_event_type_lift_matches_pandas(ray_session):
+    import duckdb
+
+    from wtes_ray.queries.events import event_type_lift
+    out = event_type_lift(SF)
+    ut = duckdb.sql(
+        f"SELECT DISTINCT user_id, event_type "
+        f"FROM '{SF}/events.parquet'").df()
+    nu = ut["user_id"].nunique()
+    tc = ut.groupby("event_type").size()
+    p = ut.merge(ut, on="user_id")
+    p = p[p["event_type_x"] < p["event_type_y"]]
+    want = p.groupby(["event_type_x", "event_type_y"]).size()
+    assert len(out) == len(want)
+    for r in out.itertuples():
+        c = int(want.loc[(r.ta, r.tb)])
+        assert r.c_ab == c
+        assert abs(r.lift - c * nu / (tc[r.ta] * tc[r.tb])) < 1e-5
+
+
+def test_doc_length_gini_matches_direct(ray_session):
+    import duckdb
+
+    from wtes_ray.queries.curation import doc_length_gini
+    out = doc_length_gini(SF)
+    x = np.sort(duckdb.sql(
+        f"SELECT n_chars FROM '{SF}/documents.parquet'").df()["n_chars"]
+        .to_numpy(np.float64))
+    n = len(x)
+    want = 2.0 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) \
+        - (n + 1.0) / n
+    assert abs(out["gini"].iloc[0] - want) < 5.1e-7   # 6dp round granularity
+    assert int(out["n_docs"].iloc[0]) == n
+
+
+def test_upsert_merge_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wtes_ray.ops.joins import upsert_merge
+    base = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d"], pa.string())}))
+    delta = rd.from_arrow(pa.table({
+        "k": pa.array([2, 4, 5], pa.int64()),
+        "v": pa.array(["B", "ignored", "E"], pa.string()),
+        "op": pa.array(["U", "D", "U"], pa.string())}))
+    out = upsert_merge(base, delta, "k", num_buckets=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [1, 2, 3, 5]
+    assert list(out["v"]) == ["a", "B", "c", "E"]
+
+
+def test_global_topn_matches_full_sort(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wtes_ray.ops.curate import global_topn
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 50, size=500)
+    key = np.arange(500)
+    ds = rd.from_arrow(pa.table({
+        "x": pa.array(x, pa.int64()),
+        "key": pa.array(key, pa.int64())})).repartition(8)
+    out = global_topn(ds, order_cols=["x", "key"],
+                      descending=[True, False], n=25)
+    want = pd.DataFrame({"x": x, "key": key}) \
+        .sort_values(["x", "key"], ascending=[False, True]).head(25)
+    assert list(out["x"]) == list(want["x"])
+    assert list(out["key"]) == list(want["key"])
+
+
+def test_upsert_documents_counts(ray_session):
+    import duckdb
+
+    from wtes_ray.queries.curation import upsert_documents
+    out = upsert_documents(SF)
+    n, mx = duckdb.sql(
+        f"SELECT COUNT(*), MAX(doc_id) "
+        f"FROM '{SF}/documents.parquet'").fetchone()
+    n_del = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        f"WHERE doc_id % 13 = 0").fetchone()[0]
+    assert len(out) == n - n_del + 500
+    assert out["doc_id"].is_unique
+    upd = out[out["doc_id"] % 7 == 0]
+    upd = upd[upd["doc_id"] % 13 != 0]
+    assert (upd["doc_id"] <= mx).sum() == 0 or \
+        upd.loc[upd["doc_id"] <= mx, "lang"].eq("xx").all()
+    assert (out["doc_id"] % 13 != 0).all() or \
+        out.loc[out["doc_id"] % 13 == 0, "doc_id"].gt(mx).all()

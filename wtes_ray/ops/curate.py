@@ -1020,3 +1020,26 @@ def pack_by_budget(ds: ray.data.Dataset, *, budget: int,
 
     return tagged.groupby("__rb").map_groups(scan_block,
                                              batch_format="pandas")
+
+
+def global_topn(ds: ray.data.Dataset, *, order_cols: Sequence[str],
+                descending: Sequence[bool], n: int) -> pd.DataFrame:
+    """Global ``ORDER BY … LIMIT n`` WITHOUT a sort exchange: every block
+    prunes to its own top-n (a vectorized stable sort + head — any row
+    outside a block's local top-n cannot be in the global top-n), the
+    ≤ n·blocks survivors concatenate on the driver, and one final sort
+    cuts the true head. ``order_cols`` must define a total order (append
+    the row key last) so the result is deterministic. Bounded driver
+    state: n × block-count rows, never the corpus — the take-ordered
+    shape at 100-TB scale. Returns the n-row pandas result."""
+    asc = [not d for d in descending]
+
+    def local_head(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(list(order_cols), ascending=asc,
+                                       kind="mergesort").head(n)
+        return _arrow(df)
+
+    parts = ds.map_batches(local_head, batch_format="pyarrow").to_pandas()
+    return parts.sort_values(list(order_cols), ascending=asc,
+                             kind="mergesort").head(n) \
+                .reset_index(drop=True)

@@ -598,3 +598,34 @@ def bloom_semi_prefilter(big: ray.data.Dataset, key_col: str,
         return t.filter(pa.array(ok))
 
     return big.map_batches(prefilter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Upsert / CDC merge
+# ---------------------------------------------------------------------------
+
+def upsert_merge(base: ray.data.Dataset, delta: ray.data.Dataset,
+                 on: str, *, op_col: str = "op",
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """Apply a change set to a keyed table (the SCD-1 / CDC MERGE):
+    ``delta`` carries the base's columns plus ``op_col`` ∈ {'U', 'D'} —
+    'U' rows replace-or-insert their key, 'D' rows delete it. Composed
+    from existing scale-safe parts, ONE co-partitioned exchange total:
+    the survivors are ``base ANTI JOIN delta`` (bucketed hash join —
+    delta keys never materialize on the driver), the upserts are the
+    delta's own 'U' rows, which stream straight to the union without
+    touching the exchange. Equivalent to the SQL
+    ``base WHERE NOT EXISTS(delta) UNION ALL delta WHERE op='U'``."""
+    d_schema = _arrow_schema(delta)
+    keep = [n for n in d_schema.names if n != op_col]
+    survivors = bucketed_hash_join(
+        base, delta.select_columns([on]), on,
+        how="anti", num_buckets=num_buckets,
+        right_schema=pa.schema([d_schema.field(on)]))
+
+    def only_upserts(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column(op_col),
+                                 pa.scalar("U"))).select(keep)
+
+    ups = delta.map_batches(only_upserts, batch_format="pyarrow")
+    return survivors.union(ups)

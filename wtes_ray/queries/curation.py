@@ -810,7 +810,7 @@ def heaps_vocab_growth(sf_dir: str) -> pd.DataFrame:
     n = _n_rows(sf_dir, "documents")
     cps = [(n * k) // 4 for k in (1, 2, 3, 4)]
 
-    def first_seen(batch: pd.DataFrame) -> pd.DataFrame:
+    def first_seen(batch: pd.DataFrame) -> pa.Table:
         toks: list[str] = []
         docs: list[int] = []
         for did, text in zip(batch["doc_id"], batch["text"].fillna("")):
@@ -818,11 +818,11 @@ def heaps_vocab_growth(sf_dir: str) -> pd.DataFrame:
             toks.extend(w)
             docs.extend([int(did)] * len(w))
         if not toks:
-            return pd.DataFrame({"term": pd.Series([], dtype="object"),
-                                 "fd": pd.Series([], dtype="int64")})
+            return pa.table({"term": pa.array([], pa.string()),
+                             "fd": pa.array([], pa.int64())})
         pairs = pd.DataFrame({"term": toks,
                               "fd": np.asarray(docs, dtype=np.int64)})
-        return pairs.groupby("term", as_index=False)["fd"].min()
+        return _arrow(pairs.groupby("term", as_index=False)["fd"].min())
 
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     first = ds.map_batches(first_seen, batch_format="pandas") \
@@ -904,6 +904,124 @@ m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
 SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
        CAST((SELECT COUNT(*) FROM top) AS BIGINT) AS n_terms
 FROM m
+"""
+
+
+
+def doc_length_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of document lengths (corpus-balance diagnostic):
+    G = 2·Σ r_i·x_i / (n·Σ x) − (n+1)/n over ranks r from the
+    (n_chars, doc_id) total order. Ranks come from
+    :func:`ops.curate.global_rank` (range-bucket prefix scan — no global
+    sort); tied lengths contribute equal x at consecutive ranks, so the
+    tie-break cannot change Σ r·x and both sides agree exactly. All
+    sums are integers well under 2^53 (n·x̄·n ≈ 4e12 at sf0.1), so the
+    final float expression — written with the SAME operation order as
+    the SQL — is bit-identical; rounded 6dp anyway."""
+    from ..ops.curate import global_rank
+    ds = _read_pq(_t(sf_dir, "documents"),
+                  columns=["doc_id", "n_chars"])
+    ranked = global_rank(ds, order_cols=["n_chars", "doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rn = t.column("rank").to_numpy(zero_copy_only=False)
+        x = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rx": pa.array([int((rn * x).sum())], pa.int64()),
+            "s": pa.array([int(x.sum())], pa.int64()),
+            "n": pa.array([len(x)], pa.int64())})
+
+    m = ranked.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas().sum()
+    rx, s, n = int(m["rx"]), int(m["s"]), int(m["n"])
+    gini = 2.0 * rx / (n * s) - (n + 1.0) / n
+    return pd.DataFrame({"gini": [round(gini, 6)],
+                         "n_docs": pd.Series([n], dtype="int64")})
+
+
+
+DOC_GINI_SQL = """
+WITH r AS (SELECT n_chars,
+                  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+           FROM documents)
+SELECT ROUND(2.0 * SUM(rn * n_chars) / (COUNT(*) * SUM(n_chars))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM r
+"""
+
+
+
+_UPSERT_INSERTS = 500
+
+
+
+def upsert_documents(sf_dir: str) -> pd.DataFrame:
+    """CDC MERGE / SCD-1 upsert over the documents table via
+    :func:`ops.joins.upsert_merge`: a deterministic change set — every
+    doc_id % 7 == 0 row updated (text → 'UPDATED:id', lang → 'xx'),
+    every doc_id % 13 == 0 row deleted, 500 fresh rows appended past
+    MAX(doc_id) — applies through ONE bucketed anti-join exchange; the
+    delta's own upsert rows stream to the union untouched. The oracle
+    rebuilds the same delta in SQL and merges with
+    NOT EXISTS ∪ op='U' (full-value check over the merged table)."""
+    from ray.data.aggregate import Max as _Max
+
+    from ..ops.joins import upsert_merge
+    base = _read_pq(_t(sf_dir, "documents"),
+                    columns=["doc_id", "text", "lang"])
+    mx = int(_read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
+             .aggregate(_Max("doc_id", alias_name="m"))["m"])
+
+    def delta_from_base(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        upd = (did % 7 == 0) & (did % 13 != 0)
+        u_ids = did[upd]
+        u_tab = pa.table({
+            "doc_id": pa.array(u_ids, pa.int64()),
+            "text": pa.array(["UPDATED:" + str(i) for i in u_ids],
+                             pa.string()),
+            "lang": pa.array(["xx"] * len(u_ids), pa.string()),
+            "op": pa.array(["U"] * len(u_ids), pa.string())})
+        d_tab = t.filter(pa.array(did % 13 == 0)).append_column(
+            "op", pa.array(["D"] * int((did % 13 == 0).sum()),
+                           pa.string()))
+        return pa.concat_tables([u_tab, d_tab.select(u_tab.column_names)])
+
+    ins_ids = np.arange(mx + 1, mx + 1 + _UPSERT_INSERTS, dtype=np.int64)
+    inserts = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ins_ids, pa.int64()),
+        "text": pa.array(["NEW:" + str(i) for i in ins_ids], pa.string()),
+        "lang": pa.array(["new"] * len(ins_ids), pa.string()),
+        "op": pa.array(["U"] * len(ins_ids), pa.string())}))
+    delta = base.map_batches(delta_from_base, batch_format="pyarrow") \
+        .union(inserts)
+
+    out = upsert_merge(base, delta, "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+              [["doc_id", "text", "lang"]]
+
+
+
+UPSERT_DOCS_SQL = f"""
+WITH delta AS (
+  SELECT doc_id, 'UPDATED:' || CAST(doc_id AS VARCHAR) AS text,
+         'xx' AS lang, 'U' AS op
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id, text, lang, 'D' AS op
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT (SELECT MAX(doc_id) FROM documents) + s AS doc_id,
+         'NEW:' || CAST((SELECT MAX(doc_id) FROM documents) + s
+                        AS VARCHAR) AS text,
+         'new' AS lang, 'U' AS op
+  FROM (SELECT UNNEST(generate_series(1, {_UPSERT_INSERTS})) AS s))
+SELECT doc_id, text, lang FROM documents b
+WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.doc_id = b.doc_id)
+UNION ALL
+SELECT doc_id, text, lang FROM delta WHERE op = 'U'
+ORDER BY doc_id
 """
 
 

@@ -1481,4 +1481,188 @@ ORDER BY qs.q
 
 
 
+_EWMA_ALPHA = 0.3
+
+
+
+def ewma_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Exponentially-weighted daily smoothing (the alerting-baseline
+    shape): e_t = 0.3·x_t + 0.7·e_{t-1} over per-day value totals. The
+    corpus reduces to day-keyed partials inside map_batches (bounded by
+    the time SPAN, never the data size — the events_daily_ma7 finish
+    pattern); the recurrence runs on the driver over the bounded day
+    series. Daily inputs are rounded 6dp BEFORE the recurrence on BOTH
+    sides, so the two recurrences consume bit-identical doubles and the
+    oracle (a recursive CTE over day ranks, same 0.3/0.7 literals and
+    operation order) matches without further tolerance."""
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"day": t["ts"].to_pandas().dt.floor("D"),
+                           "x": t["value"].to_numpy()})
+        return _arrow(df.groupby("day", as_index=False).agg(
+            x=("x", "sum")))
+
+    d = ds.map_batches(day_partial, batch_format="pyarrow").to_pandas() \
+        .groupby("day", as_index=False).agg(x=("x", "sum")) \
+        .sort_values("day").reset_index(drop=True)
+    x = d["x"].round(6).to_numpy(np.float64)
+    e = np.empty_like(x)
+    prev = 0.0
+    for i, xi in enumerate(x):
+        prev = xi if i == 0 else _EWMA_ALPHA * xi + 0.7 * prev
+        e[i] = prev
+    return pd.DataFrame({
+        "day": d["day"].astype("datetime64[us]"),
+        "daily_value": x,
+        "ewma": np.round(e, 6)})
+
+
+
+EWMA_DAILY_SQL = """
+WITH RECURSIVE d AS (
+  SELECT date_trunc('day', ts) AS day, ROUND(SUM(value), 6) AS x
+  FROM events GROUP BY 1),
+r AS (SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+e AS (
+  SELECT rn, day, x, x AS ewma FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.day, r.x, 0.3 * r.x + 0.7 * e.ewma
+  FROM r JOIN e ON r.rn = e.rn + 1)
+SELECT day, x AS daily_value, ROUND(ewma, 6) AS ewma
+FROM e ORDER BY day
+"""
+
+
+
+def trimmed_mean_events(sf_dir: str) -> pd.DataFrame:
+    """10%-trimmed mean of event values: drop the k = n//10 lowest- and
+    highest-ranked rows (ROW_NUMBER ORDER BY value semantics) and
+    average the rest. Distributed as order statistics, not a sort:
+    :func:`ops.curate.exact_quantiles` locates the rank-k and rank-
+    (n-k+1) VALUES with its two-pass range-bucket counting (ranks hit
+    exactly via q=(k∓0.5)/n — float-ceil-safe), then ONE conditional
+    moment pass computes the tail masses:
+      sum(k smallest) = Σ_{v<v_lo} v + (k − |v<v_lo|)·v_lo
+    (ties at the cutoff contribute identical values, so rank tie-break
+    order cannot change the trimmed sum — the formula equals the SQL's
+    rank-window trim exactly, modulo summation-order ULPs). The output is the
+    trimmed SUM rounded 2dp plus the kept count — values are exact-2dp,
+    so the true trimmed sum IS a 2dp quantity and can never sit on a
+    rounding boundary. The MEAN is deliberately NOT emitted: the corpus's
+    mean 42.66923750 sat EXACTLY on the 6dp half-way point at sf0.001,
+    flipping the round under summation-order ULP drift (sum/count keep
+    it one division away for the reader)."""
+    from ..ops.curate import exact_quantiles
+    n = _n_rows(sf_dir, "events")
+    k = n // 10
+    ds = _read_pq(_t(sf_dir, "events"), columns=["value"])
+    if k == 0:   # nothing to trim (n < 10): plain sum, same SQL window
+        m = ds.aggregate(Sum("value", alias_name="s"))
+        return pd.DataFrame({
+            "trimmed_sum": [round(float(m["s"]), 2)],
+            "n_kept": pd.Series([n], dtype="int64")})
+    qv = exact_quantiles(ds, "value",
+                         [(k - 0.5) / n, (n - k + 0.5) / n])
+    v_lo = float(qv["value"].iloc[0])
+    v_hi = float(qv["value"].iloc[1])
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        lo, hi = v < v_lo, v > v_hi
+        return pa.table({
+            "s": pa.array([float(v.sum())], pa.float64()),
+            "cb": pa.array([int(lo.sum())], pa.int64()),
+            "sb": pa.array([float(v[lo].sum())], pa.float64()),
+            "ca": pa.array([int(hi.sum())], pa.int64()),
+            "sa": pa.array([float(v[hi].sum())], pa.float64())})
+
+    m = ds.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    sum_small = float(m["sb"]) + (k - int(m["cb"])) * v_lo
+    sum_large = float(m["sa"]) + (k - int(m["ca"])) * v_hi
+    kept = n - 2 * k
+    ts = float(m["s"]) - sum_small - sum_large
+    return pd.DataFrame({"trimmed_sum": [round(ts, 2)],
+                         "n_kept": pd.Series([kept], dtype="int64")})
+
+
+
+TRIMMED_MEAN_SQL = """
+WITH s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
+           FROM events),
+k AS (SELECT COUNT(*) AS n, COUNT(*) // 10 AS k FROM events)
+SELECT ROUND(SUM(s.value), 2) AS trimmed_sum,
+       CAST(MIN(k.n) - 2 * MIN(k.k) AS BIGINT) AS n_kept
+FROM s, k WHERE s.rn > k.k AND s.rn <= k.n - k.k
+"""
+
+
+
+def event_type_lift(sf_dir: str) -> pd.DataFrame:
+    """Market-basket association over per-user event-type sets:
+    support count and lift = P(a,b)/(P(a)P(b)) for every unordered
+    type pair co-occurring in a user's history. ONE user-keyed bucketed
+    exchange does everything (users are disjoint across buckets, so
+    bucket partials SUM): per bucket, distinct (user, type) pairs are
+    self-merged into a<b pairs, and the same distinct set yields
+    per-type user counts and the bucket's user count — emitted through
+    one (ta, tb, c) stream with ''-sentinel rows ((t, '') = type count,
+    ('', '') = user count). The combine is driver-side over a
+    type-cardinality-bounded table (T² + T + 1 rows)."""
+    from ..ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["user_id", "event_type"])
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        u = g.drop_duplicates()
+        tas: list[str] = []
+        tbs: list[str] = []
+        cs: list[int] = []
+        p = u.merge(u, on="user_id")
+        p = p[p["event_type_x"] < p["event_type_y"]]
+        for (a, b), c in p.groupby(
+                ["event_type_x", "event_type_y"]).size().items():
+            tas.append(a); tbs.append(b); cs.append(int(c))
+        for t, c in u.groupby("event_type").size().items():
+            tas.append(t); tbs.append(""); cs.append(int(c))
+        tas.append(""); tbs.append("")
+        cs.append(int(u["user_id"].nunique()))
+        return pa.table({"ta": pa.array(tas, pa.string()),
+                         "tb": pa.array(tbs, pa.string()),
+                         "c": pa.array(cs, pa.int64())})
+
+    agg = _grouped_exchange(ds, "user_id", block).to_pandas() \
+        .groupby(["ta", "tb"], as_index=False)["c"].sum()
+    nu = int(agg.loc[(agg["ta"] == "") & (agg["tb"] == ""), "c"].iloc[0])
+    tc = {r.ta: int(r.c) for r in
+          agg[(agg["tb"] == "") & (agg["ta"] != "")].itertuples()}
+    pairs = agg[(agg["ta"] != "") & (agg["tb"] != "")]
+    lift = [round(int(c) * 1.0 * nu / (tc[a] * tc[b]), 6)
+            for a, b, c in zip(pairs["ta"], pairs["tb"], pairs["c"])]
+    return pd.DataFrame({
+        "ta": pairs["ta"].to_numpy(),
+        "tb": pairs["tb"].to_numpy(),
+        "c_ab": pairs["c"].astype("int64").to_numpy(),
+        "lift": lift}).sort_values(["ta", "tb"]).reset_index(drop=True)
+
+
+
+EVENT_TYPE_LIFT_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tc AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+nu AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events)
+SELECT a.event_type AS ta, b.event_type AS tb,
+       CAST(COUNT(*) AS BIGINT) AS c_ab,
+       ROUND(COUNT(*) * 1.0 * MIN(nu.nu) / (MIN(ca.c) * MIN(cb.c)), 6)
+         AS lift
+FROM ut a
+JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN tc ca ON ca.event_type = a.event_type
+JOIN tc cb ON cb.event_type = b.event_type
+CROSS JOIN nu
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -639,4 +639,33 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def global_topn_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Global ORDER BY … LIMIT 100 (the take-ordered shape) via
+    :func:`ops.curate.global_topn` — per-block local top-100 prune +
+    bounded driver merge, NO sort exchange. Total order:
+    (l_extendedprice DESC, l_orderkey, l_linenumber)."""
+    from ..ops.curate import global_topn
+    ds = _read_pq(_t(sf_dir, "lineitem"),
+                  columns=["l_orderkey", "l_linenumber",
+                           "l_extendedprice"])
+    out = global_topn(ds,
+                      order_cols=["l_extendedprice", "l_orderkey",
+                                  "l_linenumber"],
+                      descending=[True, False, False], n=100)
+    out["l_extendedprice"] = out["l_extendedprice"].round(2)
+    return out[["l_orderkey", "l_linenumber", "l_extendedprice"]]
+
+
+
+GLOBAL_TOPN_SQL = """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2)
+         AS l_extendedprice
+FROM (SELECT * FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 100)
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+"""
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -317,3 +317,48 @@ def test_upsert_documents_counts(ray_session):
         upd.loc[upd["doc_id"] <= mx, "lang"].eq("xx").all()
     assert (out["doc_id"] % 13 != 0).all() or \
         out.loc[out["doc_id"] % 13 == 0, "doc_id"].gt(mx).all()
+
+
+def test_bootstrap_weights_distribution_and_ci(ray_session):
+    from wtes_ray.queries.events import bootstrap_sums_events, _BOOT_REPS
+    out = bootstrap_sums_events(SF)
+    assert len(out) == _BOOT_REPS
+    # Poisson(1) weights: E[Σw] = n, so each replicate's wn is a
+    # binomial-ish count near n (±5 sigma ≈ ±5·sqrt(n))
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert ((out["wn"] - n).abs() < 5 * np.sqrt(n) + 10).all()
+    # replicate means vary but hug the corpus mean
+    means = out["wsum"] / out["wn"]
+    mu = duckdb.sql(
+        f"SELECT AVG(value) FROM '{SF}/events.parquet'").fetchone()[0]
+    lo, hi = np.percentile(means, [2.5, 97.5])
+    assert lo < mu < hi
+    assert means.std() < abs(mu)   # sane spread
+
+
+def test_lang_jsd_bounds_and_symmetry(ray_session):
+    import wtes_ray.queries.curation as cur
+    out = cur.lang_jsd_docs(SF)
+    j = float(out["jsd"].iloc[0])
+    assert 0.0 < j < np.log(2.0) + 1e-9   # JSD (nats) ∈ [0, ln 2]
+    # symmetry: swapping the language pair gives the same divergence
+    orig = cur._JSD_LANGS
+    try:
+        cur._JSD_LANGS = (orig[1], orig[0])
+        # rebuild is needed because the fn reads the module global
+        out2 = cur.lang_jsd_docs(SF)
+    finally:
+        cur._JSD_LANGS = orig
+    assert abs(float(out2["jsd"].iloc[0]) - j) < 2e-6
+
+
+def test_bm25_ndcg_bounds(ray_session):
+    from wtes_ray.queries.curation import bm25_ndcg_docs
+    out = bm25_ndcg_docs(SF)
+    dcg, idcg, ndcg = (float(out[c].iloc[0]) for c in
+                       ("dcg", "idcg", "ndcg"))
+    assert 0 < dcg <= idcg + 1e-9
+    assert 0 < ndcg <= 1.0 + 1e-9
+    assert abs(ndcg - dcg / idcg) < 2e-6

@@ -1026,4 +1026,208 @@ ORDER BY doc_id
 
 
 
+_JSD_LANGS = ("en", "es")
+
+
+
+def lang_jsd_docs(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence between two languages' unigram term
+    distributions (corpus drift / domain-shift diagnostic). ONE
+    term-keyed exchange: per-block (term, ca, cb) count partials →
+    groupby SUM; totals reduce from THAT bounded table; the per-term
+    contribution pass is vectorized with the broadcast totals and only
+    block-partial doubles reach the driver. Per-term doubles are
+    bit-identical to the SQL (same ints, same expression order) —
+    only the final summation order differs, absorbed by the 6dp round."""
+    from ..ops.curate import _WORD_RE
+    la, lb = _JSD_LANGS
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        cnt: dict[str, list[int]] = {}
+        for lang, text in zip(batch["lang"], batch["text"].fillna("")):
+            if lang == la:
+                j = 0
+            elif lang == lb:
+                j = 1
+            else:
+                continue
+            for w in _WORD_RE.findall(str(text).lower()):
+                c = cnt.get(w)
+                if c is None:
+                    cnt[w] = c = [0, 0]
+                c[j] += 1
+        terms = list(cnt)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "ca": pa.array([cnt[t][0] for t in terms], pa.int64()),
+            "cb": pa.array([cnt[t][1] for t in terms], pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("term").aggregate(Sum("ca", alias_name="ca"),
+                                   Sum("cb", alias_name="cb")) \
+        .materialize()   # bounded (vocab-sized); consumed twice below
+    tot = counts.aggregate(Sum("ca", alias_name="na"),
+                           Sum("cb", alias_name="nb"))
+    na, nb = float(tot["na"]), float(tot["nb"])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        ca = t.column("ca").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cb = t.column("cb").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        p = ca / na
+        q = cb / nb
+        s = p + q
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = np.where(ca > 0, p * np.log(2.0 * p / s), 0.0)
+            tb = np.where(cb > 0, q * np.log(2.0 * q / s), 0.0)
+        return pa.table({
+            "j": pa.array([float((0.5 * (ta + tb)).sum())], pa.float64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    m = counts.map_batches(contrib, batch_format="pyarrow") \
+        .to_pandas().sum()
+    return pd.DataFrame({"jsd": [round(float(m["j"]), 6)],
+                         "n_terms": pd.Series([int(m["n"])],
+                                              dtype="int64")})
+
+
+
+LANG_JSD_SQL = f"""
+WITH toks AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents WHERE lang IN ('{_JSD_LANGS[0]}', '{_JSD_LANGS[1]}')),
+c AS (SELECT term,
+             SUM(CASE WHEN lang = '{_JSD_LANGS[0]}' THEN 1 ELSE 0 END)
+               AS ca,
+             SUM(CASE WHEN lang = '{_JSD_LANGS[1]}' THEN 1 ELSE 0 END)
+               AS cb
+      FROM toks GROUP BY term),
+n AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+             CAST(SUM(cb) AS DOUBLE) AS nb FROM c)
+SELECT ROUND(SUM(
+         0.5 * (CASE WHEN ca > 0
+                     THEN (ca / n.na)
+                          * ln(2.0 * (ca / n.na)
+                               / ((ca / n.na) + (cb / n.nb)))
+                     ELSE 0.0 END
+              + CASE WHEN cb > 0
+                     THEN (cb / n.nb)
+                          * ln(2.0 * (cb / n.nb)
+                               / ((ca / n.na) + (cb / n.nb)))
+                     ELSE 0.0 END)), 6) AS jsd,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM c, n
+"""
+
+
+
+_NDCG_TERMS = ("hash", "join", "window")
+_NDCG_K = 10
+
+
+
+def bm25_ndcg_docs(sf_dir: str) -> pd.DataFrame:
+    """Retrieval-quality evaluation: NDCG@10 of the BM25 ranking against
+    a linear-gain relevance label rel(doc) = total occurrences of the
+    query terms (SQL-recomputable ground truth). Composition of existing
+    scale parts: the ranked list comes from ops.curate.bm25_topk
+    (round-before-rank, ULP-stable cut), the relevance table from one
+    vectorized corpus pass, the ideal ordering from
+    ops.curate.global_topn (per-block local heads — rel ties across the
+    ideal cut swap only equal VALUES, so IDCG is cut-stable), and the
+    winners' labels attach via a 10-id pushdown filter. DCG sums 10
+    doubles — order absorbed by the 6dp round."""
+    from ..ops.curate import _WORD_RE, bm25_topk, global_topn
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    top = bm25_topk(ds, list(_NDCG_TERMS), _NDCG_K) \
+        .sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    tset = frozenset(_NDCG_TERMS)
+
+    def rel_partial(batch: pd.DataFrame) -> pa.Table:
+        ids: list[int] = []
+        rels: list[int] = []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            c = sum(1 for w in _WORD_RE.findall(str(t).lower())
+                    if w in tset)
+            if c:
+                ids.append(int(d))
+                rels.append(c)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "rel": pa.array(rels, pa.int64())})
+
+    rels = ds.map_batches(rel_partial, batch_format="pandas")
+    ideal = global_topn(rels, order_cols=["rel", "doc_id"],
+                        descending=[True, False], n=_NDCG_K)
+    win_ids = pa.array([int(d) for d in top["doc_id"]], pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=win_ids))
+
+    got = rels.map_batches(pick, batch_format="pyarrow").to_pandas()
+    rel_of = dict(zip(got["doc_id"].astype(int), got["rel"].astype(int)))
+    r = np.arange(1, len(top) + 1, dtype=np.float64)
+    gains = np.asarray([rel_of.get(int(d), 0) for d in top["doc_id"]],
+                       dtype=np.float64)
+    dcg = float((gains / np.log2(r + 1.0)).sum())
+    ri = np.arange(1, len(ideal) + 1, dtype=np.float64)
+    idcg = float((ideal["rel"].to_numpy(np.float64)
+                  / np.log2(ri + 1.0)).sum())
+    return pd.DataFrame({"dcg": [round(dcg, 6)],
+                         "idcg": [round(idcg, 6)],
+                         "ndcg": [round(dcg / idcg, 6)]})
+
+
+
+def _ndcg_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _NDCG_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+rel AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+        FROM toks WHERE term IN ({terms}) GROUP BY doc_id),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+       FROM toks GROUP BY doc_id),
+st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+              CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                AS avgdl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM toks WHERE term IN ({terms})
+       GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              ROUND(SUM(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                        * tf.tf * (1.2 + 1.0)
+                        / (tf.tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl.dl / st.avgdl))),
+                    6) AS score
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+       GROUP BY tf.doc_id),
+ranked AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+           FROM (SELECT * FROM sc
+                 ORDER BY score DESC, doc_id LIMIT {_NDCG_K})),
+d AS (SELECT SUM(COALESCE(rel.rel, 0) / log2(ranked.r + 1.0)) AS dcg
+      FROM ranked LEFT JOIN rel USING (doc_id)),
+i AS (SELECT SUM(rel / log2(rn + 1.0)) AS idcg
+      FROM (SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id)
+                     AS rn
+            FROM rel ORDER BY rel DESC, doc_id LIMIT {_NDCG_K}))
+SELECT ROUND(d.dcg, 6) AS dcg, ROUND(i.idcg, 6) AS idcg,
+       ROUND(d.dcg / i.idcg, 6) AS ndcg
+FROM d, i
+"""
+
+
+
+BM25_NDCG_SQL = _ndcg_sql()
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

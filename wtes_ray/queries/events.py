@@ -1665,4 +1665,78 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 
+_BOOT_REPS = 16
+# Poisson(1) CDF thresholds (doubles, shared verbatim with the SQL):
+# w = |{j : u >= F_j}| — the inverse-CDF draw from one uniform hash
+_BOOT_F = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+           0.9810118431238463, 0.9963401531726563, 0.9994058151824183)
+_BOOT_U = 5.421010862427522e-20     # exactly 2**-64
+
+
+
+def bootstrap_sums_events(sf_dir: str) -> pd.DataFrame:
+    """Poisson bootstrap (the distributed resampling scheme: per-row
+    Poisson(1) weights stand in for multinomial resampling, so each
+    replicate is a single weighted pass — no row ever moves): 16
+    deterministic replicates of (Σ w·value, Σ w), weights drawn by
+    inverse-CDF from the md5-uniform ``u = md5_u64('boot{r}:'+id)·2⁻⁶⁴``
+    with the CDF thresholds shared verbatim with the SQL, so the weights
+    are bit-identical on both sides. Emits per-replicate weighted sums —
+    exact-2dp quantities (values are 2dp, weights small ints), never on
+    a rounding boundary — from which the driver-side CI percentiles are
+    one 16-number computation away (pinned in pytest, not hashed)."""
+    from ..ops.curate import _key_u64
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "value"])
+    thresholds = np.asarray(_BOOT_F, dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_pylist()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        reps: list[int] = []
+        ws: list[float] = []
+        wn: list[int] = []
+        for r in range(_BOOT_REPS):
+            u = _key_u64(ids, f"boot{r}").astype(np.float64) * _BOOT_U
+            w = np.searchsorted(thresholds, u, side="right") \
+                .astype(np.int64)
+            reps.append(r)
+            ws.append(float((w * v).sum()))
+            wn.append(int(w.sum()))
+        return pa.table({"rep": pa.array(reps, pa.int64()),
+                         "ws": pa.array(ws, pa.float64()),
+                         "wn": pa.array(wn, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("rep").aggregate(Sum("ws", alias_name="ws"),
+                                  Sum("wn", alias_name="wn")).to_pandas()
+    agg = agg.sort_values("rep").reset_index(drop=True)
+    return pd.DataFrame({
+        "rep": agg["rep"].astype("int64"),
+        "wsum": agg["ws"].round(2),
+        "wn": agg["wn"].astype("int64")})
+
+
+
+def _boot_sql() -> str:
+    w_expr = " + ".join(
+        f"(CASE WHEN u >= {f!r} THEN 1 ELSE 0 END)" for f in _BOOT_F)
+    return f"""
+WITH reps AS (SELECT UNNEST(generate_series(0, {_BOOT_REPS - 1})) AS rep),
+u AS (SELECT r.rep, e.value,
+             md5_number_lower('boot' || CAST(r.rep AS VARCHAR) || ':'
+                              || CAST(e.event_id AS VARCHAR))
+               * {_BOOT_U!r} AS u
+      FROM events e CROSS JOIN reps r),
+w AS (SELECT rep, value, {w_expr} AS w FROM u)
+SELECT rep, ROUND(SUM(w * value), 2) AS wsum,
+       CAST(SUM(w) AS BIGINT) AS wn
+FROM w GROUP BY rep ORDER BY rep
+"""
+
+
+
+BOOTSTRAP_SUMS_SQL = _boot_sql()
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -362,3 +362,16 @@ def test_bm25_ndcg_bounds(ray_session):
     assert 0 < dcg <= idcg + 1e-9
     assert 0 < ndcg <= 1.0 + 1e-9
     assert abs(ndcg - dcg / idcg) < 2e-6
+
+
+def test_value_psi_semantics(ray_session):
+    from wtes_ray.queries.events import value_psi_events
+    out = value_psi_events(SF)
+    assert list(out["bucket"]) == list(range(10))
+    # decile edges from period A: its own counts are ~uniform (n/10 each,
+    # PERCENTILE_DISC granularity allows ±1 slop per edge)
+    na = out["ca"].sum()
+    assert ((out["ca"] - na / 10).abs() <= na / 10 * 0.2 + 2).all()
+    # a stationary stream drifts little: PSI below the 0.1 alert line
+    psi = out["contrib"].sum()
+    assert 0 <= psi < 0.1

@@ -1739,4 +1739,109 @@ BOOTSTRAP_SUMS_SQL = _boot_sql()
 
 
 
+def value_psi_events(sf_dir: str) -> pd.DataFrame:
+    """Population-stability-index drift check between the first and
+    second halves of the event stream (split at the midpoint of the
+    epoch-µs time RANGE — an exact integer both sides compute): decile
+    edges come from period A via :func:`ops.curate.exact_quantiles`
+    (≡ PERCENTILE_DISC — exact data values, so bucket membership is an
+    exact comparison), then ONE counting pass buckets both periods
+    (side='right' searchsorted ≡ the SQL's Σ(v ≥ eₖ) CASE chain).
+    Contributions use +0.5/+5 Laplace smoothing (shared expression) so
+    empty B-buckets stay finite; every output double is a deterministic
+    function of integer counts — no summation-order drift at all."""
+    from ray.data.aggregate import Max, Min
+
+    from ..ops.curate import exact_quantiles
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def with_us(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"us": us, "value": t["value"]})
+
+    dsu = ds.map_batches(with_us, batch_format="pyarrow")
+    mm = dsu.aggregate(Min("us", alias_name="lo"),
+                       Max("us", alias_name="hi"))
+    mid = (int(mm["lo"]) + int(mm["hi"])) // 2
+
+    def only_a(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("us"), pa.scalar(mid)))
+
+    qs = [k / 10.0 for k in range(1, 10)]
+    edges = exact_quantiles(dsu.map_batches(only_a,
+                                            batch_format="pyarrow"),
+                            "value", qs)["value"].to_numpy(np.float64)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, v, side="right")
+        in_a = us < mid
+        ca = np.bincount(b[in_a], minlength=10)
+        cb = np.bincount(b[~in_a], minlength=10)
+        return pa.table({"bucket": pa.array(np.arange(10), pa.int64()),
+                         "ca": pa.array(ca.astype(np.int64), pa.int64()),
+                         "cb": pa.array(cb.astype(np.int64), pa.int64())})
+
+    agg = dsu.map_batches(count_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("bucket", as_index=False).sum() \
+        .sort_values("bucket").reset_index(drop=True)
+    na = float(agg["ca"].sum())
+    nb = float(agg["cb"].sum())
+    pa_ = (agg["ca"].to_numpy(np.float64) + 0.5) / (na + 5.0)
+    pb_ = (agg["cb"].to_numpy(np.float64) + 0.5) / (nb + 5.0)
+    contrib = (pa_ - pb_) * np.log(pa_ / pb_)
+    return pd.DataFrame({
+        "bucket": agg["bucket"].astype("int64"),
+        "ca": agg["ca"].astype("int64"),
+        "cb": agg["cb"].astype("int64"),
+        "contrib": np.round(contrib, 6)})
+
+
+
+VALUE_PSI_SQL = """
+WITH b AS (SELECT epoch_us(ts) AS us, value FROM events),
+m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM b),
+a AS (SELECT value FROM b, m WHERE us < m.mid),
+e AS (SELECT
+  (SELECT PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY value) FROM a) AS e1,
+  (SELECT PERCENTILE_DISC(0.2) WITHIN GROUP (ORDER BY value) FROM a) AS e2,
+  (SELECT PERCENTILE_DISC(0.3) WITHIN GROUP (ORDER BY value) FROM a) AS e3,
+  (SELECT PERCENTILE_DISC(0.4) WITHIN GROUP (ORDER BY value) FROM a) AS e4,
+  (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) FROM a) AS e5,
+  (SELECT PERCENTILE_DISC(0.6) WITHIN GROUP (ORDER BY value) FROM a) AS e6,
+  (SELECT PERCENTILE_DISC(0.7) WITHIN GROUP (ORDER BY value) FROM a) AS e7,
+  (SELECT PERCENTILE_DISC(0.8) WITHIN GROUP (ORDER BY value) FROM a) AS e8,
+  (SELECT PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value) FROM a) AS e9),
+tagged AS (SELECT
+    (CASE WHEN value >= e.e1 THEN 1 ELSE 0 END)
+  + (CASE WHEN value >= e.e2 THEN 1 ELSE 0 END)
+  + (CASE WHEN value >= e.e3 THEN 1 ELSE 0 END)
+  + (CASE WHEN value >= e.e4 THEN 1 ELSE 0 END)
+  + (CASE WHEN value >= e.e5 THEN 1 ELSE 0 END)
+  + (CASE WHEN value >= e.e6 THEN 1 ELSE 0 END)
+  + (CASE WHEN value >= e.e7 THEN 1 ELSE 0 END)
+  + (CASE WHEN value >= e.e8 THEN 1 ELSE 0 END)
+  + (CASE WHEN value >= e.e9 THEN 1 ELSE 0 END) AS bucket,
+    (CASE WHEN us < m.mid THEN 1 ELSE 0 END) AS in_a
+  FROM b, m, e),
+g AS (SELECT k.bucket,
+             CAST(COALESCE(SUM(t.in_a), 0) AS BIGINT) AS ca,
+             CAST(COALESCE(SUM(1 - t.in_a), 0) AS BIGINT) AS cb
+      FROM (SELECT UNNEST(generate_series(0, 9)) AS bucket) k
+      LEFT JOIN tagged t ON t.bucket = k.bucket
+      GROUP BY k.bucket),
+n AS (SELECT CAST((SELECT COUNT(*) FROM tagged WHERE in_a = 1) AS DOUBLE)
+               AS na,
+             CAST((SELECT COUNT(*) FROM tagged WHERE in_a = 0) AS DOUBLE)
+               AS nb)
+SELECT bucket, ca, cb,
+       ROUND(((ca + 0.5) / (n.na + 5.0) - (cb + 0.5) / (n.nb + 5.0))
+             * ln(((ca + 0.5) / (n.na + 5.0))
+                  / ((cb + 0.5) / (n.nb + 5.0))), 6) AS contrib
+FROM g, n ORDER BY bucket
+"""
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -375,3 +375,30 @@ def test_value_psi_semantics(ray_session):
     # a stationary stream drifts little: PSI below the 0.1 alert line
     psi = out["contrib"].sum()
     assert 0 <= psi < 0.1
+
+
+def test_signup_latency_nonneg_monotone(ray_session):
+    from wtes_ray.queries.events import signup_purchase_latency
+    out = signup_purchase_latency(SF)
+    assert list(out["q"]) == [0.25, 0.5, 0.75, 0.9]
+    assert (out["lat_us"] >= 0).all()
+    assert out["lat_us"].is_monotonic_increasing
+
+
+def test_fk_orphans_audit_values(ray_session):
+    import duckdb
+
+    from wtes_ray.queries.relational import fk_orphans_audit
+    out = fk_orphans_audit(SF).set_index("fk")
+    # the three real FK edges hold on the seeded corpus
+    assert out.loc["orders.o_custkey->customer.c_custkey",
+                   "n_orphans"] == 0
+    assert out.loc["lineitem.l_orderkey->orders.o_orderkey",
+                   "n_orphans"] == 0
+    # the suspect edge genuinely fires (user ids are not customer keys)
+    want = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/events.parquet' e WHERE NOT EXISTS "
+        f"(SELECT 1 FROM '{SF}/customer.parquet' c "
+        f" WHERE c.c_custkey = e.user_id)").fetchone()[0]
+    assert out.loc["events.user_id->customer.c_custkey",
+                   "n_orphans"] == want

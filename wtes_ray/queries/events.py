@@ -1844,4 +1844,68 @@ FROM g, n ORDER BY bucket
 
 
 
+def signup_purchase_latency(sf_dir: str) -> pd.DataFrame:
+    """Time-to-conversion percentiles (the survival-analysis primitive):
+    per user, latency = first purchase AT/AFTER the first signup minus
+    that signup. One user-keyed bucketed exchange produces the per-user
+    latency table (rows pre-filtered to the two event types before the
+    exchange); percentiles run through exact_quantiles over THAT dataset
+    — scale-safe even when the user population outgrows the driver.
+    Latencies are integer µs, so the PERCENTILE_DISC values are exact."""
+    from ..ops.curate import exact_quantiles
+    from ..ops.dedup import _grouped_exchange
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["user_id", "ts", "event_type"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        return t.filter(keep)
+
+    def block(g: pd.DataFrame) -> pa.Table:
+        s0 = g[g["event_type"] == "signup"].groupby("user_id")["ts"] \
+            .min().rename("s0")
+        p = g[g["event_type"] == "purchase"] \
+            .merge(s0, left_on="user_id", right_index=True)
+        p = p[p["ts"] >= p["s0"]]
+        p0 = p.groupby("user_id")["ts"].min()
+        lat = (p0.to_numpy() - s0.loc[p0.index].to_numpy()) \
+            .astype("timedelta64[us]").astype(np.int64)
+        return _arrow(pd.DataFrame({
+            "user_id": p0.index.to_numpy().astype(np.int64),
+            "lat_us": lat}))
+
+    lat_ds = _grouped_exchange(
+        ds.map_batches(prune, batch_format="pyarrow"), "user_id", block)
+    qv = exact_quantiles(lat_ds, "lat_us", [0.25, 0.5, 0.75, 0.9])
+    return pd.DataFrame({"q": qv["q"].astype(np.float64),
+                         "lat_us": qv["value"].astype(np.float64)})
+
+
+
+SIGNUP_LATENCY_SQL = """
+WITH s AS (SELECT user_id, MIN(ts) AS s0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS p0
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s0
+      GROUP BY e.user_id),
+l AS (SELECT epoch_us(p.p0) - epoch_us(s.s0) AS lat_us
+      FROM p JOIN s USING (user_id))
+SELECT 0.25 AS q, CAST((SELECT PERCENTILE_DISC(0.25)
+    WITHIN GROUP (ORDER BY lat_us) FROM l) AS DOUBLE) AS lat_us
+UNION ALL
+SELECT 0.5, CAST((SELECT PERCENTILE_DISC(0.5)
+    WITHIN GROUP (ORDER BY lat_us) FROM l) AS DOUBLE)
+UNION ALL
+SELECT 0.75, CAST((SELECT PERCENTILE_DISC(0.75)
+    WITHIN GROUP (ORDER BY lat_us) FROM l) AS DOUBLE)
+UNION ALL
+SELECT 0.9, CAST((SELECT PERCENTILE_DISC(0.9)
+    WITHIN GROUP (ORDER BY lat_us) FROM l) AS DOUBLE)
+ORDER BY q
+"""
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -668,4 +668,72 @@ ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
 
 
 
+def fk_orphans_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit (the data-contract check across
+    tables): orphan counts for three real FK edges plus one deliberately
+    suspect edge (events.user_id → customer.c_custkey) that actually
+    fires on this corpus. Each edge is ONE bucketed anti-join — the
+    scale-safe NOT IN: keys-only on both sides, no driver set."""
+    from ..ops.joins import bucketed_hash_join
+
+    def _keys(table: str, col: str, as_name: str):
+        ds = _read_pq(_t(sf_dir, table), columns=[col])
+        if col == as_name:
+            return ds
+
+        def ren(t: pa.Table) -> pa.Table:
+            return t.rename_columns([as_name])
+
+        return ds.map_batches(ren, batch_format="pyarrow")
+
+    edges = [
+        ("orders.o_custkey->customer.c_custkey",
+         ("orders", "o_custkey"), ("customer", "c_custkey")),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+        ("customer.c_nationkey->nation.n_nationkey",
+         ("customer", "c_nationkey"), ("nation", "n_nationkey")),
+        ("events.user_id->customer.c_custkey",
+         ("events", "user_id"), ("customer", "c_custkey")),
+    ]
+    rows = []
+    for name, (lt, lc), (rt, rc) in edges:
+        left = _keys(lt, lc, lc)
+        right = _keys(rt, rc, lc)
+        orphans = bucketed_hash_join(left, right, lc, how="anti").count()
+        rows.append((name, int(orphans), _n_rows(sf_dir, lt)))
+    return pd.DataFrame(rows, columns=["fk", "n_orphans", "n_rows"]) \
+        .astype({"n_orphans": "int64", "n_rows": "int64"}) \
+        .sort_values("fk").reset_index(drop=True)
+
+
+
+FK_ORPHANS_SQL = """
+SELECT * FROM (
+  SELECT 'orders.o_custkey->customer.c_custkey' AS fk,
+         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS n_orphans,
+         (SELECT COUNT(*) FROM orders) AS n_rows
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation.n_nationkey',
+         (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM nation n
+             WHERE n.n_nationkey = c.c_nationkey)),
+         (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT 'events.user_id->customer.c_custkey',
+         (SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+         (SELECT COUNT(*) FROM events))
+ORDER BY fk
+"""
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -402,3 +402,57 @@ def test_fk_orphans_audit_values(ray_session):
         f" WHERE c.c_custkey = e.user_id)").fetchone()[0]
     assert out.loc["events.user_id->customer.c_custkey",
                    "n_orphans"] == want
+
+
+def test_set_similarity_join_exact_vs_bruteforce(ray_session):
+    """PPJoin prefix filtering is LOSSLESS: the verified pair set equals
+    the brute-force all-pairs word-set Jaccard join (values included),
+    exercised on a corpus with planted exact dups, overlapping word-soup
+    docs, an empty doc and a disjoint doc."""
+    import pyarrow as pa
+    import ray.data as rd
+    from wtes_ray.ops.dedup import _word_jaccard, set_similarity_join
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(8, 30)))
+             for _ in range(40)]
+    texts += [texts[0], texts[3],              # exact dups
+              "", "zz yy xx qq"]               # empty + disjoint
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    tau = 0.6
+    got = set_similarity_join(ds, threshold=tau, num_buckets=4) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+    rows = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            jac = _word_jaccard(texts[i], texts[j], 1)
+            if jac >= tau:
+                rows.append((i, j, jac))
+    want = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    assert len(got) == len(want) and len(want) >= 2
+    assert (got["a"].to_numpy() == want["a"].to_numpy()).all()
+    assert (got["b"].to_numpy() == want["b"].to_numpy()).all()
+    assert np.array_equal(got["jaccard"].to_numpy(),
+                          want["jaccard"].to_numpy())  # bit-exact
+    assert not got["truncated"].any()
+
+
+def test_set_similarity_join_bucket_cap_flags(ray_session):
+    """A hot prefix token above max_bucket caps-and-flags (never silent)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from wtes_ray.ops.dedup import set_similarity_join
+
+    # 12 identical docs: every token is in every prefix; tiny cap
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array(["alpha beta gamma"] * 12, pa.string())}))
+    got = set_similarity_join(ds, threshold=0.9, num_buckets=2,
+                              max_bucket=8).to_pandas()
+    assert got["truncated"].all() and len(got) > 0

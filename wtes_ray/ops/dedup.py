@@ -1214,3 +1214,139 @@ def semantic_dedup(ds: ray.data.Dataset, *, id_col: str = "vec_id",
 
     return _grouped_exchange(assigned, "centroid_id", dedup_block,
                              num_buckets=num_buckets)
+
+
+def set_similarity_join(ds: ray.data.Dataset, *, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.7,
+                        num_buckets: int = 64, max_bucket: int = 10_000,
+                        vocab_rows_budget: int = 50_000_000
+                        ) -> ray.data.Dataset:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin family,
+    Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search", WWW'07):
+    every pair (a < b) whose word-token SETS (``_word_tokens``: ASCII
+    ``[a-z0-9_]+`` of the lowered text) have Jaccard >= ``threshold``.
+    Unlike ``minhash_lsh_pairs`` this is not probabilistic — prefix
+    filtering is a LOSSLESS candidate generator, so the verified output is
+    the complete qualifying pair set (full-value SQL-oracle-able; the only
+    escape is the explicit capped-bucket ``truncated`` flag, shared with
+    the LSH ops). Returns (a, b, truncated, jaccard).
+
+    The lemma: order the corpus vocabulary once, globally, by ascending
+    document frequency (rarest first; ties by token). For a set of size s,
+    the prefix is its first p = s - ceil(tau*s) + 1 tokens in that order.
+    If J(A,B) >= tau then |A∩B| >= ceil(tau*max(|A|,|B|)), and a pair
+    sharing NO prefix token has all its common tokens inside suffixes of
+    size ceil(tau*s) - 1 < |A∩B| — contradiction. So bucketing candidate
+    generation by prefix token has recall exactly 1.
+
+    Scale shape (100 TB posture):
+      1. one corpus pass of per-block distinct-token partial counts → a
+         vocab-sized (token, df) groupby. The ORDERED vocab broadcasts once
+         (``ray.put``); Zipf keeps vocab ≪ corpus, and the explicit
+         ``vocab_rows_budget`` fails loudly rather than silently shipping
+         an over-size object per task.
+      2. prefix emission: each doc emits ONLY its p globally-rarest tokens
+         as (tok_rank, id, size) int rows — texts never enter the
+         exchange, and the ~(1-tau) prefix fraction means the corpus'
+         stop-words (max df = max rank) almost never emit: the hot buckets
+         a naive token-inverted-index join would melt on are exactly the
+         ones prefix filtering skips.
+      3. per-token buckets generate candidates under the PPJoin size
+         filter (J >= tau ⇒ min(sa, sb) >= tau·max(sa, sb)), capped and
+         flagged at ``max_bucket``, deduped by ``_combine_pairs``.
+      4. exact verify via :func:`verify_pairs_jaccard` (mode="word",
+         ngram=1 — word 1-gram sets ARE the token sets): broadcast-or-join
+         size dispatch, candidate texts move at most once.
+
+    Epsilon discipline: the ceil/size-filter comparisons use a -1e-9 slack
+    so float rounding can only ENLARGE prefixes / keep extra candidates
+    (harmless pruning loss) — never drop a qualifying pair. The final
+    threshold compare happens on the exact |∩|/|∪| double, the identical
+    IEEE division the SQL oracle performs on the same two integers.
+    """
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    # ---- pass 1: global document frequencies → ordered vocab ----
+    def df_partial(df: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for text in df[text_col]:
+            c.update(set(_word_tokens(text or "")))
+        return pa.table({"tok": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    vocab = ds.map_batches(df_partial, batch_format="pandas") \
+        .groupby("tok").aggregate(Sum("n", alias_name="df")).to_pandas()
+    if len(vocab) > vocab_rows_budget:
+        raise ValueError(
+            f"vocabulary ({len(vocab)} tokens) exceeds the broadcast "
+            f"budget ({vocab_rows_budget}); shard the rank table or raise "
+            "the budget explicitly")
+    vocab = vocab.sort_values(["df", "tok"], kind="mergesort")
+    rank_ref = _ray.put(
+        {t: i for i, t in enumerate(vocab["tok"].to_numpy())})
+
+    # ---- pass 2: prefix emission (rarest p tokens per doc) ----
+    def emit_prefix(df: pd.DataFrame) -> pa.Table:
+        rk = _ray.get(rank_ref)
+        toks: list[int] = []
+        ids: list[int] = []
+        sizes: list[int] = []
+        for i, text in zip(df[id_col], df[text_col]):
+            rs = sorted(rk[t] for t in set(_word_tokens(text or "")))
+            s = len(rs)
+            if s == 0:
+                continue  # empty set pairs with nothing (kernel: J = 0.0)
+            req = math.ceil(threshold * s - 1e-9)  # min overlap if J >= tau
+            p = s - req + 1
+            toks.extend(rs[:p])
+            ids.extend([int(i)] * p)
+            sizes.extend([s] * p)
+        return pa.table({"tok_rank": pa.array(toks, pa.int64()),
+                         "id": pa.array(ids, pa.int64()),
+                         "size": pa.array(sizes, pa.int64())})
+
+    prefix = ds.map_batches(emit_prefix, batch_format="pandas")
+
+    # ---- pass 3: bucketed candidate generation under the size filter ----
+    def pairs_block(g: pd.DataFrame) -> pa.Table:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_t: list[np.ndarray] = []
+        for _, grp in g.groupby("tok_rank", sort=False):
+            trunc = len(grp) > max_bucket
+            if trunc:
+                grp = grp.sort_values("id").head(max_bucket)
+            else:
+                grp = grp.sort_values("id")
+            ids = grp["id"].to_numpy()
+            sz = grp["size"].to_numpy()
+            m = len(ids)
+            if m < 2:
+                continue
+            ix, iy = np.triu_indices(m, k=1)
+            ok = (np.minimum(sz[ix], sz[iy]) + 1e-9
+                  >= threshold * np.maximum(sz[ix], sz[iy]))
+            out_a.append(ids[ix[ok]])
+            out_b.append(ids[iy[ok]])
+            out_t.append(np.full(int(ok.sum()), trunc, dtype=bool))
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "truncated": pa.array([], pa.bool_())})
+        return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "b": pa.array(np.concatenate(out_b), pa.int64()),
+                         "truncated": pa.array(np.concatenate(out_t),
+                                               pa.bool_())})
+
+    cand = _grouped_exchange(prefix, "tok_rank", pairs_block,
+                             num_buckets=num_buckets)
+    combined = _combine_pairs(cand, None)
+
+    # ---- pass 4: exact token-set Jaccard verify ----
+    return verify_pairs_jaccard(combined, ds, text_col=text_col,
+                                id_col=id_col, ngram=1, mode="word",
+                                threshold=threshold)

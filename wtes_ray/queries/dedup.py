@@ -570,4 +570,56 @@ ORDER BY t.doc_id
 """
 
 
+def setsim_join_docs(sf_dir: str) -> pd.DataFrame:
+    """EXACT set-similarity self-join (PPJoin prefix filtering — see
+    ops/dedup.set_similarity_join): ALL pairs with word-token-set Jaccard
+    >= 0.7 over the mod-8 document subset ∪ planted dups of its first 20
+    docs (guaranteed J = 1.0 positives at every sf). Unlike the MinHash
+    family this pair set is complete by the prefix-filter lemma, so the
+    WHOLE output is value-hash oracled — both sides compare the identical
+    IEEE |∩|/|∪| double against the threshold before rounding."""
+    from ..ops.dedup import set_similarity_join
+    docs = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    sub = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"],
+                                                    pa.scalar(7)), 0)),
+        batch_format="pyarrow")
+    head = _sorted_head(_t(sf_dir, "documents"), "doc_id",
+                        ["doc_id", "text"], 400)
+    head = head.filter(pc.equal(pc.bit_wise_and(head["doc_id"],
+                                                pa.scalar(7)), 0))
+    head = head.slice(0, 20)  # == SQL "first 20 of sub" (ids are dense)
+    dup = pa.table({"doc_id": pc.add(head["doc_id"], pa.scalar(10**12)),
+                    "text": head["text"]})
+    corpus = sub.union(rd.from_arrow(dup))
+    pairs = set_similarity_join(corpus, threshold=0.7)
+    df = pairs.to_pandas()[["a", "b", "jaccard"]]
+    df["jaccard"] = df["jaccard"].round(6)
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+
+SETSIM_JOIN_SQL = """
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0),
+heads AS (SELECT doc_id, text FROM sub ORDER BY doc_id LIMIT 20),
+corpus AS (SELECT doc_id, text FROM sub
+           UNION ALL
+           SELECT doc_id + 1000000000000 AS doc_id, text FROM heads),
+g AS (SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+               AS toks
+      FROM corpus),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+           / len(list_distinct(list_concat(x.toks, y.toks))) AS j
+  FROM g x JOIN g y ON x.doc_id < y.doc_id
+  WHERE len(x.toks) > 0 AND len(y.toks) > 0)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       ROUND(j, 6) AS jaccard
+FROM pairs WHERE j >= 0.7 ORDER BY a, b
+"""
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -456,3 +456,52 @@ def test_set_similarity_join_bucket_cap_flags(ray_session):
     got = set_similarity_join(ds, threshold=0.9, num_buckets=2,
                               max_bucket=8).to_pandas()
     assert got["truncated"].all() and len(got) > 0
+
+
+def test_naive_bayes_matches_sklearn_formula(ray_session):
+    """Distributed NB train/classify equals a direct dense multinomial-NB
+    computation (add-one smoothing, log-space) on a tiny labelled corpus;
+    ties break to the lexicographically smallest label on 6dp scores."""
+    import pyarrow as pa
+    import ray.data as rd
+    from wtes_ray.ops.dedup import _word_tokens
+    from wtes_ray.ops.infer import naive_bayes_classify, naive_bayes_train
+
+    rows = [(1, "cat dog cat", "en"), (2, "chat chien chat", "fr"),
+            (3, "dog dog bird", "en"), (4, "chien oiseau", "fr"),
+            (5, "cat bird", "en"), (6, "chat chat", "fr"),
+            (7, "???", "en")]  # empty-token doc → skipped
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string())}))
+    model = naive_bayes_train(ds, text_col="text", label_col="lang")
+    got = naive_bayes_classify(ds, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == [1, 2, 3, 4, 5, 6]  # doc 7 skipped
+
+    # direct dense recomputation
+    from collections import Counter
+    labelled = [(d, _word_tokens(t), l) for d, t, l in rows
+                if _word_tokens(t)]
+    classes = sorted({l for _, _, l in labelled})
+    vocab = sorted({t for _, toks, _ in labelled for t in toks})
+    V = len(vocab)
+    cnt = {c: Counter() for c in classes}
+    nd = Counter()
+    for _, toks, l in labelled:
+        nd[l] += 1
+        cnt[l].update(toks)
+    for d, toks, _ in labelled:
+        scores = {}
+        for c in classes:
+            tot = sum(cnt[c].values())
+            s = np.log(nd[c] / len(labelled))
+            for t in toks:
+                s += np.log((cnt[c][t] + 1.0) / (tot + V))
+            scores[c] = round(s, 6)
+        best = max(classes, key=lambda c: (scores[c], ) + (tuple(
+            -ord(ch) for ch in c), ))
+        row = got[got["doc_id"] == d].iloc[0]
+        assert row["pred_label"] == best
+        assert abs(row["score"] - scores[best]) < 1e-9

@@ -68,3 +68,131 @@ def linear_classify(ds: ray.data.Dataset, weights: np.ndarray, *,
             "score": pa.array(best)})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def naive_bayes_train(ds: ray.data.Dataset, *, text_col: str = "text",
+                      label_col: str = "lang",
+                      vocab_rows_budget: int = 50_000_000) -> dict:
+    """Train a multinomial Naive Bayes text classifier (word-token counts,
+    add-one smoothing) distributed: ONE corpus pass emits per-block partial
+    (label, token, n) counts + per-label doc counts, a vocab-sized groupby
+    finishes, and the model — O(classes × vocab), Zipf-bounded ≪ corpus —
+    assembles on the driver for broadcast. Docs whose token set is EMPTY
+    (non-ASCII-only text) contribute no counts and are skipped at classify
+    time (the SQL oracle mirrors with a len > 0 guard).
+
+    Returns {classes, priors_log, vocab (token→col), L (C×V log-prob
+    matrix), default_log (C,) unseen-token log-prob, v}:
+      L[c, t]       = ln((count(c, t) + 1) / (tokens(c) + V))
+      default_log[c] = ln(1 / (tokens(c) + V))
+      priors_log[c] = ln(docs(c) / N)
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _word_tokens
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cnt: Counter = Counter()
+        docs: Counter = Counter()
+        for lab, text in zip(df[label_col], df[text_col]):
+            toks = _word_tokens(text or "")
+            if not toks:
+                continue
+            docs[lab] += 1
+            for t in toks:
+                cnt[(lab, t)] += 1
+        labs = [k[0] for k in cnt] + list(docs.keys())
+        toks_ = [k[1] for k in cnt] + [""] * len(docs)  # "" = doc-count row
+        ns = list(cnt.values()) + list(docs.values())
+        return pa.table({"lab": pa.array(labs, pa.string()),
+                         "tok": pa.array(toks_, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["lab", "tok"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    if len(agg) > vocab_rows_budget:
+        raise ValueError(
+            f"model ({len(agg)} label-token rows) exceeds the broadcast "
+            f"budget ({vocab_rows_budget})")
+    is_doc = agg["tok"] == ""
+    doc_counts = dict(zip(agg.loc[is_doc, "lab"], agg.loc[is_doc, "n"]))
+    counts = agg.loc[~is_doc]
+
+    classes = sorted(doc_counts)          # lexicographic — the tie order
+    cidx = {c: i for i, c in enumerate(classes)}
+    vocab_sorted = sorted(counts["tok"].unique())
+    vidx = {t: i for i, t in enumerate(vocab_sorted)}
+    v = len(vocab_sorted)
+    n_total = int(sum(doc_counts.values()))
+
+    cnt_m = np.zeros((len(classes), v), dtype=np.float64)
+    cnt_m[[cidx[l] for l in counts["lab"]],
+          [vidx[t] for t in counts["tok"]]] = counts["n"].to_numpy()
+    tokens_per_class = cnt_m.sum(axis=1)
+    denom = (tokens_per_class + v)[:, None]
+    return {
+        "classes": classes,
+        "priors_log": np.log(np.array(
+            [doc_counts[c] for c in classes], dtype=np.float64) / n_total),
+        "vocab": vidx,
+        "L": np.log((cnt_m + 1.0) / denom),
+        "default_log": np.log(1.0 / denom[:, 0]),
+        "v": v,
+    }
+
+
+def naive_bayes_classify(ds: ray.data.Dataset, model: dict, *,
+                         text_col: str = "text", id_col: str = "doc_id"
+                         ) -> ray.data.Dataset:
+    """Classify every doc with a broadcast NB ``model`` (one ``ray.put``;
+    per-batch work is ONE (n_docs × n_terms) sparse gather + matmul-shaped
+    reduction). Emits (id_col, pred_label, score): score = 6dp-rounded log
+    posterior; argmax with ties to the LEXICOGRAPHICALLY SMALLEST label on
+    the ROUNDED score (round-before-argmax — numpy's summation order and a
+    SQL ``SUM`` agree at 6dp, cf. linear_classify). Empty-token docs are
+    SKIPPED (mirrored by the oracle's len > 0 guard)."""
+    from collections import Counter
+
+    from .dedup import _word_tokens
+
+    m_ref = ray.put(model)
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        m = ray.get(m_ref)
+        vidx, L, dflt = m["vocab"], m["L"], m["default_log"]
+        prior = m["priors_log"]
+        ids: list[int] = []
+        preds: list[str] = []
+        scores: list[float] = []
+        for i, text in zip(df[id_col], df[text_col]):
+            toks = _word_tokens(text or "")
+            if not toks:
+                continue
+            c = Counter(toks)
+            known_idx = []
+            known_m = []
+            unseen = 0
+            for t, n in c.items():
+                j = vidx.get(t)
+                if j is None:
+                    unseen += n
+                else:
+                    known_idx.append(j)
+                    known_m.append(n)
+            s = prior + dflt * unseen
+            if known_idx:
+                s = s + L[:, np.asarray(known_idx)] @ np.asarray(
+                    known_m, dtype=np.float64)
+            s6 = np.round(s, 6)
+            k = int(s6.argmax())          # first max = smallest class
+            ids.append(int(i))
+            preds.append(m["classes"][k])
+            scores.append(float(s6[k]))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "pred_label": pa.array(preds, pa.string()),
+                         "score": pa.array(scores, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pandas")

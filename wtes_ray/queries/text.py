@@ -921,4 +921,58 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 """
 
 
+def naive_bayes_lang(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes over word-token counts (add-one smoothing),
+    trained distributed on documents with label = lang, then every doc
+    classified against the broadcast model (ops/infer.naive_bayes_*).
+    Output (doc_id, pred_label, score): 6dp-rounded log posterior, argmax
+    ties to the lexicographically smallest label — the round-before-argmax
+    discipline shared with linear_classify / bm25_topk."""
+    from ..ops.infer import naive_bayes_classify, naive_bayes_train
+    docs = _read_pq(_t(sf_dir, "documents"),
+                    columns=["doc_id", "text", "lang"])
+    model = naive_bayes_train(docs, text_col="text", label_col="lang")
+    out = naive_bayes_classify(docs, model).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+
+NAIVE_BAYES_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents),
+doc_tok AS (SELECT doc_id, tok, COUNT(*) AS m FROM toks
+            GROUP BY doc_id, tok),
+model AS (SELECT lang AS cls, tok, COUNT(*) AS cnt FROM toks
+          GROUP BY lang, tok),
+tot AS (SELECT cls, SUM(cnt) AS t FROM model GROUP BY cls),
+nv AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+prior AS (SELECT lang AS cls, COUNT(*) AS nd
+          FROM (SELECT doc_id, lang FROM toks GROUP BY doc_id, lang)
+          GROUP BY lang),
+ntot AS (SELECT SUM(nd) AS n FROM prior),
+scores AS (
+  SELECT d.doc_id, c.cls,
+         LN(CAST(p.nd AS DOUBLE) / ntot.n)
+           + SUM(d.m * LN((COALESCE(mo.cnt, 0) + 1.0) / (tt.t + nv.v)))
+           AS s
+  FROM doc_tok d
+  CROSS JOIN (SELECT DISTINCT cls FROM model) c
+  LEFT JOIN model mo ON mo.cls = c.cls AND mo.tok = d.tok
+  JOIN tot tt ON tt.cls = c.cls
+  JOIN prior p ON p.cls = c.cls
+  CROSS JOIN nv CROSS JOIN ntot
+  GROUP BY d.doc_id, c.cls, p.nd, ntot.n),
+ranked AS (
+  SELECT doc_id, cls, ROUND(s, 6) AS s6,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ROUND(s, 6) DESC, cls ASC) AS rn
+  FROM scores)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, cls AS pred_label, s6 AS score
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -505,3 +505,46 @@ def test_naive_bayes_matches_sklearn_formula(ray_session):
         row = got[got["doc_id"] == d].iloc[0]
         assert row["pred_label"] == best
         assert abs(row["score"] - scores[best]) < 1e-9
+
+
+def test_hits_arms_equal(ray_session):
+    from wtes_ray.ops.graph import hits
+    a = hits(_edges(EDGES), iterations=3) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    b = hits(_edges(EDGES), iterations=3,
+             force_distributed=True, num_buckets=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert (a["node"] == b["node"]).all()
+    assert np.allclose(a["authority"], b["authority"], atol=1e-12, rtol=0)
+    assert np.allclose(a["hub"], b["hub"], atol=1e-12, rtol=0)
+
+
+def test_hits_matches_naive(ray_session):
+    from wtes_ray.ops.graph import hits
+    out = hits(_edges(EDGES), iterations=3) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    nodes = sorted({u for e in EDGES for u in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    es = sorted(set(EDGES))
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    a = np.zeros(len(nodes))
+    for _ in range(3):
+        a = np.zeros(len(nodes))
+        for u, v in es:
+            a[ix[v]] += h[ix[u]]
+        if a.sum() > 0:
+            a /= a.sum()
+        h = np.zeros(len(nodes))
+        for u, v in es:
+            h[ix[u]] += a[ix[v]]
+        if h.sum() > 0:
+            h /= h.sum()
+    assert np.allclose(out["authority"], a, atol=1e-12, rtol=0)
+    assert np.allclose(out["hub"], h, atol=1e-12, rtol=0)
+
+
+def test_hits_empty(ray_session):
+    from wtes_ray.ops.graph import hits
+    out = hits(_edges([]), iterations=2)
+    assert out.count() == 0
+    assert out.schema().names == ["node", "authority", "hub"]

@@ -762,3 +762,152 @@ def _wpr_distributed(e, nodes, n, base, damping, iterations,
                                     "pagerank": df["rank"].to_numpy()}))
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def hits(edges: ray.data.Dataset, *, iterations: int = 2,
+         src: str = "src", dst: str = "dst", dedupe: bool = True,
+         nodes_budget: int = 1_000_000, force_distributed: bool = False,
+         num_buckets: int = 32) -> ray.data.Dataset:
+    """HITS hubs/authorities over an edge Dataset; returns
+    ``(node, authority, hub)``.
+
+    Kleinberg's iteration, L1-normalized (divide by the score sum — keeps
+    every step a plain SUM/JOIN, so the unrolled-CTE oracle in
+    queries/graphml.py evaluates the exact same recurrence in ANSI SQL;
+    L2 would work too but buys nothing and costs a SQRT per step):
+
+        a_k(v) = Σ_{(u,v)∈E} h_{k-1}(u)   then  a_k /= Σ_v a_k(v)
+        h_k(u) = Σ_{(u,v)∈E} a_k(v)       then  h_k /= Σ_u h_k(u)
+
+    Nodes with no in-edges get authority 0; no out-edges → hub 0. Same
+    size-dispatched dual arms as :func:`pagerank` (driver-vector when the
+    node count fits ``nodes_budget``, bucketed-join otherwise), pinned
+    result-equal in tests/test_round5.py. Two streaming edge passes per
+    iteration — the information-theoretic minimum for the two half-steps.
+
+    Reference tie-in: the ER graph the reference ships to Neo4j
+    (src/IO/neo4jExecutor.py) is a hub-shaped web graph (subject pages
+    fan out to property values); HITS is the classic score pair for
+    exactly that topology.
+    """
+    from .dedup import _consolidate
+    e = distinct_edges(edges, src=src, dst=dst) if dedupe else edges
+    e = _consolidate(e)
+
+    nodes = _node_set(e, src, dst).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(_arrow(
+            pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "authority": pd.Series([], dtype="float64"),
+                          "hub": pd.Series([], dtype="float64")})))
+
+    if not force_distributed and n <= nodes_budget:
+        return _hits_driver_vector(e, nodes, n, iterations, src, dst)
+    return _hits_distributed(e, nodes, n, iterations, src, dst, num_buckets)
+
+
+def _hits_half_step(e, w_series, key_in, key_out) -> pd.DataFrame:
+    """One HITS half-step: stream the edges, weight each edge by the
+    broadcast score of its ``key_in`` endpoint, partial-sum per
+    ``key_out`` endpoint inside the block, finish with one small
+    node-keyed groupby. Returns the UNNORMALIZED (node, v) frame."""
+    w_ref = ray.put(w_series)
+
+    def partial(t: pa.Table, *, _w=w_ref) -> pa.Table:
+        ws = ray.get(_w) if isinstance(_w, ray.ObjectRef) else _w
+        df = t.select([key_in, key_out]).to_pandas()
+        c = ws.reindex(df[key_in].to_numpy()).to_numpy()
+        out = (pd.DataFrame({"node": df[key_out].to_numpy(), "v": c})
+               .groupby("node", as_index=False)["v"].sum())
+        return _arrow(out)
+
+    return e.map_batches(partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("v", alias_name="v")).to_pandas()
+
+
+def _hits_driver_vector(e, nodes, n, iterations, src, dst):
+    node_ids = nodes.to_pandas()["node"].to_numpy()
+    h = pd.Series(1.0 / n, index=node_ids, dtype="float64")
+    a = pd.Series(0.0, index=node_ids, dtype="float64")
+
+    for _ in range(iterations):
+        ar = _hits_half_step(e, h, src, dst)
+        a = pd.Series(0.0, index=node_ids, dtype="float64")
+        a.loc[ar["node"].to_numpy()] = ar["v"].to_numpy()
+        s = float(a.sum())
+        if s > 0:
+            a /= s
+        hr = _hits_half_step(e, a, dst, src)
+        h = pd.Series(0.0, index=node_ids, dtype="float64")
+        h.loc[hr["node"].to_numpy()] = hr["v"].to_numpy()
+        s = float(h.sum())
+        if s > 0:
+            h /= s
+
+    out = pd.DataFrame({"node": node_ids, "authority": a.to_numpy(),
+                        "hub": h.to_numpy()})
+    return ray.data.from_arrow(_arrow(out))
+
+
+def _hits_distributed(e, nodes, n, iterations, src, dst, num_buckets):
+    """State dataset (node, a, h) co-partitioned with the edges through
+    the bucketed hash join; the L1 normalizer is the only driver-side
+    value per half-step (one scalar ``Dataset.sum``)."""
+    state_schema = pa.schema([("node", pa.int64()), ("a", pa.float64()),
+                              ("h", pa.float64())])
+
+    def seed(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _arrow(pd.DataFrame({"node": df["node"].to_numpy(),
+                                    "a": 0.0, "h": 1.0 / n}))
+
+    state = nodes.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def half(state, score_col, key_in, key_out, out_col):
+        def weights(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            return _arrow(pd.DataFrame({key_in: df["node"].to_numpy(),
+                                        "w": df[score_col].to_numpy()}))
+
+        w = state.map_batches(weights, batch_format="pyarrow")
+        joined = bucketed_hash_join(
+            e, w, on=key_in, num_buckets=num_buckets,
+            right_schema=pa.schema([(key_in, pa.int64()),
+                                    ("w", pa.float64())]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            out = (pd.DataFrame({"node": df[key_out].to_numpy(),
+                                 "v": df["w"].to_numpy()})
+                   .groupby("node", as_index=False)["v"].sum())
+            return _arrow(out)
+
+        raw = joined.map_batches(partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("v", alias_name="v")) \
+            .materialize()
+        s = raw.sum("v") or 0.0
+
+        def advance(t: pa.Table, *, _s=s) -> pa.Table:
+            df = t.to_pandas()
+            v = df["v"].fillna(0.0) if "v" in df.columns else 0.0
+            df[out_col] = (v / _s) if _s > 0 else 0.0
+            return _arrow(df[["node", "a", "h"]])
+
+        return bucketed_hash_join(
+            state, raw, on="node", how="left", num_buckets=num_buckets,
+            left_schema=state_schema,
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("v", pa.float64())])) \
+            .map_batches(advance, batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        state = half(state, "h", src, dst, "a")
+        state = half(state, "a", dst, src, "h")
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _arrow(df[["node", "a", "h"]].rename(
+            columns={"a": "authority", "h": "hub"}))
+
+    return state.map_batches(finish, batch_format="pyarrow")

@@ -599,4 +599,71 @@ KHOP_SQL = _khop_sql()
 
 
 
+
+
+_HITS_ITERS = 2
+
+
+def hits_lineitem(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities over the order→part graph (node = key mod
+    1000): 2 L1-normalized Kleinberg iterations, two streaming edge
+    passes each with per-block partial sums (ops/graph.hits —
+    driver-vector arm at this node count; the bucketed fully-distributed
+    arm is pinned result-equal in tests/test_round5.py). 8dp rounding
+    kills summation-order ULP drift, same argument as pagerank_lineitem
+    (scores are O(1e-3), per-step float error O(1e-15))."""
+    from ..ops.graph import hits
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("l_orderkey").to_numpy() % _PR_MOD,
+            "dst": t.column("l_partkey").to_numpy() % _PR_MOD})
+
+    out = hits(ds.map_batches(edges, batch_format="pyarrow"),
+               iterations=_HITS_ITERS).to_pandas()
+    out["authority"] = out["authority"].round(8)
+    out["hub"] = out["hub"].round(8)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _hits_sql(iters: int = _HITS_ITERS, mod: int = _PR_MOD) -> str:
+    """Unrolled-CTE HITS oracle: a{k}/h{k} reference h{k-1}/a{k} — DuckDB
+    evaluates the exact same L1-normalized iteration in plain ANSI SQL
+    (generated chain, the same device as _pagerank_sql/_kmeans_sql)."""
+    ctes = [f"""edges AS (
+  SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
+  FROM lineitem)""",
+            """nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges)""",
+            "cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+            """h0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS h
+         FROM nodes)"""]
+    for k in range(1, iters + 1):
+        hp = f"h{k - 1}"
+        ctes.append(f"""a{k}r AS (
+  SELECT e.dst AS node, SUM(s.h) AS v
+  FROM edges e JOIN {hp} s ON e.src = s.node GROUP BY e.dst)""")
+        ctes.append(f"""a{k} AS (
+  SELECT n.node,
+         COALESCE(r.v, 0) / (SELECT SUM(v) FROM a{k}r) AS a
+  FROM nodes n LEFT JOIN a{k}r r USING (node))""")
+        ctes.append(f"""h{k}r AS (
+  SELECT e.src AS node, SUM(s.a) AS v
+  FROM edges e JOIN a{k} s ON e.dst = s.node GROUP BY e.src)""")
+        ctes.append(f"""h{k} AS (
+  SELECT n.node,
+         COALESCE(r.v, 0) / (SELECT SUM(v) FROM h{k}r) AS h
+  FROM nodes n LEFT JOIN h{k}r r USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT a.node, ROUND(a.a, 8) AS authority, ROUND(h.h, 8) AS hub
+FROM a{iters} a JOIN h{iters} h USING (node)
+ORDER BY a.node""")
+
+
+HITS_SQL = _hits_sql()
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

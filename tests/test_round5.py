@@ -548,3 +548,41 @@ def test_hits_empty(ray_session):
     out = hits(_edges([]), iterations=2)
     assert out.count() == 0
     assert out.schema().names == ["node", "authority", "hub"]
+
+
+def _ssedges(rows):
+    import pyarrow as pa
+    import ray.data as rd
+    s, d, w = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(s, dtype=np.int64)),
+        "dst": pa.array(np.asarray(d, dtype=np.int64)),
+        "w": pa.array(np.asarray(w, dtype=np.int64))}))
+
+
+SSSP_EDGES = [(0, 1, 4), (0, 2, 1), (2, 1, 1), (1, 3, 2), (3, 4, 1),
+              (5, 6, 1), (2, 3, 7), (4, 0, 1), (0, 2, 9)]
+
+
+def test_sssp_arms_equal(ray_session):
+    from wtes_ray.ops.graph import sssp
+    a = sssp(_ssedges(SSSP_EDGES), 0, rounds=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    b = sssp(_ssedges(SSSP_EDGES), 0, rounds=4,
+             force_distributed=True, num_buckets=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_sssp_bounded_rounds_semantics(ray_session):
+    from wtes_ray.ops.graph import sssp
+    out = sssp(_ssedges(SSSP_EDGES), 0, rounds=4) \
+        .to_pandas().set_index("node")["dist"].to_dict()
+    # parallel edge (0,2) collapses to MIN weight 1; node 4 needs 4 hops;
+    # nodes 5,6 unreachable and absent
+    assert out == {0: 0, 1: 2, 2: 1, 3: 4, 4: 5}
+    two = sssp(_ssedges(SSSP_EDGES), 0, rounds=2) \
+        .to_pandas().set_index("node")["dist"].to_dict()
+    # synchronous rounds: after round 2 node 3 still reads 6 (via node 1's
+    # round-1 dist of 4); node 4 not yet reached
+    assert two == {0: 0, 1: 2, 2: 1, 3: 6}

@@ -911,3 +911,149 @@ def _hits_distributed(e, nodes, n, iterations, src, dst, num_buckets):
             columns={"a": "authority", "h": "hub"}))
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+_SSSP_INF = 1 << 60         # integer infinity sentinel (shared with the SQL)
+
+
+def sssp(edges: ray.data.Dataset, source: int, *, rounds: int = 4,
+         src: str = "src", dst: str = "dst", weight: str = "w",
+         nodes_budget: int = 1_000_000, force_distributed: bool = False,
+         num_buckets: int = 32) -> ray.data.Dataset:
+    """Bounded-round single-source shortest paths (synchronous
+    Bellman-Ford) over a weighted edge Dataset; returns ``(node, dist)``
+    for every node reachable from ``source`` within ``rounds`` hops.
+
+    Relaxation per round (min is order-independent, and the weights are
+    integers, so BOTH arms and the unrolled-CTE SQL oracle are bit-exact
+    — no rounding needed, unlike the float iterations):
+
+        dist_k(v) = min( dist_{k-1}(v),
+                         min_{(u,v,w)∈E, dist_{k-1}(u) finite}
+                             dist_{k-1}(u) + w )
+
+    Parallel edges collapse to their MIN weight first (one groupby).
+    Unreached nodes carry the ``_SSSP_INF`` sentinel internally and are
+    dropped from the output. Same size-dispatched dual arms as
+    :func:`pagerank`; one streaming edge pass per round.
+    """
+    from ray.data.aggregate import Min
+
+    e = edges.groupby([src, dst]).aggregate(Min(weight, alias_name=weight))
+    from .dedup import _consolidate
+    e = _consolidate(e)
+
+    nodes = _node_set(e, src, dst).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(_arrow(
+            pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "dist": pd.Series([], dtype="int64")})))
+
+    if not force_distributed and n <= nodes_budget:
+        return _sssp_driver_vector(e, nodes, source, rounds, src, dst,
+                                   weight)
+    return _sssp_distributed(e, nodes, source, rounds, src, dst, weight,
+                             num_buckets)
+
+
+def _sssp_driver_vector(e, nodes, source, rounds, src, dst, weight):
+    from ray.data.aggregate import Min
+
+    node_ids = nodes.to_pandas()["node"].to_numpy()
+    dist = pd.Series(_SSSP_INF, index=node_ids, dtype="int64")
+    if source in dist.index:
+        dist.loc[source] = 0
+
+    for _ in range(rounds):
+        d_ref = ray.put(dist)
+
+        def partial(t: pa.Table, *, _d=d_ref) -> pa.Table:
+            dv = ray.get(_d) if isinstance(_d, ray.ObjectRef) else _d
+            df = t.select([src, dst, weight]).to_pandas()
+            du = dv.reindex(df[src].to_numpy()).to_numpy()
+            fin = du < _SSSP_INF
+            if not fin.any():
+                return _arrow(pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"),
+                     "m": pd.Series([], dtype="int64")}))
+            cand = du[fin] + df[weight].to_numpy()[fin]
+            out = (pd.DataFrame({"node": df[dst].to_numpy()[fin],
+                                 "m": cand})
+                   .groupby("node", as_index=False)["m"].min())
+            return _arrow(out)
+
+        relax = e.map_batches(partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("m", alias_name="m")).to_pandas()
+        if len(relax):
+            cur = dist.loc[relax["node"].to_numpy()].to_numpy()
+            dist.loc[relax["node"].to_numpy()] = np.minimum(
+                cur, relax["m"].to_numpy())
+
+    out = pd.DataFrame({"node": node_ids, "dist": dist.to_numpy()})
+    out = out[out["dist"] < _SSSP_INF].reset_index(drop=True)
+    return ray.data.from_arrow(_arrow(out))
+
+
+def _sssp_distributed(e, nodes, source, rounds, src, dst, weight,
+                      num_buckets):
+    """State dataset (node, dist) co-partitioned with the edges; the
+    relaxation join and the state merge are both bucketed — nothing
+    node-sized on the driver."""
+    from ray.data.aggregate import Min
+
+    state_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    def seed(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        d = np.full(len(df), _SSSP_INF, dtype=np.int64)
+        d[df["node"].to_numpy() == source] = 0
+        return _arrow(pd.DataFrame({"node": df["node"].to_numpy(),
+                                    "dist": d}))
+
+    state = nodes.map_batches(seed, batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        def frontier(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df = df[df["dist"] < _SSSP_INF]
+            return _arrow(pd.DataFrame({src: df["node"].to_numpy(),
+                                        "du": df["dist"].to_numpy()}))
+
+        f = state.map_batches(frontier, batch_format="pyarrow")
+        joined = bucketed_hash_join(
+            e, f, on=src, num_buckets=num_buckets,
+            right_schema=pa.schema([(src, pa.int64()),
+                                    ("du", pa.int64())]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            out = (pd.DataFrame({
+                "node": df[dst].to_numpy(),
+                "m": df["du"].to_numpy() + df[weight].to_numpy()})
+                .groupby("node", as_index=False)["m"].min())
+            return _arrow(out)
+
+        relax = joined.map_batches(partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("m", alias_name="m"))
+
+        def advance(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            m = (df["m"].fillna(_SSSP_INF).astype("int64")
+                 if "m" in df.columns
+                 else pd.Series(_SSSP_INF, index=df.index, dtype="int64"))
+            df["dist"] = np.minimum(df["dist"].to_numpy(), m.to_numpy())
+            return _arrow(df[["node", "dist"]])
+
+        state = bucketed_hash_join(
+            state, relax, on="node", how="left", num_buckets=num_buckets,
+            left_schema=state_schema,
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("m", pa.int64())])) \
+            .map_batches(advance, batch_format="pyarrow").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _arrow(df[df["dist"] < _SSSP_INF][["node", "dist"]])
+
+    return state.map_batches(finish, batch_format="pyarrow")

@@ -666,4 +666,70 @@ ORDER BY a.node""")
 HITS_SQL = _hits_sql()
 
 
+_SSSP_ROUNDS = 4
+
+
+def sssp_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Bounded-round single-source shortest paths over the weighted
+    order→part graph (node = key mod 1000, integer weight
+    ``1 + (orderkey+partkey) % 9``, parallel edges collapsed to MIN
+    weight), 4 synchronous Bellman-Ford rounds from node 0 (ops/
+    graph.sssp — driver-vector arm here; the bucketed fully-distributed
+    arm is pinned result-equal in tests/test_round5.py). All-integer
+    min/plus relaxation ⇒ BIT-EXACT vs the unrolled-CTE oracle, no
+    rounding anywhere — the 2nd integer-exact iterative surface beside
+    cc_labels_lineitem."""
+    from ..ops.graph import sssp
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey",
+                                                   "l_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy()
+        pk = t.column("l_partkey").to_numpy()
+        return pa.table({
+            "src": pa.array(ok % _PR_MOD, pa.int64()),
+            "dst": pa.array(pk % _PR_MOD, pa.int64()),
+            "w": pa.array(1 + (ok + pk) % 9, pa.int64())})
+
+    out = sssp(ds.map_batches(edges, batch_format="pyarrow"), 0,
+               rounds=_SSSP_ROUNDS).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sssp_sql(rounds: int = _SSSP_ROUNDS, mod: int = _PR_MOD) -> str:
+    """Unrolled-CTE Bellman-Ford oracle; the _SSSP_INF sentinel literal
+    is shared with ops/graph.sssp, and relaxation only reads finite
+    frontier rows — identical to both Ray arms."""
+    from ..ops.graph import _SSSP_INF as INF
+    ctes = [f"""e0 AS (
+  SELECT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst,
+         1 + (l_orderkey + l_partkey) % 9 AS w
+  FROM lineitem)""",
+            """edges AS (SELECT src, dst, MIN(w) AS w FROM e0
+          GROUP BY src, dst)""",
+            """nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges)""",
+            f"""d0 AS (SELECT node,
+         CASE WHEN node = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST({INF} AS BIGINT) END AS dist
+         FROM nodes)"""]
+    for k in range(1, rounds + 1):
+        prev = f"d{k - 1}"
+        ctes.append(f"""d{k} AS (
+  SELECT n.node, LEAST(p.dist, COALESCE(r.m, CAST({INF} AS BIGINT))) AS dist
+  FROM nodes n
+  JOIN {prev} p USING (node)
+  LEFT JOIN (SELECT e.dst AS node, MIN(p2.dist + e.w) AS m
+             FROM edges e JOIN {prev} p2 ON e.src = p2.node
+             WHERE p2.dist < {INF} GROUP BY e.dst) r USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+WHERE dist < {INF} ORDER BY node""")
+
+
+SSSP_SQL = _sssp_sql()
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -732,4 +732,153 @@ WHERE dist < {INF} ORDER BY node""")
 SSSP_SQL = _sssp_sql()
 
 
+
+
+_AA_MOD = 5000        # node synthesis modulus (shared with triangle_count)
+_AA_DEG_CAP = 64      # wedge centers above this degree are skipped (their
+                      # 1/ln(deg) contribution is the smallest; the cap is
+                      # the standard candidate-generation bound that keeps
+                      # wedge volume <= cap^2 per center at any scale)
+_AA_TOPK = 100
+
+
+def adamic_adar_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Adamic-Adar link prediction over the order–part graph (node = key
+    mod 5000): for every NON-edge pair (x, y) sharing a common neighbor
+    of degree ≤ _AA_DEG_CAP, score = Σ_w 1/ln(deg(w)); top-100 by
+    (rounded score DESC, x, y).
+
+    Shape: canon distinct edges → adjacency (2 rows/edge) → ONE bucketed
+    per-center exchange (ops/dedup._grouped_exchange) where the group
+    SIZE is the degree and pair emission is numpy index arithmetic,
+    bounded cap² per center → (x, y) groupby sum → pair-keyed ANTI join
+    against the edge set (bucketed, the scale-safe NOT IN) → per-block
+    partial top-k + bounded driver finish. Round-BEFORE-rank at 6dp makes
+    the cut ULP-stable vs the SQL (scores O(1), float error O(1e-14));
+    a common neighbor has degree ≥ 2 so ln(deg) is never 0."""
+    from ray.data.aggregate import Sum as _Sum
+    from ..ops.dedup import _grouped_exchange
+    from ..ops.joins import bucketed_hash_join
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey",
+                                                   "l_partkey"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column("l_orderkey").to_numpy() % _AA_MOD
+        b = t.column("l_partkey").to_numpy() % _AA_MOD
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                         "b": pa.array(hi[keep], pa.int64())})
+
+    edges = ds.map_batches(canon, batch_format="pyarrow") \
+        .groupby(["a", "b"]).count().select_columns(["a", "b"]) \
+        .materialize()
+
+    def adj(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        return pa.table({
+            "c": pa.array(np.concatenate([a, b]), pa.int64()),
+            "n": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        out_x, out_y, out_w = [], [], []
+        for _, grp in g.groupby("c"):
+            d = len(grp)
+            if d < 2 or d > _AA_DEG_CAP:
+                continue
+            nb = np.sort(grp["n"].to_numpy())
+            ix, iy = np.triu_indices(d, k=1)
+            out_x.append(nb[ix])
+            out_y.append(nb[iy])
+            out_w.append(np.full(len(ix), 1.0 / np.log(d)))
+        if not out_x:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64())})
+        return pa.table({"x": pa.array(np.concatenate(out_x), pa.int64()),
+                         "y": pa.array(np.concatenate(out_y), pa.int64()),
+                         "w": pa.array(np.concatenate(out_w),
+                                       pa.float64())})
+
+    wd = _grouped_exchange(
+        edges.map_batches(adj, batch_format="pyarrow"), "c", wedges)
+
+    # pair aggregation: fuse (x, y) into ONE int64 key and run the sum as
+    # a second bucketed exchange — Ray's sort-based 2-key groupby measured
+    # 38 s on the 2M-wedge sf0.01 graph vs ~2 s for this shape
+    def fuse_pk(t: pa.Table) -> pa.Table:
+        return t.append_column("pk", pa.array(
+            t.column("x").to_numpy() * _AA_MOD + t.column("y").to_numpy(),
+            pa.int64()))
+
+    def sum_pairs(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("pk", as_index=False)["w"].sum()
+        pk = out["pk"].to_numpy()
+        return pa.table({"x": pa.array(pk // _AA_MOD, pa.int64()),
+                         "y": pa.array(pk % _AA_MOD, pa.int64()),
+                         "aa": pa.array(out["w"].to_numpy(), pa.float64()),
+                         "pk": pa.array(pk, pa.int64())})
+
+    scored = _grouped_exchange(
+        wd.map_batches(fuse_pk, batch_format="pyarrow"), "pk", sum_pairs)
+
+    def ekey(t: pa.Table) -> pa.Table:
+        return t.append_column("pk", pa.array(
+            t.column("a").to_numpy() * _AA_MOD + t.column("b").to_numpy(),
+            pa.int64()))
+
+    non_edges = bucketed_hash_join(
+        scored,
+        edges.map_batches(ekey, batch_format="pyarrow"),
+        on="pk", how="anti",
+        left_schema=pa.schema([("x", pa.int64()), ("y", pa.int64()),
+                               ("aa", pa.float64()), ("pk", pa.int64())]),
+        right_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("pk", pa.int64())]))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["aa"] = df["aa"].round(6)
+        df = df.sort_values(["aa", "x", "y"],
+                            ascending=[False, True, True]).head(_AA_TOPK)
+        return _arrow(df[["x", "y", "aa"]])
+
+    parts = non_edges.map_batches(block_topk,
+                                  batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["aa", "x", "y"],
+                            ascending=[False, True, True]) \
+               .head(_AA_TOPK).reset_index(drop=True)
+    return out.rename(columns={"x": "a", "y": "b"})
+
+
+ADAMIC_ADAR_SQL = f"""
+WITH e0 AS (
+  SELECT DISTINCT LEAST(l_orderkey % {_AA_MOD}, l_partkey % {_AA_MOD}) AS a,
+         GREATEST(l_orderkey % {_AA_MOD}, l_partkey % {_AA_MOD}) AS b
+  FROM lineitem
+  WHERE l_orderkey % {_AA_MOD} <> l_partkey % {_AA_MOD}),
+adj AS (SELECT a AS c, b AS n FROM e0
+        UNION ALL SELECT b AS c, a AS n FROM e0),
+deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
+wed AS (
+  SELECT a2.n AS x, a3.n AS y, 1.0 / LN(dg.d) AS w
+  FROM adj a2
+  JOIN adj a3 ON a3.c = a2.c AND a2.n < a3.n
+  JOIN deg dg ON dg.c = a2.c
+  WHERE dg.d BETWEEN 2 AND {_AA_DEG_CAP}),
+sc AS (
+  SELECT x, y, ROUND(SUM(w), 6) AS aa FROM wed
+  GROUP BY x, y),
+ne AS (
+  SELECT s.x AS a, s.y AS b, s.aa FROM sc s
+  WHERE NOT EXISTS (SELECT 1 FROM e0 e
+                    WHERE e.a = s.x AND e.b = s.y))
+SELECT a, b, aa FROM ne
+ORDER BY aa DESC, a, b
+LIMIT {_AA_TOPK}
+"""
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -586,3 +586,29 @@ def test_sssp_bounded_rounds_semantics(ray_session):
     # synchronous rounds: after round 2 node 3 still reads 6 (via node 1's
     # round-1 dist of 4); node 4 not yet reached
     assert two == {0: 0, 1: 2, 2: 1, 3: 6}
+
+
+def test_ranksum_auc_matches_pair_counting(ray_session):
+    import ray.data as rd
+    from wtes_ray.ops.infer import ranksum_auc
+    rng = np.random.RandomState(7)
+    score = np.round(rng.rand(400), 2)          # coarse rounding → many ties
+    pos = (rng.rand(400) < 0.3).astype("int64")
+    out = ranksum_auc(rd.from_pandas(pd.DataFrame(
+        {"score": score, "pos": pos})))
+    # naive O(n^2) pair counting: P(s_pos > s_neg) + 0.5 P(=)
+    sp, sn = score[pos == 1], score[pos == 0]
+    wins = (sp[:, None] > sn[None, :]).sum()
+    ties = (sp[:, None] == sn[None, :]).sum()
+    expect = (wins + 0.5 * ties) / (len(sp) * len(sn))
+    assert out["n_pos"][0] == int(pos.sum())
+    assert out["n_neg"][0] == int((1 - pos).sum())
+    assert abs(out["auc"][0] - round(expect, 6)) < 1e-9
+
+
+def test_ranksum_auc_degenerate_single_class(ray_session):
+    import ray.data as rd
+    from wtes_ray.ops.infer import ranksum_auc
+    out = ranksum_auc(rd.from_pandas(pd.DataFrame(
+        {"score": [0.1, 0.2], "pos": [1, 1]})))
+    assert np.isnan(out["auc"][0])

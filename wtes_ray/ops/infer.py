@@ -196,3 +196,56 @@ def naive_bayes_classify(ds: ray.data.Dataset, model: dict, *,
                          "score": pa.array(scores, pa.float64())})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def ranksum_auc(ds: "ray.data.Dataset", *, score_col: str = "score",
+                label_col: str = "pos") -> "pd.DataFrame":
+    """Exact ROC AUC by the rank-sum (Mann-Whitney U) identity with
+    average-rank tie handling:
+
+        AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)
+
+    where R_pos is the sum of 1-based average ranks of the positives
+    under an ascending sort of the scores.
+
+    Distributed shape: ONE streaming pass computes per-block
+    (score → n_pos, n_total) partials, one score-keyed groupby merges
+    them, and the driver finishes over the DISTINCT-score table — which
+    is bounded by the score's value space, not the row count (callers
+    round scores first; a 6dp score in [0, 1] has ≤ 1e6+1 distinct
+    values no matter how many rows stream through). Every driver-side
+    term (cum-below + (cnt+1)/2, times n_pos) is an integer or a half —
+    exactly representable — so the sums are order-independent and the
+    result is bit-identical to the SQL window-function oracle.
+
+    ``label_col`` must be 0/1 int; returns a 1-row DataFrame
+    (n_pos, n_neg, auc rounded 6dp).
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(score_col, as_index=False).agg(
+            np_=(label_col, "sum"), c=(label_col, "size"))
+        return pd.DataFrame({"s": g[score_col].to_numpy(),
+                             "np_": g["np_"].astype("int64").to_numpy(),
+                             "c": g["c"].astype("int64").to_numpy()})
+
+    from ray.data.aggregate import Sum
+    merged = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("s").aggregate(Sum("np_", alias_name="np_"),
+                                Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("s").reset_index(drop=True)
+
+    import numpy as np
+    c = merged["c"].to_numpy(dtype=np.float64)
+    npos_s = merged["np_"].to_numpy(dtype=np.float64)
+    below = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+    avg_rank = below + (c + 1.0) / 2.0
+    r_pos = float((npos_s * avg_rank).sum())
+    n_pos = float(npos_s.sum())
+    n_neg = float(c.sum() - n_pos)
+    auc = ((r_pos - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg)
+           if n_pos > 0 and n_neg > 0 else float("nan"))
+    return pd.DataFrame({"n_pos": pd.Series([int(n_pos)], dtype="int64"),
+                         "n_neg": pd.Series([int(n_neg)], dtype="int64"),
+                         "auc": [round(auc, 6)]})

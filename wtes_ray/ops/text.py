@@ -112,8 +112,8 @@ def token_stats(ds: ray.data.Dataset, text_col: str = "text",
 
 
 def stopword_stats(ds: ray.data.Dataset, *, text_col: str = "text",
-                   id_col: str = "doc_id",
-                   lang: str = "en") -> ray.data.Dataset:
+                   id_col: str = "doc_id", lang: str = "en",
+                   keep_cols: tuple = ()) -> ray.data.Dataset:
     """Per-doc stopword counting (the Gopher-style quality signal): number
     and fraction of word tokens (``\\w+``, lowercased) that are stopwords
     of ``lang``. Frozenset membership is C-speed per token; the token walk
@@ -137,13 +137,16 @@ def stopword_stats(ds: ray.data.Dataset, *, text_col: str = "text",
             n_stop.append(sum(1 for w in toks if w in stops))
         n_words = pd.Series(n_words, index=batch.index)
         n_stop = pd.Series(n_stop, index=batch.index)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: batch[id_col],
             "n_words": n_words.astype("int64"),
             "n_stopwords": n_stop.astype("int64"),
             "stopword_ratio": (n_stop / n_words.replace(0, 1))
             .where(n_words > 0, 0.0).round(6),
         })
+        for c in keep_cols:
+            out[c] = batch[c]
+        return out
 
     return ds.map_batches(f, batch_format="pandas")
 

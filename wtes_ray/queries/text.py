@@ -975,4 +975,60 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 
 
 
+
+
+def auc_stopword_en(sf_dir: str) -> pd.DataFrame:
+    """ROC AUC of the English-stopword-ratio quality signal as a
+    detector of ``lang == 'en'`` — the standard one-number eval for a
+    corpus-filter signal (rank-sum / Mann-Whitney identity with
+    average-rank ties; ops/infer.ranksum_auc).
+
+    Shape: one streaming pass scores the docs (the SAME rounded-6dp
+    ratio as stopword_stats_docs, so the driver-side distinct-score
+    table is bounded by the VALUE SPACE ≤ 1e6+1, not the corpus size)
+    + a binary label; per-block (score → n_pos, n) partials, one
+    score-keyed groupby, bounded driver finish. All driver terms are
+    integers/halves ⇒ bit-identical to the SQL window oracle."""
+    from ..ops.infer import ranksum_auc
+    from ..ops.text import stopword_stats
+
+    ds = _read_pq(_t(sf_dir, "documents"),
+                  columns=["doc_id", "text", "lang"])
+    scored = stopword_stats(ds, keep_cols=("lang",))
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "score": df["stopword_ratio"].to_numpy(),
+            "pos": (df["lang"] == "en").astype("int64").to_numpy()})
+
+    return ranksum_auc(scored.map_batches(lab, batch_format="pandas"))
+
+
+AUC_STOPWORD_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+  FROM documents),
+scored AS (
+  SELECT ROUND(len(list_filter(toks, t -> t IN ({_STOP_EN_SQL}))) * 1.0
+               / greatest(len(toks), 1), 6) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM base),
+g AS (SELECT s, SUM(pos) AS np_, COUNT(*) AS c FROM scored GROUP BY s),
+o AS (SELECT s, np_, c,
+             COALESCE(SUM(c) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM g),
+sums AS (SELECT SUM(np_ * (below + (c + 1) / 2.0)) AS rpos,
+                SUM(np_) AS npos, SUM(c) AS n
+         FROM o)
+SELECT CAST(npos AS BIGINT) AS n_pos,
+       CAST(n - npos AS BIGINT) AS n_neg,
+       ROUND((rpos - npos * (npos + 1) / 2.0)
+             / (npos * (n - npos)), 6) AS auc
+FROM sums
+"""
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -612,3 +612,24 @@ def test_ranksum_auc_degenerate_single_class(ray_session):
     out = ranksum_auc(rd.from_pandas(pd.DataFrame(
         {"score": [0.1, 0.2], "pos": [1, 1]})))
     assert np.isnan(out["auc"][0])
+
+
+def test_orc_roundtrip_identity(ray_session):
+    import pyarrow.parquet as _pq
+
+    from wtes_ray.queries.registry import REGISTRY
+    out = REGISTRY["orc_roundtrip_events"][0]("/root/testdata/sf0.001")
+    want = _pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"]) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_calibration_bins_sum_to_corpus(ray_session):
+    from wtes_ray.queries.registry import REGISTRY
+    out = REGISTRY["calibration_stopword_en"][0]("/root/testdata/sf0.001")
+    assert out["n"].sum() == 500            # sf0.001 corpus size
+    assert ((out["p_en"] >= 0) & (out["p_en"] <= 1)).all()
+    assert (out["n_pos"] <= out["n"]).all()
+    assert out["bin"].between(0, 19).all()

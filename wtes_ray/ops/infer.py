@@ -249,3 +249,46 @@ def ranksum_auc(ds: "ray.data.Dataset", *, score_col: str = "score",
     return pd.DataFrame({"n_pos": pd.Series([int(n_pos)], dtype="int64"),
                          "n_neg": pd.Series([int(n_neg)], dtype="int64"),
                          "auc": [round(auc, 6)]})
+
+
+def grouped_ranksum_auc(ds: "ray.data.Dataset", *, group_col: str,
+                        score_col: str = "score",
+                        label_col: str = "pos") -> "pd.DataFrame":
+    """Per-group exact ROC AUC — :func:`ranksum_auc` with the rank sums
+    computed WITHIN each group (the per-domain / per-source eval slice a
+    corpus-quality dashboard wants). One streaming pass of
+    (group, score) partials, one exchange, driver finish bounded by
+    groups × distinct rounded scores. Degenerate groups (all-positive or
+    all-negative) are dropped on both sides — their AUC is undefined.
+    Returns (group_col, n_pos, n_neg, auc) sorted by group."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_col, score_col], as_index=False).agg(
+            np_=(label_col, "sum"), c=(label_col, "size"))
+        g["np_"] = g["np_"].astype("int64")
+        g["c"] = g["c"].astype("int64")
+        return g.rename(columns={score_col: "s"})
+
+    merged = ds.map_batches(partial, batch_format="pandas") \
+        .groupby([group_col, "s"]).aggregate(Sum("np_", alias_name="np_"),
+                                             Sum("c", alias_name="c")) \
+        .to_pandas().sort_values([group_col, "s"]).reset_index(drop=True)
+
+    rows = []
+    for grp, sub in merged.groupby(group_col, sort=True):
+        c = sub["c"].to_numpy(dtype=np.float64)
+        npos_s = sub["np_"].to_numpy(dtype=np.float64)
+        below = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+        r_pos = float((npos_s * (below + (c + 1.0) / 2.0)).sum())
+        n_pos = float(npos_s.sum())
+        n_neg = float(c.sum() - n_pos)
+        if n_pos == 0 or n_neg == 0:
+            continue
+        rows.append((grp, int(n_pos), int(n_neg),
+                     round((r_pos - n_pos * (n_pos + 1.0) / 2.0)
+                           / (n_pos * n_neg), 6)))
+    return pd.DataFrame(rows, columns=[group_col, "n_pos", "n_neg",
+                                       "auc"])

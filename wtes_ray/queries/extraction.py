@@ -301,4 +301,50 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+
+def orc_roundtrip_events(sf_dir: str) -> pd.DataFrame:
+    """ORC source+sink (columnar interchange beside the parquet/CSV/JSONL
+    sinks): the typed event subset shards to one .orc file per block via
+    an Arrow-native ``pyarrow.orc`` writer inside ``map_batches`` (the
+    same per-block resumable layout as the parquet sinks), then streams
+    back with FILE-granular parallelism — a paths dataset fans out and
+    each task decodes its own ORC file zero-copy to Arrow. The oracle is
+    the identity select, so the whole sink→source composition is
+    value-hash-checked (int64/string/double survive exactly; binary
+    columnar codec, not a text format)."""
+    import tempfile
+    import uuid
+
+    import pyarrow.orc  # noqa: F401  (import check at plan time)
+
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_id", "user_id", "event_type", "value"])
+    out_dir = tempfile.mkdtemp(prefix="orc_rt_", dir="/tmp")
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        from pyarrow import orc as _orc
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.orc")
+        _orc.write_table(t, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    manifest = ds.map_batches(write_shard,
+                              batch_format="pyarrow").to_pandas()
+
+    def read_shard(row_batch: pd.DataFrame) -> pa.Table:
+        from pyarrow import orc as _orc
+        tabs = [_orc.read_table(p) for p in row_batch["path"]]
+        return pa.concat_tables(tabs)
+
+    back = rd.from_pandas(manifest[["path"]]) \
+        .map_batches(read_shard, batch_format="pandas", batch_size=1)
+    df = back.to_pandas()[["event_id", "user_id", "event_type", "value"]]
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+ORC_ROUNDTRIP_SQL = ("SELECT event_id, user_id, event_type, value "
+                     "FROM events ORDER BY event_id")
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -1031,4 +1031,123 @@ FROM sums
 """
 
 
+
+
+_CALIB_BINS = 20
+
+
+def calibration_stopword_en(sf_dir: str) -> pd.DataFrame:
+    """Reliability curve for the stopword-ratio 'is English' detector:
+    fixed-width score bins (bin = FLOOR(score·20), clamped so score 1.0
+    joins the top bin), per-bin doc count and empirical P(lang='en') —
+    the standard calibration companion to auc_stopword_en (a signal can
+    rank well but still be miscalibrated; the pair pins both).
+
+    Shape: the same one-pass scoring, then per-block (bin → n_pos, n)
+    partials and ONE 20-row groupby — no driver state beyond the bins.
+    The rate divides two exact integers and rounds at 6dp ⇒
+    bit-identical to SQL."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..ops.text import stopword_stats
+
+    ds = _read_pq(_t(sf_dir, "documents"),
+                  columns=["doc_id", "text", "lang"])
+    scored = stopword_stats(ds, keep_cols=("lang",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum((df["stopword_ratio"].to_numpy()
+                        * _CALIB_BINS).astype("int64"), _CALIB_BINS - 1)
+        pos = (df["lang"] == "en").astype("int64").to_numpy()
+        g = pd.DataFrame({"bin": b, "n_pos": pos, "n": 1}) \
+            .groupby("bin", as_index=False).sum()
+        return g
+
+    out = scored.map_batches(partial, batch_format="pandas") \
+        .groupby("bin").aggregate(_Sum("n_pos", alias_name="n_pos"),
+                                  _Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("bin").reset_index(drop=True)
+    out["n_pos"] = out["n_pos"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["p_en"] = (out["n_pos"] / out["n"]).round(6)
+    return out[["bin", "n", "n_pos", "p_en"]]
+
+
+CALIBRATION_STOPWORD_SQL = rf"""
+WITH base AS (
+  SELECT lang,
+         regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+  FROM documents),
+scored AS (
+  SELECT LEAST(CAST(FLOOR(
+           ROUND(len(list_filter(toks, t -> t IN ({_STOP_EN_SQL}))) * 1.0
+                 / greatest(len(toks), 1), 6) * {_CALIB_BINS}) AS BIGINT),
+           {_CALIB_BINS - 1}) AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM base)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       ROUND(SUM(pos) * 1.0 / COUNT(*), 6) AS p_en
+FROM scored GROUP BY bin ORDER BY bin
+"""
+
+
+
+
+def auc_stopword_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source ROC AUC of the stopword-ratio 'is English' detector —
+    the per-domain eval slice (a signal can rank well corpus-wide but
+    fail inside one source; this pins each slice). Same bounded
+    distinct-score exchange as auc_stopword_en, partitioned by source
+    (ops/infer.grouped_ranksum_auc); degenerate slices (single-class)
+    are dropped on both sides."""
+    from ..ops.infer import grouped_ranksum_auc
+    from ..ops.text import stopword_stats
+
+    ds = _read_pq(_t(sf_dir, "documents"),
+                  columns=["doc_id", "text", "lang", "source"])
+    scored = stopword_stats(ds, keep_cols=("lang", "source"))
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "score": df["stopword_ratio"].to_numpy(),
+            "pos": (df["lang"] == "en").astype("int64").to_numpy()})
+
+    out = grouped_ranksum_auc(
+        scored.map_batches(lab, batch_format="pandas"),
+        group_col="source")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+AUC_BY_SOURCE_SQL = rf"""
+WITH base AS (
+  SELECT source, lang,
+         regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+  FROM documents),
+scored AS (
+  SELECT source,
+         ROUND(len(list_filter(toks, t -> t IN ({_STOP_EN_SQL}))) * 1.0
+               / greatest(len(toks), 1), 6) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM base),
+g AS (SELECT source, s, SUM(pos) AS np_, COUNT(*) AS c
+      FROM scored GROUP BY source, s),
+o AS (SELECT source, s, np_, c,
+             COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM g),
+sums AS (SELECT source, SUM(np_ * (below + (c + 1) / 2.0)) AS rpos,
+                SUM(np_) AS npos, SUM(c) AS n
+         FROM o GROUP BY source
+         HAVING SUM(np_) > 0 AND SUM(np_) < SUM(c))
+SELECT source, CAST(npos AS BIGINT) AS n_pos,
+       CAST(n - npos AS BIGINT) AS n_neg,
+       ROUND((rpos - npos * (npos + 1) / 2.0)
+             / (npos * (n - npos)), 6) AS auc
+FROM sums ORDER BY source
+"""
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -1908,4 +1908,81 @@ ORDER BY q
 
 
 
+
+
+def hll_window_users(sf_dir: str) -> pd.DataFrame:
+    """7-day sliding-window approximate distinct users per day — the
+    sketch-MERGE use case that makes HLL worth carrying at scale: per-day
+    register tables are built ONCE (one (day, bucket) groupby-max over
+    md5-derived integer registers, ops/sketch.grouped_hll_registers) and
+    each day's trailing-week estimate merges 7 register tables by
+    elementwise max — no rescan of the raw events, no distinct-set
+    union. The driver finish is bounded by days × 4096 integer rows.
+    Oracle: the identical register chain in SQL, window-merged by a
+    calendar range join, with the same alpha / linear-counting estimate
+    arithmetic (4dp round absorbs summation-order ULP, the
+    approx_distinct_users precedent)."""
+    from ..ops.sketch import _M, grouped_hll_registers, hll_estimate
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def day_of(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return pd.DataFrame({"day": df["ts"].dt.floor("D"),
+                             "user_id": df["user_id"]})
+
+    regs = grouped_hll_registers(
+        ds.map_batches(day_of, batch_format="pyarrow"),
+        "day", "user_id").to_pandas()
+
+    days = np.sort(regs["day"].unique())
+    by_day = {d: sub for d, sub in regs.groupby("day")}
+    rows = []
+    for d in days:
+        lo = d - np.timedelta64(6, "D")
+        merged = np.zeros(_M, dtype=np.int64)
+        for w, sub in by_day.items():
+            if lo <= w <= d:
+                b = sub["bucket"].to_numpy(np.int64)
+                np.maximum.at(merged, b,
+                              sub["register"].to_numpy(np.int64))
+        nz = np.nonzero(merged)[0]
+        est = hll_estimate(pd.DataFrame({"bucket": nz,
+                                         "register": merged[nz]}))
+        rows.append((pd.Timestamp(d), round(est, 4)))
+    return pd.DataFrame(rows, columns=["day", "approx_users_7d"])
+
+
+HLL_WINDOW_SQL = """
+WITH e AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),
+h AS (SELECT DISTINCT day,
+             md5_number_lower('hll:' || CAST(user_id AS VARCHAR)) AS h
+      FROM e),
+r AS (SELECT day, CAST(h >> 52 AS BIGINT) AS bucket,
+             CASE WHEN (h & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+                  ELSE 53 - length(bin(h & ((1::UBIGINT << 52) - 1)))
+             END AS rank
+      FROM h),
+regs AS (SELECT day, bucket, MAX(rank) AS register
+         FROM r GROUP BY day, bucket),
+days AS (SELECT DISTINCT day FROM e),
+merged AS (SELECT d.day AS day, r.bucket, MAX(r.register) AS register
+           FROM days d JOIN regs r
+             ON r.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+           GROUP BY d.day, r.bucket),
+s AS (SELECT day, SUM(POW(2.0, -register)) + (4096 - COUNT(*)) AS denom,
+             4096 - COUNT(*) AS zeros
+      FROM merged GROUP BY day),
+est AS (SELECT day,
+               CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                         / denom <= 2.5 * 4096 AND zeros > 0
+                    THEN 4096.0 * LN(4096.0 / zeros)
+                    ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                         / denom
+               END AS e
+        FROM s)
+SELECT day, ROUND(e, 4) AS approx_users_7d FROM est ORDER BY day
+"""
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

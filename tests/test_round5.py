@@ -633,3 +633,21 @@ def test_calibration_bins_sum_to_corpus(ray_session):
     assert ((out["p_en"] >= 0) & (out["p_en"] <= 1)).all()
     assert (out["n_pos"] <= out["n"]).all()
     assert out["bin"].between(0, 19).all()
+
+
+def test_join_skew_profile_matches_pandas(ray_session):
+    import pyarrow.parquet as _pq
+
+    from wtes_ray.queries.registry import REGISTRY
+    out = REGISTRY["join_skew_profile_events"][0]("/root/testdata/sf0.001")
+    u = _pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["user_id"])["user_id"].to_numpy()
+    vc = pd.Series(u).value_counts()
+    assert out["n_keys"][0] == vc.size
+    assert out["selfjoin_size"][0] == int((vc.astype("int64") ** 2).sum())
+    assert out["max_mult"][0] == int(vc.max())
+    top10 = vc.rename_axis("user_id").reset_index(name="count") \
+        .sort_values(["count", "user_id"],
+                     ascending=[False, True]).head(10)
+    assert out["top10_share"][0] == round(
+        float(top10["count"].sum()) / len(u), 6)

@@ -1985,4 +1985,70 @@ SELECT day, ROUND(e, 4) AS approx_users_7d FROM est ORDER BY day
 """
 
 
+
+
+def join_skew_profile_events(sf_dir: str) -> pd.DataFrame:
+    """Join-planning skew profile of the events user_id key: distinct
+    keys, exact self-join output size Σc² (what a user_id⋈user_id
+    equi-join would produce — the quantity a planner sizes exchanges
+    with), the maximum multiplicity, and the share of rows held by the
+    top-10 hottest keys (the salting decision input; ops/joins salts on
+    exactly this signal).
+
+    Shape: per-block key counts pre-aggregate before ONE user-keyed
+    groupby (the only exchange); Σc², max c and the top-10 close from
+    per-block partials over the count table — integers throughout, so
+    everything but the 6dp-rounded share is bit-exact."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(t.column("user_id").to_numpy()) \
+            .value_counts(sort=False)
+        return pd.DataFrame({"user_id": vc.index.to_numpy(),
+                             "c": vc.to_numpy().astype("int64")})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(_Sum("c", alias_name="c")) \
+        .materialize()
+
+    def close(t: pa.Table) -> pd.DataFrame:
+        c = t.column("c").to_numpy()
+        df = pd.DataFrame({"u": t.column("user_id").to_numpy(), "c": c})
+        top = df.sort_values(["c", "u"],
+                             ascending=[False, True]).head(10)
+        return pd.DataFrame({
+            "n_keys": [len(c)], "rows": [int(c.sum())],
+            "sj": [int((c.astype("int64") ** 2).sum())],
+            "max_c": [int(c.max()) if len(c) else 0],
+            "top_u": [top["u"].tolist()], "top_c": [top["c"].tolist()]})
+
+    parts = counts.map_batches(close, batch_format="pyarrow").to_pandas()
+    tops = pd.DataFrame({
+        "u": np.concatenate(parts["top_u"].to_list()),
+        "c": np.concatenate(parts["top_c"].to_list())})
+    top10 = tops.sort_values(["c", "u"],
+                             ascending=[False, True]).head(10)
+    rows = int(parts["rows"].sum())
+    return pd.DataFrame({
+        "n_keys": pd.Series([int(parts["n_keys"].sum())], dtype="int64"),
+        "selfjoin_size": pd.Series([int(parts["sj"].sum())],
+                                   dtype="int64"),
+        "max_mult": pd.Series([int(parts["max_c"].max())], dtype="int64"),
+        "top10_share": [round(float(top10["c"].sum()) / rows, 6)]})
+
+
+JOIN_SKEW_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+t10 AS (SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c * c) AS BIGINT) AS selfjoin_size,
+       CAST(MAX(c) AS BIGINT) AS max_mult,
+       ROUND((SELECT SUM(c) FROM t10) * 1.0
+             / (SELECT COUNT(*) FROM events), 6) AS top10_share
+FROM c
+"""
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

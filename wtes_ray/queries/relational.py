@@ -736,4 +736,123 @@ ORDER BY fk
 
 
 
+
+
+_CF_TOPK = 100
+_CF_FUSE = 1 << 21        # fused pair key stride (partkeys < 2^21 at any sf
+                          # this repo tests; asserted in the block fn)
+
+
+def item_cf_similarity(sf_dir: str) -> pd.DataFrame:
+    """Item-item collaborative filtering over order baskets: for every
+    unordered part pair co-purchased in ≥1 order, support = number of
+    co-occurring orders and cosine = support / √(orders(a)·orders(b));
+    top-100 by (rounded cosine DESC, pa, pb) — the classic
+    neighborhood-method recommender precompute (Sarwar et al. 2001,
+    item-based CF).
+
+    Shape: ONE order-keyed bucketed exchange (orders are disjoint across
+    buckets) distinct-ifies each basket and emits its C(k,2) pair rows
+    PLUS per-item sentinel rows (b = -1) in the same stream; pair
+    partials reduce through a second fused-key exchange (the
+    _grouped_exchange pair-sum rule — Ray's sort-based 2-key groupby is
+    ~20× slower here); the part-cardinality-bounded item-count table
+    broadcasts via ray.put for the cosine attach; per-block top-k +
+    bounded driver finish. Round-BEFORE-rank at 6dp (integer support and
+    counts ⇒ the only float is one √ and one ÷, identical operands both
+    sides)."""
+    import ray as _ray
+    from ..ops.dedup import _grouped_exchange
+
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey",
+                                                   "l_partkey"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"o": pc.cast(t.column("l_orderkey"), pa.int64()),
+                         "p": pc.cast(t.column("l_partkey"), pa.int64())})
+
+    def baskets(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates()
+        assert g["p"].max() < _CF_FUSE
+        out_a, out_b = [], []
+        for _, grp in g.groupby("o"):
+            ps = np.sort(grp["p"].to_numpy())
+            if len(ps) >= 2:
+                ix, iy = np.triu_indices(len(ps), k=1)
+                out_a.append(ps[ix])
+                out_b.append(ps[iy])
+        items = g["p"].to_numpy()
+        a = (np.concatenate(out_a) if out_a
+             else np.array([], dtype=np.int64))
+        b = (np.concatenate(out_b) if out_b
+             else np.array([], dtype=np.int64))
+        return pa.table({
+            "a": pa.array(np.concatenate([a, items]), pa.int64()),
+            "b": pa.array(np.concatenate(
+                [b, np.full(len(items), -1, dtype=np.int64)]), pa.int64()),
+            "c": pa.array(np.ones(len(a) + len(items), dtype=np.int64))})
+
+    stream = _grouped_exchange(
+        ds.map_batches(project, batch_format="pyarrow"), "o", baskets) \
+        .materialize()
+
+    # item counts: part-cardinality-bounded -> driver dict + broadcast
+    def item_partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[df["b"] == -1]
+        return df.groupby("a", as_index=False)["c"].sum()
+
+    from ray.data.aggregate import Sum as _Sum
+    ic = stream.map_batches(item_partial, batch_format="pyarrow") \
+        .groupby("a").aggregate(_Sum("c", alias_name="c")).to_pandas()
+    ic_ref = _ray.put(dict(zip(ic["a"].astype("int64"),
+                               ic["c"].astype("int64"))))
+
+    def fuse(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["b"] >= 0]
+        return _arrow(pd.DataFrame({
+            "pk": df["a"].to_numpy() * _CF_FUSE + df["b"].to_numpy(),
+            "c": df["c"].to_numpy()}))
+
+    def pair_topk(g: pd.DataFrame, *, _ic=ic_ref) -> pa.Table:
+        import ray as _r
+        counts = _r.get(_ic) if not isinstance(_ic, dict) else _ic
+        s = g.groupby("pk", as_index=False)["c"].sum()
+        pk = s["pk"].to_numpy()
+        pa_, pb_ = pk // _CF_FUSE, pk % _CF_FUSE
+        ca = np.array([counts[v] for v in pa_], dtype=np.float64)
+        cb = np.array([counts[v] for v in pb_], dtype=np.float64)
+        sup = s["c"].to_numpy()
+        cos = np.round(sup / np.sqrt(ca * cb), 6)
+        out = pd.DataFrame({"pa": pa_, "pb": pb_,
+                            "support": sup.astype("int64"),
+                            "cosine": cos}) \
+            .sort_values(["cosine", "pa", "pb"],
+                         ascending=[False, True, True]).head(_CF_TOPK)
+        return _arrow(out)
+
+    parts = _grouped_exchange(
+        stream.map_batches(fuse, batch_format="pyarrow"), "pk",
+        pair_topk).to_pandas()
+    return parts.sort_values(["cosine", "pa", "pb"],
+                             ascending=[False, True, True]) \
+        .head(_CF_TOPK).reset_index(drop=True)
+
+
+ITEM_CF_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+ic AS (SELECT p, COUNT(*) AS c FROM op GROUP BY p),
+pcnt AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS support
+         FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+         GROUP BY a.p, b.p)
+SELECT pa, pb, support,
+       ROUND(support / SQRT(ia.c * ib.c), 6) AS cosine
+FROM pcnt JOIN ic ia ON ia.p = pcnt.pa JOIN ic ib ON ib.p = pcnt.pb
+ORDER BY cosine DESC, pa, pb
+LIMIT {_CF_TOPK}
+"""
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

@@ -651,3 +651,51 @@ def test_join_skew_profile_matches_pandas(ray_session):
                      ascending=[False, True]).head(10)
     assert out["top10_share"][0] == round(
         float(top10["count"].sum()) / len(u), 6)
+
+
+def test_hll_window_tracks_exact_7day_distinct(ray_session):
+    import pyarrow.parquet as _pq
+
+    from wtes_ray.queries.registry import REGISTRY
+    out = REGISTRY["hll_window_users"][0]("/root/testdata/sf0.001")
+    t = _pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    t["day"] = t["ts"].dt.floor("D")
+    for _, row in out.iterrows():
+        d = row["day"]
+        lo = d - pd.Timedelta(days=6)
+        exact = t.loc[(t["day"] >= lo) & (t["day"] <= d),
+                      "user_id"].nunique()
+        # HLL with m=4096 registers: σ ≈ 1.04/√4096 ≈ 1.6%; allow 10%
+        assert abs(row["approx_users_7d"] - exact) <= max(10, 0.1 * exact)
+    # windows only grow or shrink with real data — estimates stay positive
+    assert (out["approx_users_7d"] > 0).all()
+
+
+def test_adamic_adar_hand_graph(ray_session):
+    # star: 1-2, 1-3, 2-3 triangle plus pendant 4-1. Non-edge pairs with
+    # common neighbors: (2,4),(3,4) via center 1 (deg 3), (1,?) none new.
+    # The query is lineitem-bound; test the same shapes via its SQL oracle
+    # vs a hand computation through duckdb on a tiny frame.
+    import duckdb
+    import math
+
+    edges = pd.DataFrame({"a": [1, 1, 2, 1], "b": [2, 3, 3, 4]})
+    con = duckdb.connect()
+    con.register("e0", edges)
+    got = con.execute("""
+        WITH adj AS (SELECT a AS c, b AS n FROM e0
+                     UNION ALL SELECT b, a FROM e0),
+        deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
+        wed AS (SELECT a2.n AS x, a3.n AS y, 1.0 / LN(dg.d) AS w
+                FROM adj a2 JOIN adj a3 ON a3.c = a2.c AND a2.n < a3.n
+                JOIN deg dg ON dg.c = a2.c
+                WHERE dg.d BETWEEN 2 AND 64),
+        sc AS (SELECT x, y, ROUND(SUM(w), 6) AS aa FROM wed GROUP BY x, y),
+        ne AS (SELECT s.x AS a, s.y AS b, s.aa FROM sc s
+               WHERE NOT EXISTS (SELECT 1 FROM e0 e
+                                 WHERE e.a = s.x AND e.b = s.y))
+        SELECT a, b, aa FROM ne ORDER BY a, b""").df()
+    want = pd.DataFrame({"a": [2, 3], "b": [4, 4],
+                         "aa": [round(1 / math.log(3), 6)] * 2})
+    pd.testing.assert_frame_equal(got, want)

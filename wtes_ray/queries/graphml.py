@@ -839,6 +839,13 @@ def adamic_adar_lineitem(sf_dir: str) -> pd.DataFrame:
                                 ("pk", pa.int64())]))
 
     def block_topk(t: pa.Table) -> pa.Table:
+        # empty buckets surface as schemaless 0-row blocks (the known Ray
+        # empty-block gotcha) — emit the typed empty frame instead
+        if t.num_rows == 0 or "aa" not in t.column_names:
+            return _arrow(pd.DataFrame({
+                "x": pd.Series([], dtype="int64"),
+                "y": pd.Series([], dtype="int64"),
+                "aa": pd.Series([], dtype="float64")}))
         df = t.to_pandas()
         df["aa"] = df["aa"].round(6)
         df = df.sort_values(["aa", "x", "y"],
@@ -847,6 +854,13 @@ def adamic_adar_lineitem(sf_dir: str) -> pd.DataFrame:
 
     parts = non_edges.map_batches(block_topk,
                                   batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # a graph whose every center exceeds _AA_DEG_CAP yields an empty
+        # candidate set BY DESIGN (the SQL returns 0 rows too); Ray's
+        # all-empty to_pandas drops columns, so rebuild the typed frame
+        parts = pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                              "y": pd.Series([], dtype="int64"),
+                              "aa": pd.Series([], dtype="float64")})
     out = parts.sort_values(["aa", "x", "y"],
                             ascending=[False, True, True]) \
                .head(_AA_TOPK).reset_index(drop=True)

@@ -993,15 +993,17 @@ FROM d ORDER BY day
 def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
     """Cohort retention (the classic two-level analytics shape): cohort =
     a customer's FIRST order year; output = distinct customers per
-    (cohort, order year). Three bounded stages: (1) per-block (cust, year)
-    partials → one groupby-Min gives the customer-sized cohort table;
-    (2) distinct (cust, year) pairs via groupby (the pre-reduction — order
-    rows never reach the next stage); (3) cohorts broadcast (customer
-    table ≪ fact table — the documented dimension-broadcast contract;
-    above budget this becomes a bucketed join on cust) and a final
-    (cohort, year) count."""
-    import ray as _ray
-    from ray.data.aggregate import Count, Min
+    (cohort, order year). ONE customer-keyed bucketed exchange does
+    everything (customers are disjoint across buckets, so the cohort
+    assignment, the distinct (cust, year) reduction AND the per-bucket
+    (cohort, year) partial counts all happen inside the bucket — no
+    broadcast, no second exchange); the driver combine is bounded by
+    years² rows. Rewritten in round 5 from a 3-aggregate chain: Ray's
+    sort-based Aggregate measured ~5 s per hop on the many-tiny-block
+    layouts the first groupby emits (SCALING.md aggregate-pathology
+    note), and this shape is also the scale-correct one — it ships each
+    order row exactly once."""
+    from ..ops.dedup import _grouped_exchange
 
     ds = _read_pq(_t(sf_dir, "orders"),
                   columns=["o_custkey", "o_orderdate"])
@@ -1011,22 +1013,22 @@ def cohort_retention_orders(sf_dir: str) -> pd.DataFrame:
             "cust": df["o_custkey"].astype("int64"),
             "o_year": df["o_orderdate"].dt.year.astype("int64")})
 
-    cy = ds.map_batches(cust_year, batch_format="pandas").materialize()
-    fy = cy.groupby("cust").aggregate(Min("o_year", alias_name="cohort"))
-    cohort_map = {r["cust"]: r["cohort"] for r in fy.take_all()}
-    ref = _ray.put(cohort_map)
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates()
+        fy = g.groupby("cust")["o_year"].min()
+        out = pd.DataFrame({
+            "cohort": g["cust"].map(fy).astype("int64"),
+            "o_year": g["o_year"].to_numpy()})
+        part = out.groupby(["cohort", "o_year"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(part, preserve_index=False) \
+            .replace_schema_metadata(None)
 
-    pairs = cy.groupby(["cust", "o_year"]).aggregate(Count())
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        cm = _ray.get(ref)
-        return pd.DataFrame({
-            "cohort": df["cust"].map(cm).astype("int64"),
-            "o_year": df["o_year"].astype("int64")})
-
-    out = pairs.map_batches(attach, batch_format="pandas") \
-        .groupby(["cohort", "o_year"]) \
-        .aggregate(Count(alias_name="n_customers")).to_pandas()
+    parts = _grouped_exchange(
+        ds.map_batches(cust_year, batch_format="pandas"), "cust",
+        bucket).to_pandas()
+    out = parts.groupby(["cohort", "o_year"], as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_customers"})
     out["n_customers"] = out["n_customers"].astype("int64")
     return out.sort_values(["cohort", "o_year"]).reset_index(drop=True)
 

@@ -35,9 +35,10 @@ def degree_assortativity_lineitem(sf_dir: str) -> pd.DataFrame:
         return pa.table({"a": pa.array(lo[keep], pa.int64()),
                          "b": pa.array(hi[keep], pa.int64())})
 
-    edges = ds.map_batches(mk_edges, batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Count()) \
-        .select_columns(["a", "b"]).materialize()
+    from ..ops.dedup import _consolidate
+    edges = _consolidate(ds.map_batches(mk_edges, batch_format="pyarrow")
+                         .groupby(["a", "b"]).aggregate(Count())
+                         .select_columns(["a", "b"]))
 
     def deg_partial(t: pa.Table) -> pd.DataFrame:
         nodes = np.concatenate([t.column("a").to_numpy(),
@@ -45,9 +46,11 @@ def degree_assortativity_lineitem(sf_dir: str) -> pd.DataFrame:
         ns, cnt = np.unique(nodes, return_counts=True)
         return pd.DataFrame({"node": ns, "deg": cnt.astype("int64")})
 
+    # node-bounded (mod-1000) -> per-block partials + driver combine
+    # (the Aggregate pathology note in SCALING.md)
     deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
-        .groupby("node").aggregate(_Sum("deg", alias_name="deg"))
-    dmap = {r["node"]: float(r["deg"]) for r in deg.take_all()}
+        .to_pandas().groupby("node", as_index=False)["deg"].sum()
+    dmap = dict(zip(deg["node"], deg["deg"].astype("float64")))
     ref = _ray.put(dmap)
 
     def moments(t: pa.Table) -> pa.Table:
@@ -133,12 +136,17 @@ def cc_labels_lineitem(sf_dir: str) -> pd.DataFrame:
             "u": pa.array(np.concatenate([a, b]), pa.int64()),
             "v": pa.array(np.concatenate([b, a]), pa.int64())})
 
-    sym = ds.map_batches(mk_sym, batch_format="pyarrow") \
-        .groupby(["u", "v"]).aggregate(Count()) \
-        .select_columns(["u", "v"]).materialize()
+    from ..ops.dedup import _consolidate
+    sym = _consolidate(ds.map_batches(mk_sym, batch_format="pyarrow")
+                       .groupby(["u", "v"]).aggregate(Count())
+                       .select_columns(["u", "v"]))
 
-    nodes = sorted({r["u"] for r in
-                    sym.groupby("u").aggregate(Count()).take_all()})
+    def node_partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"u": np.unique(
+            t.column("u").to_numpy(zero_copy_only=False))})
+
+    nodes = sorted(set(sym.map_batches(
+        node_partial, batch_format="pyarrow").to_pandas()["u"]))
     labels = {n: n for n in nodes}
     for _ in range(_CC_ROUNDS):
         ref = _ray.put(labels)
@@ -150,12 +158,14 @@ def cc_labels_lineitem(sf_dir: str) -> pd.DataFrame:
                 "lab": [lm[v] for v in t.column("v").to_pylist()]})
             return df.groupby("node", as_index=False)["lab"].min()
 
+        # node-bounded (mod-1000) -> per-block partials + driver combine
+        # (the Aggregate pathology note in SCALING.md)
         mins = sym.map_batches(contrib, batch_format="pyarrow") \
-            .groupby("node").aggregate(_Min("lab", alias_name="lab"))
+            .to_pandas().groupby("node", as_index=False)["lab"].min()
         new = dict(labels)
-        for r in mins.take_all():
-            if r["lab"] < new[r["node"]]:
-                new[r["node"]] = r["lab"]
+        for node, lab in zip(mins["node"], mins["lab"]):
+            if lab < new[node]:
+                new[node] = lab
         labels = new
 
     return pd.DataFrame({"node": list(labels.keys()),
@@ -220,9 +230,11 @@ def kcore_lineitem(sf_dir: str) -> pd.DataFrame:
         return pa.table({"a": pa.array(lo[keep], pa.int64()),
                          "b": pa.array(hi[keep], pa.int64())})
 
-    edges = ds.map_batches(mk_edges, batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Count()) \
-        .select_columns(["a", "b"]).materialize()
+    from ..ops.dedup import _consolidate
+    edges = _consolidate(
+        ds.map_batches(mk_edges, batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Count())
+        .select_columns(["a", "b"]))
 
     alive: set | None = None          # None = all alive (round 0)
     deg_df = None
@@ -240,9 +252,12 @@ def kcore_lineitem(sf_dir: str) -> pd.DataFrame:
             ns, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
             return pd.DataFrame({"node": ns, "deg": cnt.astype("int64")})
 
+        # per-block partials + driver combine: the node table is
+        # _KCORE_MOD-bounded (a dimension), and Ray's sort-based
+        # Aggregate measured ~15 s/round on this many-tiny-block layout
+        # vs <1 s here (see SCALING.md round-5 aggregate-pathology note)
         deg_df = edges.map_batches(deg_partial, batch_format="pyarrow") \
-            .groupby("node").aggregate(_Sum("deg", alias_name="deg")) \
-            .to_pandas()
+            .to_pandas().groupby("node", as_index=False)["deg"].sum()
         alive = set(deg_df[deg_df["deg"] >= _KCORE_K]["node"])
 
     out = deg_df[deg_df["node"].isin(alive)].copy()

@@ -699,3 +699,55 @@ def test_adamic_adar_hand_graph(ray_session):
     want = pd.DataFrame({"a": [2, 3], "b": [4, 4],
                          "aa": [round(1 / math.log(3), 6)] * 2})
     pd.testing.assert_frame_equal(got, want)
+
+
+def _random_edges_df(seed, n_nodes=30, n_edges=80):
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "src": rng.randint(0, n_nodes, n_edges).astype("int64"),
+        "dst": rng.randint(0, n_nodes, n_edges).astype("int64")})
+    return df[df["src"] != df["dst"]].reset_index(drop=True)
+
+
+def test_hits_sql_chain_matches_op_on_random_graphs(ray_session):
+    """The generated HITS CTE chain == ops.graph.hits on ANY graph, not
+    just the lineitem one — the oracle is the algorithm, not the
+    dataset."""
+    import duckdb
+    import ray.data as rd
+
+    from wtes_ray.ops.graph import hits
+    from wtes_ray.queries.graphml import _hits_sql
+    for seed in (1, 7):
+        df = _random_edges_df(seed)
+        got = hits(rd.from_pandas(df), iterations=2).to_pandas()
+        got["authority"] = got["authority"].round(8)
+        got["hub"] = got["hub"].round(8)
+        got = got.sort_values("node").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("rand_edges", df)
+        sql = _hits_sql(iters=2, edges_sql=(
+            "SELECT DISTINCT src, dst FROM rand_edges"))
+        want = con.execute(sql).df().astype(
+            {"node": "int64"}).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_sssp_sql_chain_matches_op_on_random_graphs(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from wtes_ray.ops.graph import sssp
+    from wtes_ray.queries.graphml import _sssp_sql
+    for seed in (3, 11):
+        df = _random_edges_df(seed)
+        df["w"] = (1 + (df["src"] + df["dst"]) % 9).astype("int64")
+        got = sssp(rd.from_pandas(df), 0, rounds=3).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("rand_edges", df)
+        sql = _sssp_sql(rounds=3, edges_sql=(
+            "SELECT src, dst, w FROM rand_edges"))
+        want = con.execute(sql).df().astype(
+            {"node": "int64", "dist": "int64"}).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)

@@ -643,13 +643,19 @@ def hits_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
-def _hits_sql(iters: int = _HITS_ITERS, mod: int = _PR_MOD) -> str:
+def _hits_sql(iters: int = _HITS_ITERS, mod: int = _PR_MOD,
+              edges_sql: str | None = None) -> str:
     """Unrolled-CTE HITS oracle: a{k}/h{k} reference h{k-1}/a{k} — DuckDB
     evaluates the exact same L1-normalized iteration in plain ANSI SQL
-    (generated chain, the same device as _pagerank_sql/_kmeans_sql)."""
-    ctes = [f"""edges AS (
-  SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
-  FROM lineitem)""",
+    (generated chain, the same device as _pagerank_sql/_kmeans_sql).
+    ``edges_sql`` overrides the edge source (a SELECT yielding src, dst)
+    so the property test can run the SAME chain over ANY graph —
+    tests/test_round5.py pins the chain == ops.graph.hits on a random
+    edge table, generalizing the oracle beyond the lineitem graph."""
+    if edges_sql is None:
+        edges_sql = (f"SELECT DISTINCT l_orderkey % {mod} AS src, "
+                     f"l_partkey % {mod} AS dst FROM lineitem")
+    ctes = [f"""edges AS ({edges_sql})""",
             """nodes AS (SELECT src AS node FROM edges
           UNION SELECT dst FROM edges)""",
             "cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
@@ -712,15 +718,19 @@ def sssp_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
-def _sssp_sql(rounds: int = _SSSP_ROUNDS, mod: int = _PR_MOD) -> str:
+def _sssp_sql(rounds: int = _SSSP_ROUNDS, mod: int = _PR_MOD,
+              edges_sql: str | None = None) -> str:
     """Unrolled-CTE Bellman-Ford oracle; the _SSSP_INF sentinel literal
     is shared with ops/graph.sssp, and relaxation only reads finite
-    frontier rows — identical to both Ray arms."""
+    frontier rows — identical to both Ray arms. ``edges_sql`` overrides
+    the weighted edge source (SELECT yielding src, dst, w) for the
+    any-graph property test in tests/test_round5.py."""
     from ..ops.graph import _SSSP_INF as INF
-    ctes = [f"""e0 AS (
-  SELECT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst,
-         1 + (l_orderkey + l_partkey) % 9 AS w
-  FROM lineitem)""",
+    if edges_sql is None:
+        edges_sql = (f"SELECT l_orderkey % {mod} AS src, "
+                     f"l_partkey % {mod} AS dst, "
+                     f"1 + (l_orderkey + l_partkey) % 9 AS w FROM lineitem")
+    ctes = [f"""e0 AS ({edges_sql})""",
             """edges AS (SELECT src, dst, MIN(w) AS w FROM e0
           GROUP BY src, dst)""",
             """nodes AS (SELECT src AS node FROM edges

@@ -2053,4 +2053,72 @@ FROM c
 """
 
 
+
+
+def event_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Per-type PERCENT_RANK of each event's value (cents grid):
+    pct = (rank-1)/(n_type-1) with RANK ties — the window-function
+    primitive behind score normalization, attached to EVERY event row.
+
+    Shape: the distinct-value table is bounded by the VALUE SPACE
+    (types × cents grid), not the corpus — one pass of per-block
+    (type, cents) count partials + a driver combine builds it, the
+    per-type cumulative rank map broadcasts via ray.put, and a second
+    streaming pass attaches pct to every row (the two-level trick of
+    exact_quantiles / ranksum_auc, here powering a full window
+    function). (rank-1)/(n-1) divides identical integers on both sides
+    ⇒ identical doubles; 6dp round is belt-and-braces."""
+    import ray as _ray
+
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_id", "event_type", "value"])
+
+    def cents_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "cents": np.floor(t.column("value").to_numpy()
+                              * 100.0).astype("int64")})
+        g = df.groupby(["event_type", "cents"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    dist = ds.map_batches(cents_partial, batch_format="pyarrow") \
+        .to_pandas().groupby(["event_type", "cents"],
+                             as_index=False)["c"].sum()
+
+    rank_map = {}
+    for typ, sub in dist.groupby("event_type"):
+        sub = sub.sort_values("cents")
+        c = sub["c"].to_numpy(dtype=np.float64)
+        n = c.sum()
+        below = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+        pct = (below / (n - 1.0)) if n > 1 else np.zeros(len(c))
+        rank_map[typ] = dict(zip(sub["cents"].to_numpy(),
+                                 np.round(pct, 6)))
+    ref = _ray.put(rank_map)
+
+    def attach(t: pa.Table, *, _rm=ref) -> pd.DataFrame:
+        import ray as _r
+        rm = _r.get(_rm) if not isinstance(_rm, dict) else _rm
+        types = t.column("event_type").to_pylist()
+        cents = np.floor(t.column("value").to_numpy()
+                         * 100.0).astype("int64")
+        pct = np.fromiter((rm[ty][ce] for ty, ce in zip(types, cents)),
+                          dtype=np.float64, count=len(cents))
+        return pd.DataFrame({
+            "event_id": t.column("event_id").to_numpy(),
+            "event_type": types, "cents": cents, "pct": pct})
+
+    out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENT_PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+             ORDER BY FLOOR(value * 100)), 6) AS pct
+FROM events ORDER BY event_id
+"""
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

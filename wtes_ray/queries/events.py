@@ -2121,4 +2121,81 @@ FROM events ORDER BY event_id
 """
 
 
+
+
+def ewma_user_daily(sf_dir: str) -> pd.DataFrame:
+    """Per-USER exponentially-weighted daily smoothing — the grouped
+    form of ewma_daily_events (the per-entity alerting baseline):
+    e_t = 0.3·x_t + 0.7·e_{t-1} over each user's own ordered day series
+    of daily value totals.
+
+    Shape: ONE user-keyed bucketed exchange (ops/dedup._grouped_exchange)
+    — a user's rows are complete inside its bucket, so the (user, day)
+    reduction AND the per-user recurrence both run vectorized-in-bucket
+    with no broadcast and no second exchange; recursion length is
+    bounded by the time span. The recurrence itself runs on the INTEGER
+    micro-unit grid — e6_t = (3·x6_t + 7·e6_{t-1}) // 10 with x6 =
+    round(x·1e6) — because the float form differs by 1 ULP between
+    numpy and DuckDB's compiled expression (FMA/op-order), and over the
+    ~80k roundings of a grouped recurrence one 6dp half-way value WILL
+    land on opposite sides (observed: 144.1315285). Integer floor
+    division is bit-exact by construction on both sides (the
+    cc_labels/sssp device applied to a recurrence); the per-user
+    recursive CTE oracle runs the identical integer step."""
+    from ..ops.dedup import _grouped_exchange
+
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(),
+            "day": t.column("ts").to_pandas().dt.floor("D"),
+            "x": t.column("value").to_numpy()})
+
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby(["user_id", "day"], as_index=False)["x"].sum()
+        d["x"] = d["x"].round(6)
+        d = d.sort_values(["user_id", "day"]).reset_index(drop=True)
+        x6 = np.rint(d["x"].to_numpy() * 1e6).astype(np.int64)
+        uids = d["user_id"].to_numpy()
+        e6 = np.empty(len(d), dtype=np.int64)
+        prev = 0
+        for i in range(len(d)):
+            if i == 0 or uids[i] != uids[i - 1]:
+                prev = int(x6[i])
+            else:
+                prev = (3 * int(x6[i]) + 7 * prev) // 10
+            e6[i] = prev
+        d["ewma"] = e6 / 1e6
+        return _arrow(d.rename(columns={"x": "daily_value"}))
+
+    out = _grouped_exchange(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id",
+        bucket).to_pandas()
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+EWMA_USER_SQL = """
+WITH RECURSIVE d AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         ROUND(SUM(value), 6) AS x
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, day, x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+r6 AS (SELECT user_id, day, x, rn,
+              CAST(ROUND(x * 1000000) AS BIGINT) AS x6 FROM r),
+e AS (
+  SELECT user_id, rn, day, x, x6 AS e6 FROM r6 WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.rn, r.day, r.x,
+         (3 * r.x6 + 7 * e.e6) // 10 AS e6
+  FROM r6 r JOIN e ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+SELECT user_id, day, x AS daily_value, e6 / 1000000.0 AS ewma
+FROM e ORDER BY user_id, day
+"""
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

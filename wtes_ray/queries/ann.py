@@ -1179,4 +1179,73 @@ ORDER BY ROUND(SUM(s), 6) DESC, doc_id LIMIT 10
 """
 
 
+
+
+_COV_DIMS = 8
+
+
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Population covariance matrix of the leading 8 embedding
+    dimensions (upper triangle, long layout (i, j, cov)) — the
+    distributed second-moment pass every PCA/whitening/feature-drift
+    pipeline starts from (pca_top_component computes the same moments
+    implicitly; this surfaces them value-checked).
+
+    Shape: ONE streaming pass emits a single (n, Σx_i, Σx_i·x_j) moment
+    row per block (1+8+36 doubles — the exchange is O(blocks), not
+    O(rows)); the driver combine is a column sum. Float32 embeddings
+    cast to DOUBLE before multiplying on BOTH sides; 6dp rounding
+    absorbs summation-order ULP (the lineitem_correlations
+    precedent — same uncentered formula in SQL)."""
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["embedding"])
+    d = _COV_DIMS
+    iu = np.triu_indices(d)
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        x = np.asarray(
+            [v[:d] for v in t.column("embedding").to_pylist()],
+            dtype=np.float64)
+        p = x.T @ x
+        row = {"n": [float(len(x))]}
+        for k in range(d):
+            row[f"s{k}"] = [float(x[:, k].sum())]
+        for a, b in zip(*iu):
+            row[f"p{a}_{b}"] = [float(p[a, b])]
+        return pd.DataFrame(row)
+
+    m = ds.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n = m["n"]
+    rows = [(int(a), int(b),
+             round((m[f"p{a}_{b}"] - m[f"s{a}"] * m[f"s{b}"] / n) / n, 6))
+            for a, b in zip(*iu)]
+    return pd.DataFrame(rows, columns=["i", "j", "cov"])
+
+
+def _cov_sql(d: int = _COV_DIMS) -> str:
+    """Generated 36-arm covariance oracle: one moment CTE (the same
+    uncentered sums as the Ray pass), one UNION ALL arm per (i, j)."""
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for k in range(d):
+        sums.append(
+            f"SUM(CAST(embedding[{k + 1}] AS DOUBLE)) AS s{k}")
+    for a in range(d):
+        for b in range(a, d):
+            sums.append(
+                f"SUM(CAST(embedding[{a + 1}] AS DOUBLE)"
+                f" * CAST(embedding[{b + 1}] AS DOUBLE)) AS p{a}_{b}")
+    arms = []
+    for a in range(d):
+        for b in range(a, d):
+            arms.append(
+                f"SELECT {a} AS i, {b} AS j,"
+                f" ROUND((p{a}_{b} - s{a} * s{b} / n) / n, 6) AS cov"
+                f" FROM m")
+    return ("WITH m AS (SELECT " + ",\n  ".join(sums)
+            + " FROM embeddings)\n"
+            + "\nUNION ALL\n".join(arms) + "\nORDER BY i, j")
+
+
+EMBEDDING_COV_SQL = _cov_sql()
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

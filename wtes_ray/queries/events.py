@@ -2198,4 +2198,120 @@ FROM e ORDER BY user_id, day
 """
 
 
+
+
+def value_psi_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type PSI drift — the grouped form of value_psi_events
+    (a distribution can be stable corpus-wide while one event type
+    drifts; this pins each slice). Each type's decile edges come from
+    ITS OWN period-A values (ops/curate.grouped_exact_quantiles ≡
+    per-group PERCENTILE_DISC); the global time midpoint splits the
+    periods (one exact integer); ONE counting pass buckets every row
+    against its type's broadcast edges (types × 9 doubles). All output
+    doubles are deterministic functions of integer counts — no
+    summation-order drift."""
+    import ray as _ray
+    from ray.data.aggregate import Max, Min
+
+    from ..ops.curate import grouped_exact_quantiles
+    ds = _read_pq(_t(sf_dir, "events"),
+                  columns=["event_type", "ts", "value"])
+
+    def with_us(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"event_type": t["event_type"], "us": us,
+                         "value": t["value"]})
+
+    dsu = ds.map_batches(with_us, batch_format="pyarrow")
+    mm = dsu.aggregate(Min("us", alias_name="lo"),
+                       Max("us", alias_name="hi"))
+    mid = (int(mm["lo"]) + int(mm["hi"])) // 2
+
+    def only_a(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("us"), pa.scalar(mid)))
+
+    qs = [k / 10.0 for k in range(1, 10)]
+    eq = grouped_exact_quantiles(
+        dsu.map_batches(only_a, batch_format="pyarrow"),
+        "event_type", "value", qs)
+    edge_map = {typ: sub.sort_values("q")["value"].to_numpy(np.float64)
+                for typ, sub in eq.groupby("event_type")}
+    ref = _ray.put(edge_map)
+
+    def count_partial(t: pa.Table, *, _e=ref) -> pd.DataFrame:
+        import ray as _r
+        em = _r.get(_e) if not isinstance(_e, dict) else _e
+        types = np.asarray(t.column("event_type").to_pylist())
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        frames = []
+        for typ in np.unique(types):
+            m = types == typ
+            b = np.searchsorted(em[typ], v[m], side="right")
+            in_a = us[m] < mid
+            frames.append(pd.DataFrame({
+                "event_type": typ, "bucket": np.arange(10),
+                "ca": np.bincount(b[in_a], minlength=10)
+                .astype("int64"),
+                "cb": np.bincount(b[~in_a], minlength=10)
+                .astype("int64")}))
+        return pd.concat(frames, ignore_index=True)
+
+    agg = dsu.map_batches(count_partial, batch_format="pyarrow") \
+        .to_pandas().groupby(["event_type", "bucket"],
+                             as_index=False)[["ca", "cb"]].sum() \
+        .sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    outs = []
+    for typ, sub in agg.groupby("event_type", sort=True):
+        na = float(sub["ca"].sum())
+        nb = float(sub["cb"].sum())
+        p_a = (sub["ca"].to_numpy(np.float64) + 0.5) / (na + 5.0)
+        p_b = (sub["cb"].to_numpy(np.float64) + 0.5) / (nb + 5.0)
+        sub = sub.copy()
+        sub["contrib"] = np.round((p_a - p_b) * np.log(p_a / p_b), 6)
+        outs.append(sub)
+    out = pd.concat(outs, ignore_index=True)
+    out["ca"] = out["ca"].astype("int64")
+    out["cb"] = out["cb"].astype("int64")
+    out["bucket"] = out["bucket"].astype("int64")
+    return out[["event_type", "bucket", "ca", "cb", "contrib"]]
+
+
+_PSI_TYPE_EDGES = ", ".join(
+    f"PERCENTILE_DISC(0.{k}) WITHIN GROUP (ORDER BY value) AS e{k}"
+    for k in range(1, 10))
+_PSI_TYPE_BUCKET = " + ".join(
+    f"(CASE WHEN value >= e{k} THEN 1 ELSE 0 END)" for k in range(1, 10))
+
+VALUE_PSI_BY_TYPE_SQL = f"""
+WITH b AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM b),
+a AS (SELECT event_type, value FROM b, m WHERE us < m.mid),
+e AS (SELECT event_type, {_PSI_TYPE_EDGES}
+      FROM a GROUP BY event_type),
+t AS (SELECT b.event_type,
+             {_PSI_TYPE_BUCKET} AS bucket,
+             CASE WHEN b.us < m.mid THEN 1 ELSE 0 END AS in_a
+      FROM b JOIN e USING (event_type), m),
+g0 AS (SELECT event_type, bucket,
+              CAST(SUM(in_a) AS BIGINT) AS ca,
+              CAST(SUM(1 - in_a) AS BIGINT) AS cb
+       FROM t GROUP BY 1, 2),
+grid AS (SELECT e.event_type, gs.bucket
+         FROM e, (SELECT UNNEST(generate_series(0, 9)) AS bucket) gs),
+g AS (SELECT grid.event_type, grid.bucket,
+             COALESCE(g0.ca, 0) AS ca, COALESCE(g0.cb, 0) AS cb
+      FROM grid LEFT JOIN g0 USING (event_type, bucket)),
+n AS (SELECT event_type, CAST(SUM(ca) AS DOUBLE) AS na,
+             CAST(SUM(cb) AS DOUBLE) AS nb
+      FROM g GROUP BY event_type)
+SELECT g.event_type, g.bucket, g.ca, g.cb,
+       ROUND(((g.ca + 0.5) / (n.na + 5.0) - (g.cb + 0.5) / (n.nb + 5.0))
+             * LN(((g.ca + 0.5) / (n.na + 5.0))
+                  / ((g.cb + 0.5) / (n.nb + 5.0))), 6) AS contrib
+FROM g JOIN n USING (event_type)
+ORDER BY g.event_type, g.bucket
+"""
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers

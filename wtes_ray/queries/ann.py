@@ -1248,4 +1248,47 @@ def _cov_sql(d: int = _COV_DIMS) -> str:
 EMBEDDING_COV_SQL = _cov_sql()
 
 
+
+
+_FILTER_LABEL = 2
+
+
+def topk_cosine_filtered(sf_dir: str) -> pd.DataFrame:
+    """Filtered vector search — exact top-10 by cosine among ONLY the
+    vectors whose metadata matches a predicate (label = 2): the
+    pre-filtered ("single-stage") form every metadata-aware vector store
+    needs, where the filter prunes INSIDE the scan so non-matching
+    vectors never enter the distance computation (vs post-filtering a
+    top-k, which under-fills). Same per-block matmul + bounded driver
+    merge as topk_cosine_bruteforce; the label filter is an Arrow
+    kernel ahead of it."""
+    from ..ops.similarity import topk_cosine
+    ds = _read_pq(_t(sf_dir, "embeddings"),
+                  columns=["vec_id", "embedding", "label"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t.column("label"),
+                                 pa.scalar(_FILTER_LABEL)))
+        return keep.select(["vec_id", "embedding"])
+
+    df = topk_cosine(ds.map_batches(flt, batch_format="pyarrow"),
+                     _query_vec(sf_dir), k=10).to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.reset_index(drop=True)
+
+
+TOPK_COSINE_FILTERED_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    (SELECT qe FROM q)), 6) AS cosine
+FROM embeddings
+WHERE label = {_FILTER_LABEL}
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                (SELECT qe FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
 __all__ = [_n for _n in globals() if not _n.startswith("__")]  # star-export incl. _helpers
